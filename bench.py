@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Reference analog: dft's ``--bench`` mode
+(crates/datafusion-app/src/local.rs:366-504) which times each query over
+N iterations. Here: one warm-up of the session, then each registered
+query executed to completion against a ``noop`` sink (full plan runs,
+nothing collected to the driver). Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from datafusion_dft_spark.registry import all_queries
+    from datafusion_dft_spark.session import get_spark
+
+    spark = get_spark(app_name="datafusion-dft-spark-bench")
+    specs = {n: s for n, s in all_queries().items() if s.bench}
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # query, not session startup.
+    warm = specs.get("q01_pricing_summary") or next(iter(specs.values()))
+    warm.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        try:
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # a failing query shouldn't kill the whole bench
+            times[name] = -1.0
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in times.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,91 @@
+"""SparkSession construction with config passthrough.
+
+Reference analog: ``crates/datafusion-app/src/extensions/builder.rs:99-103``
+(user TOML settings -> SessionConfig) and ``src/main.rs:31-45`` (runtime
+setup). Here: a builder with scale-aware defaults (AQE on, skew-join
+handling, Arrow transfer) plus an arbitrary ``conf`` dict passthrough.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for local[N] testing but written for cluster scale:
+# AQE re-plans shuffles at runtime (coalesces small partitions, splits
+# skewed ones, switches sort-merge joins to broadcast when a side turns
+# out small) — the same decisions hold on a 1000-executor cluster.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+}
+
+# Conf keys that are safe to (re)set on a live session.
+_RUNTIME_CONF: tuple[str, ...] = (
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.session.timeZone",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+)
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "datafusion-dft-spark",
+    conf: Mapping[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``conf`` is an arbitrary passthrough, mirroring the reference's
+    "any DataFusion setting goes into SessionConfig" behavior.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    merged = dict(_DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally built session.
+
+    The verification driver hands us its own SparkSession; pin the conf
+    that affects result correctness (UTC timestamps) and plan quality
+    (AQE) without assuming we own the session.
+    """
+    for key in _RUNTIME_CONF:
+        try:
+            spark.conf.set(key, _DEFAULT_CONF[key])
+        except Exception:
+            pass  # static conf on this build — keep going
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        if n > 4 * default_parallelism():
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
+    return spark
