@@ -43,7 +43,16 @@ def R2(c: Column) -> Column:
 
 
 def R4(c: Column) -> Column:
-    return F.round(c, 4)
+    """Round to 4 decimals with a +1e-9 nudge, mirrored in every oracle.
+
+    Averages of 2-decimal money over small counts land *exactly* on
+    4-decimal half boundaries (e.g. 357.13/8 = 44.64125); Spark
+    (BigDecimal HALF_UP on the shortest repr) and DuckDB (libm on the
+    raw double) can resolve the half differently. The nudge moves exact
+    halves decisively above the boundary in both engines; non-boundary
+    values (≥5e-7 away on the data's rational grid) are unaffected.
+    """
+    return F.round(c + 1e-9, 4)
 
 
 def _revenue() -> Column:
@@ -62,9 +71,9 @@ def _revenue() -> Column:
                round(sum(l_extendedprice), 2)                                   AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-               round(avg(l_quantity), 4)                                        AS avg_qty,
-               round(avg(l_extendedprice), 4)                                   AS avg_price,
-               round(avg(l_discount), 4)                                        AS avg_disc,
+               round(avg(l_quantity) + 1e-9, 4)                                        AS avg_qty,
+               round(avg(l_extendedprice) + 1e-9, 4)                                   AS avg_price,
+               round(avg(l_discount) + 1e-9, 4)                                        AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -298,7 +307,7 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_year,
                round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
-                     / sum(volume), 4) AS mkt_share
+                     / sum(volume) + 1e-9, 4) AS mkt_share
         FROM (
             SELECT year(o_orderdate) AS o_year,
                    l_extendedprice * (1 - l_discount) AS volume,
@@ -508,7 +517,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                                       THEN l_extendedprice * (1 - l_discount)
                                       ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+                     / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS promo_revenue
         FROM lineitem, part
         WHERE l_partkey = p_partkey
           AND l_shipdate >= TIMESTAMP '1996-09-01'
@@ -755,20 +764,23 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(c_acctbal), 2) AS totacctbal
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01')
         GROUP BY c_nationkey
     """,
     tags=("tpch", "anti-join", "scalar-subquery"),
-    doc="TPC-H Q22: above-average-balance customers with no orders, by nation.",
+    doc="TPC-H Q22: above-average-balance customers dormant since 1998, by nation.",
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     cust = t["customer"]
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    recent = t["orders"].filter(F.col("o_orderdate") >= TS("1998-01-01"))
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("numcust"), R2(F.sum("c_acctbal")).alias("totacctbal"))
     )
