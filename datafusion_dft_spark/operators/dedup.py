@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of these implementations):
+
+- **Exact**: one hash-shuffle on md5(text). At 100 TB the shuffle keys
+  are 32-byte digests, not documents — group state is tiny.
+- **N-gram Jaccard**: exact pairwise similarity via a shingle-inverted
+  index join. Exhaustive and only viable when shingles are selective;
+  kept as the *ground truth* the sketch methods are validated against.
+- **MinHash + LSH**: the 100 TB path. k=64 deterministic hash
+  permutations (xxhash64 with per-permutation seeds), banded into
+  16 bands x 4 rows; documents join only within equal (band, bandhash)
+  buckets, so the candidate join is output-bounded rather than
+  O(n^2). Signature agreement then estimates Jaccard without touching
+  the original text.
+- **SimHash**: 64-bit weighted-bit fingerprint; Hamming<=3 pairs are
+  found with the pigeonhole band trick (4 x 16-bit chunks — any pair
+  within distance 3 shares at least one exact chunk), again avoiding
+  the quadratic self-join.
+
+Everything is deterministic (xxhash64/md5, no RNG) so results are
+reproducible across runs, partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+SIMHASH_BITS = 64
+# 8 chunks x 8 bits: pigeonhole-complete up to Hamming 7. Narrower
+# chunks admit more random bucket collisions (p=1/256 per chunk-pair);
+# on a billion-doc corpus widen to 16-bit chunks (Hamming<=3) or add a
+# second-level band hash before the verify join.
+SIMHASH_CHUNKS = 8
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct k-word shingles per document: (id_col, shingle)."""
+    w = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(w) - (k - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(w, i, k), " ")
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, keep_id, n_copies): one representative per distinct text."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs via inverted-index join.
+
+    (doc1, doc2, jaccard) with doc1 < doc2; jaccard rounded to 4.
+    """
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc1"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c1 = counts.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(c1, "doc1")
+        .join(c2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")) + 1e-9, 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """(id_col, sig: array<long>[num_perm]) MinHash signature per document.
+
+    Permutation i is xxhash64(i, shingle) — deterministic, no stored
+    coefficient table, identical on every executor.
+    """
+    sh = word_shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.7,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from banded MinHash-LSH.
+
+    (doc1, doc2, est_jaccard) where est_jaccard = signature agreement
+    rate >= threshold. Join happens only inside (band, bandhash)
+    buckets — the scalable path for corpora where the pairwise join is
+    impossible.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bandhash")
+    )
+    left = banded.select(F.col(id_col).alias("doc1"), "band", "bandhash")
+    right = banded.select(F.col(id_col).alias("doc2"), "band", "bandhash")
+    cand = (
+        left.join(right, ["band", "bandhash"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    s1 = sig.select(F.col(id_col).alias("doc1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col(id_col).alias("doc2"), F.col("sig").alias("sig2"))
+    agree = F.size(
+        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_perm) + 1e-9, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc1", "doc2", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id_col, simhash: long) 64-bit SimHash over word-frequency weights."""
+    wc = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("word"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = wc.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+        )
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """(doc1, doc2, hamming) pairs within Hamming distance via pigeonhole bands.
+
+    With 4 chunks of 16 bits, any pair at distance <= 3 must agree on at
+    least one whole chunk, so candidates come from equal-chunk buckets
+    only — no quadratic join. max_hamming must stay < SIMHASH_CHUNKS.
+    """
+    if max_hamming >= SIMHASH_CHUNKS:
+        raise ValueError("pigeonhole bands require max_hamming < number of chunks")
+    fp = simhash(df, id_col, text_col).cache()
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(SIMHASH_CHUNKS)
+        ]
+    )
+    banded = fp.select(F.col(id_col), F.posexplode(chunks).alias("chunk", "chunkval"))
+    left = banded.select(F.col(id_col).alias("doc1"), "chunk", "chunkval")
+    right = banded.select(F.col(id_col).alias("doc2"), "chunk", "chunkval")
+    cand = (
+        left.join(right, ["chunk", "chunkval"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    f1 = fp.select(F.col(id_col).alias("doc1"), F.col("simhash").alias("fp1"))
+    f2 = fp.select(F.col(id_col).alias("doc2"), F.col("simhash").alias("fp2"))
+    return (
+        cand.join(f1, "doc1")
+        .join(f2, "doc2")
+        .withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

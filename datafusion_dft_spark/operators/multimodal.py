@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Design (the 100 TB pattern): media lives as an opaque ``binary``
+column next to a typed metadata struct; decode / feature-extraction /
+frame-sampling run as Arrow-batched pandas functions over
+``mapInPandas`` so each task processes whole record batches without
+per-row Python overhead, and the binary bytes never round-trip through
+the driver.
+
+The actual media codecs (PIL/ffmpeg/soundfile) are NOT in this
+container, so ``decode_image``/``decode_audio`` raise
+NotImplementedError by design; ``extract_features`` is a deterministic
+byte-level stand-in that keeps the Spark-side contract — schema,
+batching, partitioning — real and testable. Swap ``_fake_features``
+for a real decoder without touching any plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id long, byte_len long, checksum8 long, n_frames long"
+
+
+def to_binary_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stand-in media table: utf-8 payload bytes + typed metadata struct.
+
+    With real media this is `spark.read.format("binaryFile")` plus a
+    metadata join; the downstream plumbing is identical.
+    """
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col(text_col)).alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes):
+    """Real image decode requires PIL/opencv — not in this container."""
+    raise NotImplementedError(
+        "image decode needs PIL/opencv; wire it into _fake_features' slot"
+    )
+
+
+def decode_audio(content: bytes):
+    raise NotImplementedError("audio decode needs soundfile/ffmpeg")
+
+
+def _fake_features(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic byte-level 'decode': length, 8-byte checksum, frame count.
+
+    Stands in for a real feature extractor; byte math is exact so the
+    whole mapInPandas path can be oracle-checked end-to-end.
+    """
+    content = pdf["content"]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "byte_len": content.map(len),
+            "checksum8": content.map(lambda b: int(sum(b[:8]))),
+            "n_frames": content.map(lambda b: (len(b) + 255) // 256),
+        }
+    )
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fake_features(pdf)
+
+    return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(binary_df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 256) -> DataFrame:
+    """Frame sampling shape: explode each payload into fixed-size chunks.
+
+    (id, frame_idx, frame: binary) — the video-pipeline partitioning
+    pattern (one row per sampled frame, downstream feature UDFs fan out
+    per frame). Pure built-ins: substring on binary slices chunks.
+    """
+    n = F.ceil(F.length("content") / frame_bytes).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    return binary_df.select(
+        F.col(id_col),
+        F.explode(idx).alias("frame_idx"),
+        F.expr(f"substring(content, frame_idx * {frame_bytes} + 1, {frame_bytes})").alias(
+            "frame"
+        ),
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how ANN is actually deployed:
+
+- **Brute-force cosine top-k** — exact baseline. The query set is tiny
+  and broadcast; the corpus side streams through a single projection
+  computing dot products with JVM higher-order functions
+  (``zip_with`` + ``aggregate`` — no Python in the loop). Per-query
+  top-k via window row_number. Linear in corpus size, embarrassingly
+  parallel: the 100 TB shape is "broadcast the queries, scan the
+  corpus once".
+
+- **LSH-bucketed ANN** — sub-linear scale path. Deterministic
+  random-hyperplane signatures (seeded numpy planes baked into the
+  plan as literals) bucket the corpus into L independent hash tables;
+  queries probe their bucket plus its single-bit-flip neighbors in
+  each table, then rerank exactly within the probed buckets. Recall
+  tunes with (n_planes, n_tables, probe radius); per-query corpus
+  cost drops from O(n) to O(L * n / 2^planes). Planes-per-table
+  should grow with log(corpus) — the defaults suit 10^3..10^5
+  vectors; at 10^9 use ~16 planes and more tables.
+
+Everything is deterministic; cosine values are rounded (+1e-9 nudge)
+so cross-engine comparisons hash stably.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+N_PLANES = 6
+N_TABLES = 8
+_PLANE_SEED = 42
+
+
+def as_double(vec: Column | str) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Ranking uses the rounded cosine with neighbor_id tiebreak so the
+    result is deterministic and engine-portable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")) + 1e-9, 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """Deterministic hyperplane normals, one set per table (seeded)."""
+    rng = np.random.RandomState(_PLANE_SEED)
+    return rng.randn(n_tables, n_planes, dim)
+
+
+def signatures(
+    vec: Column, dim: int, n_planes: int = N_PLANES, n_tables: int = N_TABLES
+) -> Column:
+    """array<long>[n_tables]: per-table sign-bit bucket ids."""
+    planes = _planes(dim, n_planes, n_tables)
+    sigs = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+            sig = sig.bitwiseOR(
+                F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+            )
+        sigs.append(sig)
+    return F.array(*sigs)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH + exact rerank.
+
+    (query_id, neighbor_id, cosine, rank) — same shape as brute force so
+    recall can be measured by direct comparison. Candidates come only
+    from (table, bucket) matches; each query probes its own bucket and,
+    with ``multiprobe``, every single-bit flip of it per table.
+    """
+    sigs = signatures(F.col("cv"), dim, n_planes, n_tables)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+        .select("neighbor_id", "cv", F.posexplode(sigs).alias("table", "bucket"))
+    )
+    qsigs = signatures(F.col("qv"), dim, n_planes, n_tables)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).select("query_id", "qv", F.posexplode(qsigs).alias("table", "qsig"))
+    if multiprobe:
+        # Vectors near a plane land on either side of it — probing every
+        # single-bit flip recovers most of that lost recall.
+        probes = F.array(
+            F.col("qsig"),
+            *[F.col("qsig").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)],
+        )
+        q = q.select("query_id", "qv", "table", F.explode(probes).alias("bucket"))
+    else:
+        q = q.select("query_id", "qv", "table", F.col("qsig").alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")) + 1e-9, 4).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,85 @@
+"""Text analysis operators: tokenization, quality, language-ID, fingerprints.
+
+All pure built-in column expressions (JVM-side, whole-stage codegen) —
+no Python UDFs anywhere on this path, so the operators run at scan
+speed on any corpus size. Each helper returns a Column so callers
+compose them into their own projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Function words used by the quality/langid heuristics. Keep in sync
+# with the SQL oracles in queries/text.py.
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and")
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpora split exactly)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-ish lexer token count: runs of letters, digits, or single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+
+
+def stopword_count(text: Column | str, stop: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(words(text), lambda w: w.isin(*stop)))
+
+
+def nospace_len(text: Column | str) -> Column:
+    return F.length(F.regexp_replace(text, " ", ""))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase text."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.md5(norm)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic.
+
+    0.5 * saturating length credit (full credit at >=100 words)
+    + 0.5 * stopword ratio (function-word density — a proxy for
+    natural prose vs keyword salad).
+    """
+    n = token_count(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / n
+    return F.round(F.least(n / 100.0, F.lit(1.0)) * 0.5 + stop_ratio * 0.5 + 1e-9, 4)
+
+
+# Marker vocabularies for the n-gram/function-word language heuristic.
+# With a real multilingual corpus these would be per-language function
+# words; the driver corpus is ASCII word salad, so the heuristic's
+# mechanics (count markers → argmax with deterministic tie order) are
+# what is under test.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "la", "y"),
+}
+
+
+def marker_count(text: Column | str, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words(text), lambda w: w.isin(*markers)))
+
+
+def predict_lang(text: Column | str) -> Column:
+    """argmax over marker counts, ties broken in fixed en>de>fr>es order;
+    'unknown' when no markers hit."""
+    counts = {lang: marker_count(text, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.lit("unknown")
+    # Build the CASE in reverse priority so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((counts[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr

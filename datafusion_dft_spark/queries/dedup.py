@@ -1,0 +1,90 @@
+"""Deduplication queries over the ``documents`` table.
+
+The exact methods (hash-group, n-gram Jaccard) carry full DuckDB
+oracles. The sketch methods (MinHash-LSH, SimHash) have no SQL
+equivalent DuckDB can replicate (xxhash64 is Spark-specific), so they
+run as rows-only checks here — tests/test_dedup.py validates them
+against the oracle-checked exact Jaccard pairs instead (recall on the
+injected near-duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators import dedup as dd
+from ..registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT content_hash, keep_id, n_copies FROM (
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        ) d
+    """,
+    tags=("dedup",),
+    doc="Exact dedup: one representative (min doc_id) per distinct content hash.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dd.exact_duplicates(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(words[i:i+4], ' ')
+                                         for i in range(1, greatest(len(words) - 3, 2))])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        ), cnt AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc1, doc2,
+               round(n_inter / CAST(c1.n_sh + c2.n_sh - n_inter AS DOUBLE) + 1e-9, 4) AS jaccard
+        FROM inter
+        JOIN cnt c1 ON doc1 = c1.doc_id
+        JOIN cnt c2 ON doc2 = c2.doc_id
+        WHERE n_inter / CAST(c1.n_sh + c2.n_sh - n_inter AS DOUBLE) + 1e-9 >= 0.8
+    """,
+    tags=("dedup", "jaccard"),
+    doc="Exact 5-word-shingle Jaccard >= 0.8 near-duplicate pairs via "
+    "inverted-index join (ground truth for the sketch methods).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based sketch — validated against exact jaccard in tests
+    tags=("dedup", "minhash", "lsh"),
+    doc="MinHash (64 perms) + LSH (16 bands x 4): candidate near-dup pairs with "
+    "signature-estimated Jaccard >= 0.7. The O(n^2)-free scale path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.7)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based sketch — validated in tests
+    tags=("dedup", "simhash"),
+    doc="64-bit SimHash fingerprints; Hamming<=6 pairs via 8x8-bit pigeonhole "
+    "bands (no quadratic self-join).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=6)

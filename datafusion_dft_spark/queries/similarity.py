@@ -1,0 +1,92 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+The brute-force top-k and the norm statistics carry full DuckDB
+oracles (list_dot_product on the DOUBLE-cast embedding). The LSH
+variant is approximate by design — rows-only here, recall-checked
+against brute force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators import similarity as sim
+from ..registry import query
+
+_DIM = 64
+_N_QUERIES = 10
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id, v FROM e WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                         + 1e-9, 4) AS cosine
+            FROM e c, q
+            WHERE c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) r WHERE rank <= 5
+    """,
+    tags=("similarity", "ann"),
+    doc="Exact brute-force cosine top-5 for the first 10 vectors (broadcast "
+    "queries x corpus scan; JVM higher-order dot products).",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    tags=("similarity", "ann", "lsh"),
+    doc="Hyperplane-LSH ANN (8 tables x 6 deterministic planes, radius-1 "
+    "multi-probe, exact in-bucket rerank) — the sub-linear scale path.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return sim.lsh_topk(emb, queries, dim=_DIM, k=5)
+
+
+@query(
+    "embedding_label_stats",
+    oracle="""
+        SELECT label,
+               count(*) AS n_vectors,
+               round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))) + 1e-9, 4) AS avg_norm,
+               round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))) + 1e-9, 4) AS min_norm,
+               round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))) + 1e-9, 4) AS max_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    tags=("similarity", "aggregate"),
+    doc="Vector-norm statistics per label (array aggregation entirely JVM-side).",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    nrm = sim.norm(sim.as_double("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(nrm) + 1e-9, 4).alias("avg_norm"),
+        F.round(F.min(nrm) + 1e-9, 4).alias("min_norm"),
+        F.round(F.max(nrm) + 1e-9, 4).alias("max_norm"),
+    )

@@ -1,0 +1,66 @@
+"""Sketch-dedup validation: MinHash-LSH and SimHash vs exact Jaccard.
+
+The sketch operators have no SQL oracle (xxhash64 is Spark-specific),
+so their correctness check is recall/precision against the
+oracle-checked exact n-gram Jaccard pairs on the same corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_dft_spark.catalog import load_tables
+from datafusion_dft_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def test_minhash_recall_on_near_dups(docs):
+    exact = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.9).collect()
+    }
+    assert exact, "corpus should contain injected near-duplicates"
+    lsh = {
+        (r.doc1, r.doc2): r.est_jaccard
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.5).collect()
+    }
+    found = sum(1 for p in exact if p in lsh)
+    recall = found / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} on jaccard>=0.9 pairs ({found}/{len(exact)})"
+    # Signature estimate should track true Jaccard on the found pairs.
+    for p, true_j in exact.items():
+        if p in lsh:
+            assert abs(lsh[p] - true_j) < 0.25, f"{p}: est {lsh[p]} vs true {true_j}"
+
+
+def test_minhash_no_wild_false_positives(docs):
+    lsh = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.7).collect()
+    exact = {
+        (r.doc1, r.doc2)
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5).collect()
+    }
+    for r in lsh:
+        assert (r.doc1, r.doc2) in exact, (
+            f"LSH claims ({r.doc1},{r.doc2}) est={r.est_jaccard} but true jaccard < 0.5"
+        )
+
+
+def test_simhash_catches_near_dups(docs):
+    exact = {
+        (r.doc1, r.doc2)
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.97).collect()
+    }
+    sim = {(r.doc1, r.doc2) for r in dd.simhash_pairs(docs, "doc_id", "text", 6).collect()}
+    if exact:
+        found = len(exact & sim)
+        assert found / len(exact) >= 0.8, f"simhash recall {found}/{len(exact)}"
+
+
+def test_exact_duplicates_partition_is_total(docs):
+    n_docs = docs.count()
+    groups = dd.exact_duplicates(docs, "doc_id", "text").collect()
+    assert sum(g.n_copies for g in groups) == n_docs

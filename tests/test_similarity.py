@@ -1,0 +1,42 @@
+"""LSH-ANN validation: recall against the oracle-checked brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_dft_spark.catalog import load_tables
+from datafusion_dft_spark.operators import similarity as sim
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_topk(emb, queries, dim=64, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} ({len(exact & approx)}/{len(exact)})"
+
+
+def test_lsh_rank1_is_true_nearest_for_most_queries(emb):
+    """The injected near-duplicate vectors must survive bucketing."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact1 = {
+        r.query_id: r.neighbor_id
+        for r in sim.brute_force_topk(emb, queries, k=1).collect()
+    }
+    lsh1 = {
+        r.query_id: r.neighbor_id for r in sim.lsh_topk(emb, queries, dim=64, k=1).collect()
+    }
+    hits = sum(1 for q, n in exact1.items() if lsh1.get(q) == n)
+    assert hits / len(exact1) >= 0.6, f"rank-1 agreement {hits}/{len(exact1)}"
