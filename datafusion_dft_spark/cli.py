@@ -1,0 +1,146 @@
+"""CLI frontend: ``python -m datafusion_dft_spark [options]``.
+
+Reference: ``dft -c "SELECT ..." -f file.sql --time --bench -n N -o out``
+(src/cli/mod.rs:211-307,530-555,682-806). Same surface re-expressed:
+
+  -c / --command   one or more SQL strings (multi-statement, ';'-split)
+  -f / --file      one or more SQL files
+  --ddl FILE       run startup DDL before queries (execution.ddl analog)
+  --register DIR   register the corpus parquet tables under DIR as views
+  --db DIR         dft-style {catalog}/{schema}/{table} directory database
+  --time           print wall time per statement
+  --bench / -n     per-phase benchmark (default 10 iterations)
+  --run-before     cache-warming statement before each bench
+  --save / --append  export bench results to CSV
+  --analyze        single-run plan + phase breakdown
+  -o FILE          write the last result (format by suffix: csv/json/parquet/arrow)
+  --limit N        cap printed rows (reference http result_limit analog)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import DataFrame
+
+
+def format_table(df: DataFrame, limit: int = 40) -> str:
+    """psql-style ASCII table of the first ``limit`` rows."""
+    rows = df.take(limit + 1)
+    truncated = len(rows) > limit
+    rows = rows[:limit]
+    cols = df.columns
+    cells = [[("NULL" if v is None else str(v)) for v in r] for r in rows]
+    widths = [
+        max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "| " + " | ".join(c.ljust(w) for c, w in zip(cols, widths)) + " |", sep]
+    for row in cells:
+        out.append("| " + " | ".join(v.ljust(w) for v, w in zip(row, widths)) + " |")
+    out.append(sep)
+    if truncated:
+        out.append(f"-- printed {limit} rows (truncated); use --limit to raise")
+    return "\n".join(out)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="datafusion-dft-spark",
+        description="PySpark-native analytics engine CLI",
+    )
+    p.add_argument("-c", "--command", action="append", default=[], help="SQL string to run")
+    p.add_argument("-f", "--file", action="append", default=[], help="SQL file to run")
+    p.add_argument("--ddl", help="startup DDL file executed before queries")
+    p.add_argument("--register", help="directory of corpus parquet files to register as views")
+    p.add_argument("--db", help="dft-style {catalog}/{schema}/{table} directory database")
+    p.add_argument("--time", action="store_true", help="print elapsed time per statement")
+    p.add_argument("--bench", action="store_true", help="benchmark each statement")
+    p.add_argument("--analyze", action="store_true", help="plan + phase breakdown per statement")
+    p.add_argument("-n", "--iterations", type=int, default=10)
+    p.add_argument("--run-before", help="statement run before each benchmark")
+    p.add_argument("--save", help="save benchmark results to CSV")
+    p.add_argument("--append", action="store_true", help="append to --save file")
+    p.add_argument("-o", "--output", help="write last result to file (format from suffix)")
+    p.add_argument("--limit", type=int, default=40, help="max rows to print")
+    p.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.command and not args.file:
+        print("error: provide SQL via -c or -f", file=sys.stderr)
+        return 2
+
+    from .catalog import register_db, register_views
+    from .plans.bench import format_report, run_bench, save_csv
+    from .session import get_spark
+    from .sources.io import write_any
+    from .sql import execute_ddl_file, prepare_statement, split_statements
+
+    spark = get_spark(master=args.master, app_name="datafusion-dft-spark-cli")
+    if args.register:
+        register_views(spark, args.register)
+    if args.db:
+        register_db(spark, args.db)
+    if args.ddl:
+        execute_ddl_file(spark, args.ddl)
+
+    scripts: list[str] = list(args.command)
+    for path in args.file:
+        with open(path) as f:
+            scripts.append(f.read())
+
+    last_df: DataFrame | None = None
+    bench_results = []
+    rc = 0
+    for script in scripts:
+        for stmt in split_statements(script):
+            try:
+                prepared = prepare_statement(spark, stmt)
+                if args.bench:
+                    res = run_bench(
+                        spark, prepared, iterations=args.iterations, run_before=args.run_before
+                    )
+                    bench_results.append(res)
+                    print(format_report(res))
+                    continue
+                if args.analyze:
+                    from .plans.bench import analyze
+
+                    info = analyze(spark, prepared)
+                    print(
+                        f"rows={info['rows']} plan={info['plan_sec']*1e3:.1f}ms "
+                        f"physical={info['physical_sec']*1e3:.1f}ms "
+                        f"execute={info['execute_sec']*1e3:.1f}ms"
+                    )
+                    print(info["explain_formatted"])
+                    continue
+                t0 = time.perf_counter()
+                df = spark.sql(prepared)
+                print(format_table(df, limit=args.limit))
+                if args.time:
+                    print(f"elapsed: {time.perf_counter() - t0:.3f}s")
+                last_df = df
+            except Exception as e:  # mirror dft: report per-statement, keep going
+                print(f"error in statement: {stmt[:80]}...\n  {e}", file=sys.stderr)
+                rc = 1
+    if args.save and bench_results:
+        save_csv(bench_results, args.save, append=args.append)
+        print(f"saved benchmark CSV: {args.save}")
+    if args.output and last_df is not None:
+        try:
+            write_any(last_df, args.output, single_file=True)
+            print(f"wrote: {args.output}")
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,175 @@
+"""Multi-statement SQL execution with app-level sugar.
+
+Reference analogs:
+- statement splitting with comment handling: the reference executes DDL
+  files statement-by-statement, splitting on ';' and skipping '--'
+  comments (crates/datafusion-app/src/local.rs:336-363);
+- URL tables: ``SELECT ... FROM 'path/file.parquet'``
+  (``enable_url_table``, local.rs:101) — rewritten here to Spark's
+  native ``parquet.`path``` sugar;
+- ``parquet_metadata('file')`` UDTF
+  (crates/datafusion-functions-parquet/src/lib.rs:143-291) — rewritten
+  to a pyarrow-backed temp view;
+- ``information_schema.{tables,columns,views,schemata}`` (src/db.rs:186-198)
+  — rewritten to temp views refreshed from spark.catalog;
+- JSON function names from datafusion-functions-json
+  (tests/extension_cases/functions_json.rs) — ``json_get(col,'k')`` /
+  ``json_contains(col,'k')`` / ``json_length`` mapped onto Spark
+  built-ins.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FMT = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".ndjson": "json",
+    ".jsonl": "json",
+}
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script on ';' respecting quotes and line comments."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    in_s: str | None = None  # current quote char
+    while i < n:
+        ch = sql[i]
+        if in_s:
+            buf.append(ch)
+            if ch == in_s:
+                in_s = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            in_s = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "-" and sql[i : i + 2] == "--":
+            nl = sql.find("\n", i)
+            i = n if nl == -1 else nl + 1
+            buf.append("\n")
+            continue
+        if ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    stmt = "".join(buf).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def _rewrite_url_tables(sql: str) -> str:
+    """``FROM 'file.parquet'`` → ``FROM parquet.`file.parquet```."""
+
+    def repl(m: re.Match) -> str:
+        kw, path = m.group(1), m.group(2)
+        for ext, fmt in _EXT_FMT.items():
+            if path.lower().endswith(ext):
+                return f"{kw} {fmt}.`{path}`"
+        return m.group(0)
+
+    return re.sub(r"(?i)\b(FROM|JOIN)\s+'([^']+)'", repl, sql)
+
+
+def _rewrite_json_functions(sql: str) -> str:
+    """datafusion-functions-json surface → Spark built-ins.
+
+    json_get(col, 'k')       -> get_json_object(col, '$.k')
+    json_get_str/int/float   -> get_json_object(...) with cast
+    json_contains(col, 'k')  -> get_json_object(col, '$.k') IS NOT NULL
+    json_length(col)         -> json_array_length / object key count
+    """
+    sql = re.sub(
+        r"(?i)\bjson_get_str\s*\(\s*([^,]+?)\s*,\s*'([^']+)'\s*\)",
+        r"get_json_object(\1, '$.\2')",
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bjson_get_int\s*\(\s*([^,]+?)\s*,\s*'([^']+)'\s*\)",
+        r"CAST(get_json_object(\1, '$.\2') AS BIGINT)",
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bjson_get_float\s*\(\s*([^,]+?)\s*,\s*'([^']+)'\s*\)",
+        r"CAST(get_json_object(\1, '$.\2') AS DOUBLE)",
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bjson_get\s*\(\s*([^,]+?)\s*,\s*'([^']+)'\s*\)",
+        r"get_json_object(\1, '$.\2')",
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bjson_contains\s*\(\s*([^,]+?)\s*,\s*'([^']+)'\s*\)",
+        r"(get_json_object(\1, '$.\2') IS NOT NULL)",
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bjson_length\s*\(\s*([^)]+?)\s*\)",
+        r"json_array_length(\1)",
+        sql,
+    )
+    return sql
+
+
+_PQ_META_RE = re.compile(r"(?i)\bparquet_metadata\s*\(\s*'([^']+)'\s*\)")
+_INFO_SCHEMA_RE = re.compile(r"(?i)\binformation_schema\.(tables|columns|views|schemata)\b")
+
+
+def _rewrite_parquet_metadata(spark: SparkSession, sql: str) -> str:
+    """Materialize parquet_metadata('f') calls as temp views."""
+    from .functions.parquet_meta import parquet_metadata_df
+
+    def repl(m: re.Match) -> str:
+        path = m.group(1)
+        view = "__pq_meta_" + re.sub(r"\W", "_", path)
+        parquet_metadata_df(spark, path).createOrReplaceTempView(view)
+        return view
+
+    return _PQ_META_RE.sub(repl, sql)
+
+
+def _rewrite_information_schema(spark: SparkSession, sql: str) -> str:
+    if not _INFO_SCHEMA_RE.search(sql):
+        return sql
+    from .functions.info_schema import refresh_information_schema
+
+    refresh_information_schema(spark)
+    return _INFO_SCHEMA_RE.sub(lambda m: f"__info_{m.group(1).lower()}", sql)
+
+
+def prepare_statement(spark: SparkSession, stmt: str) -> str:
+    """Apply all app-level rewrites to one statement."""
+    stmt = _rewrite_url_tables(stmt)
+    stmt = _rewrite_json_functions(stmt)
+    stmt = _rewrite_parquet_metadata(spark, stmt)
+    stmt = _rewrite_information_schema(spark, stmt)
+    return stmt
+
+
+def execute_sql(spark: SparkSession, sql: str) -> list[DataFrame]:
+    """Run a (possibly multi-statement) script; one DataFrame per statement."""
+    return [spark.sql(prepare_statement(spark, s)) for s in split_statements(sql)]
+
+
+def execute_ddl_file(spark: SparkSession, path: str) -> int:
+    """Startup-DDL bootstrap (reference: execution.ddl config + local.rs:336-363)."""
+    with open(path) as f:
+        stmts = split_statements(f.read())
+    for s in stmts:
+        spark.sql(prepare_statement(spark, s))
+    return len(stmts)

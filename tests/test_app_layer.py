@@ -1,0 +1,190 @@
+"""App-layer tests: SQL sugar, CLI, writers, parquet_metadata, info schema.
+
+Mirrors the reference's CLI/extension test layers (SURVEY.md §5):
+golden-ish assertions on statement splitting, URL tables, JSON function
+rewrites, output writers, metadata UDTF, information_schema emulation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_dft_spark.catalog import register_views, table_path
+from datafusion_dft_spark.sql import (
+    execute_sql,
+    prepare_statement,
+    split_statements,
+)
+
+
+def test_split_statements_quotes_and_comments():
+    sql = """
+    -- leading comment; with semicolon
+    SELECT 'a;b' AS x;
+    SELECT 1; ;
+    SELECT '-- not a comment' AS y
+    """
+    stmts = split_statements(sql)
+    assert len(stmts) == 3
+    assert stmts[0].endswith("'a;b' AS x")
+    assert stmts[2] == "SELECT '-- not a comment' AS y"
+
+
+def test_url_table_rewrite_and_scan(spark, sf_dir):
+    path = table_path(sf_dir, "region")
+    dfs = execute_sql(spark, f"SELECT count(*) AS n FROM '{path}'")
+    assert dfs[0].collect()[0].n == 5
+
+
+def test_json_function_rewrites(spark, sf_dir):
+    register_views(spark, sf_dir)
+    stmt = prepare_statement(
+        spark, "SELECT json_get(props, 'k') AS v, json_contains(props, 'k') AS has FROM events"
+    )
+    assert "get_json_object(props, '$.k')" in stmt
+    row = spark.sql(stmt + " LIMIT 1").collect()[0]
+    assert row.has is True and row.v is not None
+
+
+def test_json_values_match_reference_semantics(spark):
+    # functions_json.rs:36-76 golden behaviors on the reference fixture.
+    fixture = spark.sql(
+        """
+        SELECT id, json_col FROM VALUES
+          (1, '{}'), (2, '{ "a": 1 }'), (3, '{ "a": 2 }'),
+          (4, '{ "a": 1, "b": 2 }'), (5, '{ "a": 1, "b": 2, "c": 3 }')
+        AS t(id, json_col)
+        """
+    )
+    fixture.createOrReplaceTempView("json_fixture")
+    got = spark.sql(
+        prepare_statement(
+            spark.sparkSession if hasattr(spark, "sparkSession") else spark,
+            "SELECT json_contains(json_col, 'b') AS has_b, json_get_int(json_col, 'a') AS a "
+            "FROM json_fixture ORDER BY id",
+        )
+    ).collect()
+    assert [r.has_b for r in got] == [False, False, False, True, True]
+    assert [r.a for r in got] == [None, 1, 2, 1, 1]
+
+
+def test_parquet_metadata_udtf(spark, sf_dir):
+    path = table_path(sf_dir, "lineitem")
+    dfs = execute_sql(
+        spark,
+        f"SELECT row_group_id, path_in_schema, num_values FROM parquet_metadata('{path}')",
+    )
+    rows = dfs[0].collect()
+    assert {r.path_in_schema for r in rows} >= {"l_orderkey", "l_quantity", "l_shipdate"}
+    assert all(r.num_values > 0 for r in rows)
+
+
+def test_information_schema(spark, sf_dir):
+    register_views(spark, sf_dir)
+    dfs = execute_sql(
+        spark,
+        "SELECT table_name FROM information_schema.tables WHERE table_name = 'lineitem'",
+    )
+    assert dfs[0].count() == 1
+    cols = execute_sql(
+        spark,
+        "SELECT column_name FROM information_schema.columns WHERE table_name = 'nation'",
+    )[0].collect()
+    assert {c.column_name for c in cols} == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_show_tables(spark, sf_dir):
+    register_views(spark, sf_dir)
+    names = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+    assert {"lineitem", "orders", "region"} <= names
+
+
+def test_create_table_as_values_multi_statement(spark):
+    # cli_cases/basic.rs:245-262: shared session state across statements.
+    dfs = execute_sql(
+        spark,
+        """
+        CREATE OR REPLACE TEMPORARY VIEW foo AS SELECT * FROM VALUES (1), (2) AS t(x);
+        SELECT sum(x) AS s FROM foo
+        """,
+    )
+    assert dfs[-1].collect()[0].s == 3
+
+
+def test_writers_roundtrip(spark, sf_dir, tmp_path):
+    from datafusion_dft_spark.sources.io import read_any, write_any
+
+    df = spark.sql("SELECT id, id * 2 AS dbl FROM range(10)")
+    for fmt, name in (("parquet", "out.parquet"), ("csv", "out.csv"), ("json", "out.json")):
+        path = str(tmp_path / name)
+        write_any(df, path, single_file=True)
+        back = read_any(spark, path)
+        assert back.count() == 10, fmt
+        assert sorted(back.columns) == ["dbl", "id"], fmt
+
+
+def test_copy_to(spark, sf_dir, tmp_path):
+    from datafusion_dft_spark.sources.io import copy_to
+
+    register_views(spark, sf_dir)
+    out = str(tmp_path / "regions.csv")
+    n = copy_to(spark, "SELECT r_regionkey, r_name FROM region", out)
+    assert n == 5
+
+
+def test_cli_end_to_end(sf_dir, tmp_path, capsys):
+    from datafusion_dft_spark.cli import main
+
+    out = str(tmp_path / "cli_out.parquet")
+    rc = main(
+        [
+            "--register",
+            sf_dir,
+            "-c",
+            "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+            "--time",
+            "-o",
+            out,
+        ]
+    )
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "r_name" in captured.out and "AFRICA" in captured.out
+    assert "elapsed:" in captured.out
+    assert os.path.exists(out)
+
+
+def test_cli_error_path(sf_dir, capsys):
+    from datafusion_dft_spark.cli import main
+
+    rc = main(["--register", sf_dir, "-c", "SELECT * FROM does_not_exist"])
+    captured = capsys.readouterr()
+    assert rc == 1
+    assert "error in statement" in captured.err
+
+
+def test_bench_harness(spark, sf_dir):
+    from datafusion_dft_spark.plans.bench import run_bench
+
+    register_views(spark, sf_dir)
+    res = run_bench(spark, "SELECT count(*) FROM lineitem", iterations=3)
+    assert res.rows_consistent
+    s = res.summary()
+    assert set(s) == {"plan", "physical", "execute", "total"}
+    assert all(st["min"] <= st["median"] <= st["max"] for st in s.values())
+
+
+def test_register_db_directory_layout(spark, tmp_path):
+    from datafusion_dft_spark.catalog import register_db
+
+    # {catalog}/{schema}/{table}/part.parquet — src/db.rs:204-445 shape.
+    tdir = tmp_path / "dftdb" / "mycat" / "myschema" / "mytable"
+    tdir.mkdir(parents=True)
+    spark.sql("SELECT 42 AS answer").coalesce(1).write.mode("overwrite").parquet(str(tdir))
+    registered = register_db(spark, str(tmp_path / "dftdb"))
+    assert registered, "no tables registered from directory layout"
+    name = registered[0]
+    got = spark.sql(f"SELECT answer FROM {name}").collect()
+    assert got[0].answer == 42
