@@ -1,0 +1,89 @@
+"""Catalog-lifecycle and approximate-aggregate parity queries.
+
+- ``view_lifecycle`` replays the reference's TPC-H Q15 pattern
+  (``CREATE VIEW revenue0 ...; SELECT ...; DROP VIEW revenue0`` —
+  src/server/http/tpch.rs:429-462) through the multi-statement SQL
+  layer, proving shared session state across statements.
+- ``approx_aggregates`` covers the engine's approximate functions
+  (approx_count_distinct / percentile_approx). Sketch outputs differ
+  by implementation, so the oracle-checked columns are the exact
+  counterparts; the approx columns are asserted within tolerance in
+  tests/test_approx.py (rows-only here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables, register_views
+from ..registry import query
+from ..sql import execute_sql
+
+
+@query(
+    "view_lifecycle",
+    oracle="""
+        WITH revenue0 AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT count(*) AS n_suppliers,
+               round(sum(total_revenue), 2) AS total,
+               round(max(total_revenue), 2) AS best
+        FROM revenue0
+    """,
+    tags=("view", "ddl"),
+    doc="CREATE VIEW -> query -> DROP VIEW across one session (TPC-H Q15's "
+    "view lifecycle, tpch.rs:429-462), via the multi-statement SQL layer.",
+)
+def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    dfs = execute_sql(
+        spark,
+        """
+        CREATE OR REPLACE TEMPORARY VIEW revenue0 AS
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey;
+        SELECT count(*) AS n_suppliers,
+               round(sum(total_revenue), 2) AS total,
+               round(max(total_revenue), 2) AS best
+        FROM revenue0
+        """,
+    )
+    result = dfs[-1]
+    rows = result.collect()  # materialize before the view disappears
+    spark.sql("DROP VIEW IF EXISTS revenue0")
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "approx_aggregates",
+    oracle=None,  # sketch outputs are implementation-specific; bounds in tests
+    tags=("aggregate", "approx"),
+    doc="approx_count_distinct + percentile_approx next to their exact "
+    "counterparts (accuracy asserted within tolerance in tests).",
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    # Two aggregates joined on the tiny group key instead of one: mixing
+    # COUNT(DISTINCT) (Expand plan) with typed-buffer aggregates (HLL++,
+    # percentile) degrades to a sort-aggregate over the expanded rows
+    # (measured 47s vs <2s per split at sf0.1).
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    )
+    return exact.join(approx, "l_returnflag")

@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "datafusion_dft_spark.queries.dedup",
     "datafusion_dft_spark.queries.similarity",
     "datafusion_dft_spark.queries.multimodal",
+    "datafusion_dft_spark.queries.lifecycle",
 )
 
 

@@ -1,0 +1,78 @@
+"""Plan-quality gates: the optimizer must produce the plan we designed for.
+
+These tests encode the 100 TB scale review as assertions: dimension
+joins go broadcast, selective predicates reach the parquet scan,
+projection pruning reaches the reader, aggregates run partial+final.
+A change that silently degrades a plan (e.g. a broadcast falling back
+to sort-merge-join on the small side) fails here long before a
+benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+from datafusion_dft_spark.plans import explain as ex
+from datafusion_dft_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _build(name, spark, sf_dir):
+    return QUERIES[name].build(spark, sf_dir)
+
+
+def test_q03_broadcasts_dimension_side(spark, sf_dir):
+    df = _build("q03_shipping_priority", spark, sf_dir)
+    assert ex.uses_broadcast_join(df), ex.formatted_plan(df)
+
+
+def test_q06_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _build("q06_forecast_revenue", spark, sf_dir)
+    pushed = ex.pushed_filters(df)
+    assert pushed, "no filters pushed to the parquet scan"
+    assert any("l_shipdate" in f or "l_quantity" in f or "l_discount" in f for f in pushed)
+
+
+def test_q06_column_pruning(spark, sf_dir):
+    df = _build("q06_forecast_revenue", spark, sf_dir)
+    cols = ex.scan_columns(df)
+    assert cols, "no parquet scans found in plan"
+    # Q6 needs exactly 4 columns; the 16-column table must not be fully read.
+    assert all(len(c) <= 4 for c in cols), cols
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    df = _build("q01_pricing_summary", spark, sf_dir)
+    assert ex.has_partial_aggregation(df), ex.formatted_plan(df)
+
+
+def test_q01_whole_stage_codegen(spark, sf_dir):
+    df = _build("q01_pricing_summary", spark, sf_dir)
+    # AQE renders codegen only in the finalized plan — execute this exact
+    # Dataset (write() would clone its QueryExecution), then inspect: the
+    # *(n) prefixes are whole-stage-codegen stage ids.
+    df.collect()
+    plan = ex.final_plan(df)
+    assert "isFinalPlan=true" in plan and "*(" in plan, plan
+
+
+def test_q05_star_join_broadcasts_dims(spark, sf_dir):
+    df = _build("q05_local_supplier", spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
+    df = _build("ann_cosine_topk", spark, sf_dir)
+    assert ex.uses_broadcast_join(df), "query side must broadcast, not shuffle the corpus"
+
+
+def test_events_tumbling_single_shuffle(spark, sf_dir):
+    df = _build("events_tumbling_hourly", spark, sf_dir)
+    # One shuffle for the two-key aggregate; distinct user count adds its
+    # Expand but must not add extra full-data exchanges beyond 2.
+    assert ex.exchange_count(df) <= 3, ex.simple_plan(df)
+
+
+def test_window_topk_no_extra_shuffle(spark, sf_dir):
+    df = _build("window_topk_per_group", spark, sf_dir)
+    assert ex.exchange_count(df) <= 1, ex.simple_plan(df)
