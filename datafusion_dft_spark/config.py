@@ -1,0 +1,99 @@
+"""TOML config surface mirroring the reference's app config.
+
+Reference: dft reads a TOML config with [execution] (DDL path, engine
+settings passthrough, benchmark_iterations), [http_server]
+(result_limit, timeout), auth, and UDF definitions
+(crates/datafusion-app/src/config.rs; docs/config.md). Same shape here:
+
+```toml
+[execution]
+ddl_path = "bootstrap.sql"
+benchmark_iterations = 10
+
+[execution.settings]          # arbitrary spark.conf passthrough
+"spark.sql.shuffle.partitions" = "64"
+
+[http_server]
+result_limit = 1000           # src/config.rs:318-321 default
+timeout_seconds = 10          # src/config.rs:313-316 default
+basic_auth = "user:pass"      # optional
+bearer_token = "secret"       # optional
+
+[[udf]]                       # config-driven UDF registry (WASM-UDF analog)
+name = "my_add"
+mode = "row"                  # "row" (per-row) | "arrow" (pandas_udf)
+input_types = ["int64", "int64"]
+return_type = "int64"
+function = "my_module:add"    # import path to the python callable
+```
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+
+
+@dataclass
+class HttpConfig:
+    result_limit: int = 1000
+    timeout_seconds: int = 10
+    basic_auth: str | None = None
+    bearer_token: str | None = None
+
+
+@dataclass
+class UdfConfig:
+    name: str
+    mode: str  # "row" | "arrow"
+    input_types: list[str]
+    return_type: str
+    function: str  # "module:callable"
+
+
+@dataclass
+class ExecutionConfig:
+    ddl_path: str | None = None
+    benchmark_iterations: int = 10
+    settings: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class AppConfig:
+    execution: ExecutionConfig = field(default_factory=ExecutionConfig)
+    http: HttpConfig = field(default_factory=HttpConfig)
+    udfs: list[UdfConfig] = field(default_factory=list)
+
+
+def load_config(path: str) -> AppConfig:
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    return parse_config(raw)
+
+
+def parse_config(raw: dict) -> AppConfig:
+    ex = raw.get("execution", {})
+    http = raw.get("http_server", {})
+    return AppConfig(
+        execution=ExecutionConfig(
+            ddl_path=ex.get("ddl_path"),
+            benchmark_iterations=int(ex.get("benchmark_iterations", 10)),
+            settings={str(k): str(v) for k, v in ex.get("settings", {}).items()},
+        ),
+        http=HttpConfig(
+            result_limit=int(http.get("result_limit", 1000)),
+            timeout_seconds=int(http.get("timeout_seconds", 10)),
+            basic_auth=http.get("basic_auth"),
+            bearer_token=http.get("bearer_token"),
+        ),
+        udfs=[
+            UdfConfig(
+                name=u["name"],
+                mode=u.get("mode", "row"),
+                input_types=list(u.get("input_types", [])),
+                return_type=u["return_type"],
+                function=u["function"],
+            )
+            for u in raw.get("udf", [])
+        ],
+    )

