@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db", help="dft-style {catalog}/{schema}/{table} directory database")
     p.add_argument("--time", action="store_true", help="print elapsed time per statement")
     p.add_argument("--bench", action="store_true", help="benchmark each statement")
+    p.add_argument("--concurrent", action="store_true", help="concurrent benchmark mode")
+    p.add_argument("--generate-tpch", metavar="DIR", help="generate TPC-H-style parquet into DIR")
+    p.add_argument("--scale-factor", type=float, default=0.01, help="generator scale factor")
+    p.add_argument("--db-layout", action="store_true", help="generator: {db}/tables/dft/tpch/{t}/ layout")
     p.add_argument("--analyze", action="store_true", help="plan + phase breakdown per statement")
     p.add_argument("-n", "--iterations", type=int, default=10)
     p.add_argument("--run-before", help="statement run before each benchmark")
@@ -72,8 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.command and not args.file:
-        print("error: provide SQL via -c or -f", file=sys.stderr)
+    if not args.command and not args.file and not args.generate_tpch:
+        print("error: provide SQL via -c or -f (or --generate-tpch DIR)", file=sys.stderr)
         return 2
 
     from .catalog import register_db, register_views
@@ -83,6 +87,20 @@ def main(argv: list[str] | None = None) -> int:
     from .sql import execute_ddl_file, prepare_statement, split_statements
 
     spark = get_spark(master=args.master, app_name="datafusion-dft-spark-cli")
+    if args.generate_tpch:
+        from .tools.tpch_gen import generate
+
+        paths = generate(
+            spark,
+            args.generate_tpch,
+            scale_factor=args.scale_factor,
+            layout="db" if args.db_layout else "flat",
+        )
+        print(f"generated {len(paths)} tables (sf={args.scale_factor}):")
+        for p in paths:
+            print(f"  {p}")
+        if not args.command and not args.file:
+            return 0
     if args.register:
         register_views(spark, args.register)
     if args.db:
@@ -103,9 +121,16 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 prepared = prepare_statement(spark, stmt)
                 if args.bench:
-                    res = run_bench(
-                        spark, prepared, iterations=args.iterations, run_before=args.run_before
-                    )
+                    if args.concurrent:
+                        from .plans.bench import run_bench_concurrent
+
+                        res = run_bench_concurrent(
+                            spark, prepared, iterations=args.iterations, run_before=args.run_before
+                        )
+                    else:
+                        res = run_bench(
+                            spark, prepared, iterations=args.iterations, run_before=args.run_before
+                        )
                     bench_results.append(res)
                     print(format_report(res))
                     continue

@@ -110,6 +110,64 @@ def signatures(
     return F.array(*sigs)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus, probe the nearest cells.
+
+    Centroids are a deterministic stride-sample of the corpus itself
+    (a real deployment k-means-refines them; the partitioning math is
+    identical). Every vector is assigned to its nearest centroid
+    (argmax cosine); a query scans only its ``n_probe`` nearest cells —
+    n_probe/n_centroids of the corpus instead of all of it. The
+    inverted-file shape scales: assignment is one broadcast join +
+    argmax, and the probe join shuffles on cluster id only.
+    """
+    cd = corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    # Stride sample => deterministic, spread across the id range.
+    ids = [r.cid for r in cd.select("cid").orderBy("cid").collect()[:: max(1, corpus.count() // n_centroids)]][:n_centroids]
+    cents = cd.filter(F.col("cid").isin(ids)).select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    )
+
+    def nearest(vec_df: DataFrame, vec: str, id_: str, n: int) -> DataFrame:
+        scored = vec_df.crossJoin(F.broadcast(cents)).select(
+            id_, vec, "centroid_id", cosine(F.col(vec), F.col("centv")).alias("sim")
+        )
+        w = W.partitionBy(id_).orderBy(F.desc("sim"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= n)
+            .drop("rnk", "sim")
+        )
+
+    assigned = nearest(cd, "cv", "cid", 1)  # corpus: one cell each
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    probes = nearest(q, "qv", "query_id", n_probe)  # queries: n_probe cells
+    scored = (
+        assigned.join(probes, "centroid_id")
+        .filter(F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("cid").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("cv")) + 1e-9, 4).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -84,6 +84,48 @@ def run_bench(
     return res
 
 
+def run_bench_concurrent(
+    spark: SparkSession,
+    sql: str,
+    iterations: int = 10,
+    run_before: str | None = None,
+) -> BenchResult:
+    """Concurrent benchmark: min(iterations, cpus) queries in flight.
+
+    Reference: ``--bench --concurrent`` runs iterations with parallelism
+    min(iterations, num_cpus) (local.rs:422-426). Spark's scheduler
+    multiplexes the concurrent jobs across executor threads (FAIR/FIFO
+    pools) — exactly the contention profile a multi-user deployment sees.
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(iterations, _os.cpu_count() or 4)
+    res = BenchResult(query=sql, runs=iterations, concurrency_mode=f"concurrent[{workers}]")
+    res.phase_times = {p: [] for p in PHASES}
+    if run_before:
+        spark.sql(run_before).write.format("noop").mode("overwrite").save()
+
+    def one(_: int) -> tuple[float, float, float, int]:
+        t0 = time.perf_counter()
+        df = spark.sql(sql)
+        t1 = time.perf_counter()
+        df._jdf.queryExecution().executedPlan()
+        t2 = time.perf_counter()
+        n = df.count()
+        t3 = time.perf_counter()
+        return (t1 - t0, t2 - t1, t3 - t2, n)
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for plan_t, phys_t, exec_t, n in pool.map(one, range(iterations)):
+            res.phase_times["plan"].append(plan_t)
+            res.phase_times["physical"].append(phys_t)
+            res.phase_times["execute"].append(exec_t)
+            res.phase_times["total"].append(plan_t + phys_t + exec_t)
+            res.row_counts.append(n)
+    return res
+
+
 def save_csv(results: list[BenchResult], path: str, append: bool = False) -> None:
     """CSV export mirroring local_benchmarks.rs:145-166's column layout."""
     header = ["query", "runs", "concurrency_mode"]

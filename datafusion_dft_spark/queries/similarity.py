@@ -65,6 +65,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    tags=("similarity", "ann", "ivf"),
+    doc="IVF-flat ANN (16 stride-sampled centroids, 4-cell probe, exact "
+    "in-cell rerank) — the inverted-file scale path.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return sim.ivf_topk(emb, queries, k=5)
+
+
+@query(
     "embedding_label_stats",
     oracle="""
         SELECT label,

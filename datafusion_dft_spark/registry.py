@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "datafusion_dft_spark.queries.similarity",
     "datafusion_dft_spark.queries.multimodal",
     "datafusion_dft_spark.queries.lifecycle",
+    "datafusion_dft_spark.queries.joins_ext",
 )
 
 

@@ -28,6 +28,20 @@ def test_lsh_recall_vs_brute_force(emb):
     assert recall >= 0.5, f"LSH recall {recall:.2f} ({len(exact & approx)}/{len(exact)})"
 
 
+def test_ivf_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} ({len(exact & approx)}/{len(exact)})"
+
+
 def test_lsh_rank1_is_true_nearest_for_most_queries(emb):
     """The injected near-duplicate vectors must survive bucketing."""
     queries = emb.filter(F.col("vec_id") < 10)
