@@ -32,6 +32,44 @@ def test_windowed_counts_match_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stateful_user_profiles_match_batch(spark, sf_dir):
+    from datafusion_dft_spark.streaming.stateful import user_profiles
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        user_profiles(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_profiles")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Update mode emits one row per user per micro-batch; the final state
+    # per user must equal the batch aggregate.
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM stream_profiles) WHERE rn = 1
+            """
+        ).collect()
+    }
+    ev = load_tables(spark, sf_dir)["events"]
+    want = {
+        r.user_id: (r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_session_windows_run(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     run_to_memory(session_windows(stream), "stream_sessions")
