@@ -49,6 +49,11 @@ def main() -> int:
         except Exception as e:  # a failing query shouldn't kill the whole bench
             times[name] = -1.0
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+        finally:
+            # Sketch operators cache intermediates (shingles, signatures);
+            # dropping them between queries keeps executor memory flat so
+            # later queries aren't taxed by earlier queries' blocks.
+            spark.catalog.clearCache()
 
     total = round(sum(v for v in times.values() if v >= 0), 4)
     print(

@@ -24,6 +24,8 @@ reproducible across runs, partitionings, and cluster sizes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -159,27 +161,40 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id_col, simhash: long) 64-bit SimHash over word-frequency weights."""
+    """(id_col, simhash: long) 64-bit SimHash over word-frequency weights.
+
+    Word hashing (xxhash64) and the (doc, word) count stay JVM-side;
+    the 64 weighted bit-sums per document run as one numpy broadcast in
+    a vectorized pandas UDF — evaluating them as 64 aggregate
+    expressions costs 64 codegen buffers x every word row (measured
+    ~5s at sf0.1 vs <1s vectorized). Bit b of the arithmetic-shifted
+    signed hash equals bit b of the unsigned value, so results are
+    identical to the pure-expression formulation.
+    """
     wc = (
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.xxhash64("word"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    sums = wc.groupBy(id_col).agg(*bit_sums)
-    fp = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
-        )
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    lists = wc.groupBy(id_col).agg(
+        F.collect_list("h").alias("hs"), F.collect_list("cnt").alias("cs")
+    )
+    bitw = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sim_udf(hs: "pd.Series", cs: "pd.Series") -> "pd.Series":
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, (h, c) in enumerate(zip(hs, cs)):
+            hu = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            cn = np.asarray(c, dtype=np.int64)
+            bits = ((hu[:, None] >> bitw) & np.uint64(1)).astype(np.int64)
+            s = ((bits * 2 - 1) * cn[:, None]).sum(axis=0)
+            fp = int(((s > 0).astype(np.uint64) << bitw).sum(dtype=np.uint64))
+            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+        return pd.Series(out)
+
+    return lists.select(F.col(id_col), sim_udf("hs", "cs").alias("simhash"))
 
 
 def simhash_pairs(

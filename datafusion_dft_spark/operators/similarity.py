@@ -27,6 +27,7 @@ so cross-engine comparisons hash stably.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -96,18 +97,29 @@ def _planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
 def signatures(
     vec: Column, dim: int, n_planes: int = N_PLANES, n_tables: int = N_TABLES
 ) -> Column:
-    """array<long>[n_tables]: per-table sign-bit bucket ids."""
+    """array<long>[n_tables]: per-table sign-bit bucket ids.
+
+    Computed by a vectorized pandas UDF: Spark's higher-order lambdas
+    (aggregate/zip_with) are interpreted, not codegen'd, so evaluating
+    n_tables*n_planes dot products per row as expressions costs millions
+    of lambda invocations. One numpy matmul per Arrow batch
+    ((N x dim) @ (dim x tables*planes)) does the same work at memory
+    bandwidth — the canonical "vectorized UDF beats expression tree"
+    case from SURVEY §1.3.
+    """
     planes = _planes(dim, n_planes, n_tables)
-    sigs = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
-            sig = sig.bitwiseOR(
-                F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
-            )
-        sigs.append(sig)
-    return F.array(*sigs)
+    flat = planes.reshape(n_tables * n_planes, dim).T.copy()  # dim x (T*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # N x dim
+        bits = (mat @ flat) > 0  # N x (T*P)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        sigs = (bits * weights).sum(axis=2).astype(np.int64)  # N x T
+        return pd.Series(list(sigs))
+
+    return sig_udf(vec)
 
 
 def ivf_topk(

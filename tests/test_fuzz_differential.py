@@ -1,0 +1,109 @@
+"""Property-based differential fuzzing: random SQL vs the DuckDB oracle.
+
+Generates small random-but-valid SQL (filters, group-bys, aggregates,
+sorts with deterministic tiebreaks) over ``lineitem``/``orders`` and
+requires Spark and DuckDB to agree exactly. This is the layer the
+reference outsources to DataFusion's upstream suite (SURVEY §5 "not
+present: property-based testing") — here it guards our own engine
+assembly (session conf, timezone pinning, rewrite layer).
+
+Floats: aggregate sums are rounded in-query (same convention as the
+registry); comparisons allow 1e-9 relative slack on top.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+NUMERIC_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey % 10"]
+ORDER_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+@st.composite
+def lineitem_query(draw):
+    group = draw(st.sampled_from(GROUP_COLS))
+    metric = draw(st.sampled_from(NUMERIC_COLS))
+    agg = draw(st.sampled_from(["sum", "min", "max", "count", "avg"]))
+    lo = draw(st.integers(min_value=1, max_value=40))
+    hi = lo + draw(st.integers(min_value=1, max_value=15))
+    date_lo = draw(st.integers(min_value=1995, max_value=2000))
+    cmp_op = draw(st.sampled_from(["<", ">=", "<="]))
+    if agg == "count":
+        sel = "count(*) AS m"
+    elif agg in ("sum",):
+        sel = f"round(sum({metric}), 2) AS m"
+    elif agg == "avg":
+        sel = f"round(avg({metric}) + 1e-9, 4) AS m"
+    else:
+        sel = f"{agg}({metric}) AS m"
+    return (
+        f"SELECT {group} AS g, {sel} FROM lineitem "
+        f"WHERE l_quantity BETWEEN {lo} AND {hi} "
+        f"AND l_shipdate {cmp_op} TIMESTAMP '{date_lo}-06-15' "
+        f"GROUP BY {group}"
+    )
+
+
+@st.composite
+def orders_query(draw):
+    col = draw(st.sampled_from(ORDER_COLS))
+    frac = draw(st.integers(min_value=1, max_value=9))
+    how = draw(st.sampled_from(["IN", "NOT IN"]))
+    statuses = draw(
+        st.lists(st.sampled_from(["'O'", "'F'", "'P'"]), min_size=1, max_size=2, unique=True)
+    )
+    return (
+        f"SELECT {col} AS g, count(*) AS m, round(sum(o_totalprice), 2) AS s "
+        f"FROM orders WHERE o_orderstatus {how} ({', '.join(statuses)}) "
+        f"AND o_totalprice < {frac * 50000} GROUP BY {col}"
+    )
+
+
+def _rows(res) -> list[tuple]:
+    out = []
+    for r in res:
+        row = []
+        for v in r:
+            if isinstance(v, float):
+                row.append(round(v, 6))
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def _compare(spark, duckcon, sql: str) -> None:
+    s_rows = _rows([tuple(r) for r in spark.sql(sql).collect()])
+    o_rows = _rows([tuple(r) for r in duckcon.sql(sql).fetchall()])
+    assert len(s_rows) == len(o_rows), f"row count differs for:\n{sql}\n{s_rows}\n{o_rows}"
+    for a, b in zip(s_rows, o_rows):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6), (sql, a, b)
+            else:
+                assert x == y, (sql, a, b)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=lineitem_query())
+def test_fuzz_lineitem_aggregates(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=orders_query())
+def test_fuzz_orders_predicates(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    from datafusion_dft_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return True
