@@ -101,6 +101,36 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated scalar MIN subquery). tpch.rs:41-85
+# needs partsupp; the adaptation keeps the defining shape — for each group,
+# the row whose value equals a correlated aggregate minimum.
+# --------------------------------------------------------------------------
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+        FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    tags=("tpch", "correlated-subquery"),
+    doc="TPC-H Q2 shape (no partsupp): per-nation minimum via correlated "
+    "scalar subquery -> pre-aggregated self-join.",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    supp = t["supplier"]
+    mins = supp.groupBy(F.col("s_nationkey").alias("mn_key")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        supp.join(F.broadcast(mins), (supp.s_nationkey == F.col("mn_key")) & (supp.s_acctbal == F.col("min_bal")))
+        .join(F.broadcast(t["nation"]), supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q3 — shipping priority (3-way join, top-k).  tpch.rs:87-110; o_shippriority
 # absent from corpus, dropped from the select list.
 # --------------------------------------------------------------------------
@@ -440,6 +470,37 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q11 — important stock identification (HAVING vs global scalar subquery).
+# tpch.rs:339-355 needs partsupp; value = extendedprice*quantity here.
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    oracle="""
+        SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * l_quantity) >
+               (SELECT 1.5 * sum(l_extendedprice * l_quantity)
+                           / count(DISTINCT l_partkey) FROM lineitem)
+    """,
+    tags=("tpch", "having", "scalar-subquery"),
+    doc="TPC-H Q11 shape: parts whose inventory value exceeds 1.5x the "
+    "average part value (HAVING against a scalar subquery; the multiplier "
+    "is scale-free so the result is non-empty at every SF).",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("raw_value"))
+    total = li.agg((1.5 * F.sum(val) / F.countDistinct("l_partkey")).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", R2(F.col("raw_value")).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Q12 — shipping-delay analysis (adapted: corpus lacks l_shipmode, the
 # grouping becomes o_orderpriority and "late" = shipped >60d after order;
 # keeps Q12's join + conditional-count shape, tpch.rs:357-385).
@@ -585,6 +646,43 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (NOT IN subquery + multi-key DISTINCT
+# count). tpch.rs:464-496 uses partsupp; lineitem stands in as the
+# part-supplier relation.
+# --------------------------------------------------------------------------
+@query(
+    "q16_parts_supplier",
+    oracle="""
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "anti-join", "distinct"),
+    doc="TPC-H Q16 shape: NOT IN exclusion subquery + DISTINCT supplier "
+    "count per (brand, type, size).",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(bad_supp), F.col("l_suppkey") == F.col("bad_key"), "left_anti"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Q17 — small-quantity-order revenue (correlated scalar agg subquery →
 # pre-aggregated join, the plan Catalyst's decorrelation produces anyway).
 # tpch.rs:498-516; brand/container filter adapted to corpus columns.
@@ -688,6 +786,50 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 40) & F.col("l_quantity").between(20, 40))
     )
     return joined.filter(cond).agg(R2(F.sum(_revenue())).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN chains + HAVING).
+# tpch.rs:651-671 shape without partsupp: suppliers who moved serious
+# volume of red parts in 1997.
+# --------------------------------------------------------------------------
+@query(
+    "q20_potential_promotion",
+    oracle="""
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 100)
+    """,
+    tags=("tpch", "semi-join", "having"),
+    doc="TPC-H Q20 shape: nested IN chains (supplier <- lineitem <- part) "
+    "with a HAVING volume threshold.",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    red_parts = t["part"].filter(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("rp_key")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= TS("1997-01-01")) & (F.col("l_shipdate") < TS("1998-01-01"))
+    )
+    movers = (
+        li.join(F.broadcast(red_parts), li.l_partkey == F.col("rp_key"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select(F.col("l_suppkey").alias("mover_key"))
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("mover_key"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -113,6 +113,42 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         _pick("l_lstatus", ["F", "O"]).alias("l_linestatus"),
         _date("l_ship", "1995-01-02", 2500).alias("l_shipdate"),
     )
+    n_events = max(int(1_000_000 * scale_factor), 50)
+    n_docs = max(int(50_000 * scale_factor), 20)
+    n_emb = max(int(20_000 * scale_factor), 20)
+    events = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_dt_interval(secs=(_h("e_ts") % 2_592_000).cast("double"))).alias("ts"),
+        (_h("e_user") % max(n_events // 40, 2)).alias("user_id"),
+        _pick("e_type", ["click", "error", "purchase", "signup", "view"]).alias("event_type"),
+        _money("e_val", 0.0, 200.0).alias("value"),
+        F.concat(F.lit('{"k": '), (_h("e_k") % 100), F.lit("}")).alias("props"),
+    )
+    vocab = ["the", "a", "fast", "slow", "key", "order", "sort", "table", "scan",
+             "merge", "part", "window", "small", "big", "hash", "join", "row",
+             "data", "query", "spark", "group", "filter", "value", "batch",
+             "stream", "line", "customer", "column", "agg", "vector"]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    documents = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (_h("d_len") % 80 + 20).cast("int")),
+                lambda i: F.element_at(varr, (F.abs(F.xxhash64(F.col("id"), F.lit("d_w"), i)) % len(vocab) + 1).cast("int")),
+            ),
+            " ",
+        ).alias("text"),
+        _pick("d_lang", ["de", "en", "en", "es", "fr", "zh"]).alias("lang"),
+        F.concat(F.lit("src"), (_h("d_src") % 20)).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    embeddings = spark.range(n_emb).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: ((F.xxhash64(F.col("id"), F.lit("v"), d) % 2000) / 1000.0).cast("float"),
+        ).alias("embedding"),
+        (_h("e_label") % 10).cast("int").alias("label"),
+    )
     return {
         "region": region,
         "nation": nation,
@@ -121,6 +157,9 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         "part": part,
         "orders": orders,
         "lineitem": lineitem,
+        "events": events,
+        "documents": documents,
+        "embeddings": embeddings,
     }
 
 

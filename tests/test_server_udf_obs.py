@@ -56,8 +56,9 @@ def test_tpch_endpoint(client):
     body = r.get_json()
     assert r.status_code == 200 and body["query"] == "q01_pricing_summary"
     assert len(body["rows"]) == 6
-    # Q2 needs partsupp — not in corpus — must 404 with explanation.
-    assert client.get("/tpch/2").status_code == 404
+    # All 22 shapes are registered; an out-of-range id must 404 cleanly.
+    assert client.get("/tpch/2").status_code == 200
+    assert client.get("/tpch/23").status_code == 404
 
 
 def test_health_and_metrics(client):

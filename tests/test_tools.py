@@ -16,7 +16,7 @@ def test_generated_db_layout_registers(spark, tmp_path):
 
     generate(spark, str(tmp_path / "db"), scale_factor=0.0001, layout="db")
     names = register_db(spark, str(tmp_path / "db" / "tables"))
-    assert len(names) == 7
+    assert len(names) == 10  # 7 relational + events/documents/embeddings
     # registered under schema 'tpch' (catalog dir 'dft'); query one
     tname = [n for n in names if "lineitem" in n][0]
     n = spark.sql(f"SELECT count(*) AS n FROM {tname}").collect()[0].n
