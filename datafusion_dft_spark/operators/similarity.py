@@ -122,6 +122,56 @@ def signatures(
     return sig_udf(vec)
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id1, id2, cosine >= threshold).
+
+    Candidates come from multi-table LSH self-buckets, then the exact
+    cosine filter runs only on candidates. At theta = acos(0.95) ~ 18deg
+    a pair agrees with a random hyperplane w.p. ~0.9, so the probability
+    of missing a true near-dup across 8 tables x radius-1 probes is
+    ~1e-7 — the candidate set is effectively exhaustive for the
+    near-dup regime while never forming the O(n^2) join.
+    """
+    sigs = signatures(F.col("v"), _dim_of(corpus, vec_col), n_planes, n_tables)
+    base = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    banded = base.select("vid", "v", F.posexplode(sigs).alias("table", "bucket"))
+    probes = banded.select(
+        "vid",
+        "v",
+        "table",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)],
+            )
+        ).alias("bucket"),
+    )
+    left = probes.select(F.col("vid").alias("id1"), F.col("v").alias("v1"), "table", "bucket")
+    right = banded.select(F.col("vid").alias("id2"), F.col("v").alias("v2"), "table", "bucket")
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2")) + 1e-9, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row.d)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,87 @@
+"""Composed training-data pipeline: the operators working together.
+
+One query chaining quality scoring -> exact-dup removal -> near-dup
+removal (keep the lowest doc_id of each Jaccard>=0.8 pair) -> corpus
+statistics. This is the end-to-end shape a 100 TB data-prep job takes;
+every stage is the oracle-checked operator from its own module, so the
+composition is oracle-checked too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators import dedup as dd
+from ..operators import text as tx
+from ..registry import query
+
+_QUALITY_MIN = 0.3
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_words,
+                   least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                   + (len(list_filter(string_split(text, ' '),
+                          w -> list_contains(['the','a','of','to','and'], w)))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5 AS q
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(words[i:i+4], ' ')
+                                         for i in range(1, greatest(len(words) - 3, 2))])) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        ), cnt AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), dup_pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), drops AS (
+            SELECT DISTINCT d2 AS doc_id FROM dup_pairs
+            JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+            WHERE n_inter / CAST(c1.n_sh + c2.n_sh - n_inter AS DOUBLE) + 1e-9 >= 0.8
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(n_words) AS total_tokens,
+               round(avg(q) + 1e-9, 4) AS avg_quality
+        FROM scored
+        WHERE q >= {_QUALITY_MIN}
+          AND doc_id NOT IN (SELECT doc_id FROM drops)
+        GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "quality"),
+    doc="End-to-end corpus cleaning: quality gate (score >= 0.3) + near-dup "
+    "removal (keep min doc_id of each Jaccard>=0.8 pair) -> per-language "
+    "statistics of the surviving corpus.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count("text").alias("n_words"),
+        (
+            F.least(tx.token_count("text") / 100.0, F.lit(1.0)) * 0.5
+            + (tx.stopword_count("text") / tx.token_count("text").cast("double")) * 0.5
+        ).alias("q"),
+    )
+    drops = (
+        dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+        .select(F.col("doc2").alias("doc_id"))
+        .distinct()
+    )
+    kept = scored.filter(F.col("q") >= _QUALITY_MIN).join(
+        F.broadcast(drops), "doc_id", "left_anti"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.round(F.avg("q") + 1e-9, 4).alias("avg_quality"),
+    )

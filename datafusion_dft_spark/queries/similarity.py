@@ -78,6 +78,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     + 1e-9, 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              + 1e-9 >= 0.95
+    """,
+    tags=("dedup", "similarity"),
+    doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH candidates + "
+    "exact rerank; the oracle is the exhaustive pairwise join (the corpus "
+    "has no such pairs — recall is proven on synthetic perturbed vectors "
+    "in tests/test_similarity.py).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return sim.cosine_dup_pairs(emb, threshold=0.95)
+
+
+@query(
     "embedding_label_stats",
     oracle="""
         SELECT label,

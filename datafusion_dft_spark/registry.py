@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "datafusion_dft_spark.queries.lifecycle",
     "datafusion_dft_spark.queries.joins_ext",
     "datafusion_dft_spark.queries.windows_ext",
+    "datafusion_dft_spark.queries.pipeline",
 )
 
 

@@ -42,6 +42,29 @@ def test_ivf_recall_vs_brute_force(emb):
     assert recall >= 0.4, f"IVF recall {recall:.2f} ({len(exact & approx)}/{len(exact)})"
 
 
+def test_cosine_dup_pairs_find_synthetic_near_dups(spark, emb):
+    """The corpus has no cosine>=0.95 pairs; inject perturbed copies and
+    require the LSH-candidate path to find every one of them."""
+    import numpy as np
+
+    base = emb.limit(20).collect()
+    rng = np.random.RandomState(7)
+    rows = []
+    for r in base:
+        v = np.array(r.embedding, dtype=np.float32)
+        rows.append((int(r.vec_id), [float(x) for x in v]))
+        noisy = v + rng.randn(len(v)).astype(np.float32) * 0.02 * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((int(r.vec_id) + 100_000, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {
+        (r.id1, r.id2)
+        for r in sim.cosine_dup_pairs(df, threshold=0.95).collect()
+    }
+    expected = {(int(r.vec_id), int(r.vec_id) + 100_000) for r in base}
+    missing = expected - found
+    assert not missing, f"missed near-dup pairs: {missing}"
+
+
 def test_lsh_rank1_is_true_nearest_for_most_queries(emb):
     """The injected near-duplicate vectors must survive bucketing."""
     queries = emb.filter(F.col("vec_id") < 10)

@@ -6,11 +6,31 @@ from pyspark.sql import functions as F
 
 from datafusion_dft_spark.catalog import load_tables
 from datafusion_dft_spark.streaming.events import (
+    dedup_stream,
     read_events_stream,
     run_to_memory,
     session_windows,
     windowed_counts,
 )
+
+
+def test_streaming_dedup(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_stream = spark.sql("SELECT count(DISTINCT event_id) AS n FROM stream_dedup").collect()[0].n
+    n_rows = spark.sql("SELECT count(*) AS n FROM stream_dedup").collect()[0].n
+    n_batch = load_tables(spark, sf_dir)["events"].select("event_id").distinct().count()
+    assert n_stream == n_rows == n_batch  # no dup survived, none lost
 
 
 def test_windowed_counts_match_batch(spark, sf_dir):
