@@ -91,9 +91,20 @@ class Tables(Mapping):
         return sum(1 for _ in self)
 
 
+# One Tables map per (session, dir): repeated query builds reuse the
+# already-analyzed DataFrames instead of re-listing files and re-reading
+# parquet footers on every call (~50-100ms per table otherwise).
+_TABLES_CACHE: dict[tuple[int, str], Tables] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
-    """Lazy map over every corpus table under ``sf_dir``."""
-    return Tables(spark, sf_dir)
+    """Lazy (and session-cached) map over the corpus tables under ``sf_dir``."""
+    key = (id(spark), sf_dir)
+    cached = _TABLES_CACHE.get(key)
+    if cached is None or cached._spark is not spark:
+        cached = Tables(spark, sf_dir)
+        _TABLES_CACHE[key] = cached
+    return cached
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> Tables:

@@ -140,11 +140,14 @@ def cosine_dup_pairs(
     near-dup regime while never forming the O(n^2) join.
     """
     sigs = signatures(F.col("v"), _dim_of(corpus, vec_col), n_planes, n_tables)
-    base = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
-    banded = base.select("vid", "v", F.posexplode(sigs).alias("table", "bucket"))
+    base = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v")).cache()
+    # Candidate generation on bare ids — carrying the 64-double vectors
+    # through the bucket join + distinct multiplies shuffle bytes ~30x
+    # (measured 10.6s -> ~2s at sf0.1); vectors rejoin only for the
+    # exact rerank of the (small) candidate set.
+    banded = base.select("vid", F.posexplode(sigs).alias("table", "bucket"))
     probes = banded.select(
         "vid",
-        "v",
         "table",
         F.explode(
             F.array(
@@ -153,15 +156,20 @@ def cosine_dup_pairs(
             )
         ).alias("bucket"),
     )
-    left = probes.select(F.col("vid").alias("id1"), F.col("v").alias("v1"), "table", "bucket")
-    right = banded.select(F.col("vid").alias("id2"), F.col("v").alias("v2"), "table", "bucket")
+    left = probes.select(F.col("vid").alias("id1"), "table", "bucket")
+    right = banded.select(F.col("vid").alias("id2"), "table", "bucket")
     cand = (
         left.join(right, ["table", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
-        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2")
+        .distinct()
     )
+    v1 = base.select(F.col("vid").alias("id1"), F.col("v").alias("v1"))
+    v2 = base.select(F.col("vid").alias("id2"), F.col("v").alias("v2"))
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2")) + 1e-9, 4))
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2")) + 1e-9, 4))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )

@@ -64,6 +64,35 @@ def orders_query(draw):
     )
 
 
+@st.composite
+def join_query(draw):
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    seg = draw(st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]))
+    status = draw(st.sampled_from(["'O'", "'F'", "('O','F')"]))
+    op = "IN" if status.startswith("(") else "="
+    agg = draw(st.sampled_from(["count(o_orderkey)", "count(*)"]))
+    return (
+        f"SELECT c_nationkey AS g, {agg} AS m "
+        f"FROM customer {how} orders ON c_custkey = o_custkey "
+        f"AND o_orderstatus {op} {status} "
+        f"WHERE c_mktsegment = '{seg}' GROUP BY c_nationkey"
+    )
+
+
+@st.composite
+def window_query(draw):
+    fn = draw(st.sampled_from(["row_number()", "rank()", "dense_rank()"]))
+    k = draw(st.integers(min_value=1, max_value=4))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    return (
+        f"SELECT g, cust, rn FROM ("
+        f"  SELECT c_nationkey AS g, c_custkey AS cust, "
+        f"         {fn} OVER (PARTITION BY c_nationkey "
+        f"                    ORDER BY round(c_acctbal) {direction}, c_custkey) AS rn "
+        f"  FROM customer) r WHERE rn <= {k}"
+    )
+
+
 def _rows(res) -> list[tuple]:
     out = []
     for r in res:
@@ -98,6 +127,18 @@ def test_fuzz_lineitem_aggregates(spark, duckcon, views, sql):
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(sql=orders_query())
 def test_fuzz_orders_predicates(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=join_query())
+def test_fuzz_joins(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=window_query())
+def test_fuzz_windows(spark, duckcon, views, sql):
     _compare(spark, duckcon, sql)
 
 
