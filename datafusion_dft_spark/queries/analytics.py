@@ -45,7 +45,7 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"]
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -69,8 +69,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir)["customer"]
     w = W.partitionBy("c_nationkey").orderBy(F.round("c_acctbal").desc(), F.asc("c_custkey"))
     return (
-        cust.withColumn("rnk", F.rank().over(w))
-        .withColumn("drnk", F.dense_rank().over(w))
+        cust.withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rnk", "drnk")
     )

@@ -42,7 +42,7 @@ def window_analytic_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_nationkey",
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
         F.first("c_custkey").over(w).alias("richest_cust"),
