@@ -8,9 +8,17 @@ driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver may import this file from any cwd — make the package
+# resolvable from the file's own location.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from datafusion_dft_spark.registry import all_queries
 from datafusion_dft_spark.session import ensure_runtime_conf

@@ -55,6 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--command", action="append", default=[], help="SQL string to run")
     p.add_argument("-f", "--file", action="append", default=[], help="SQL file to run")
     p.add_argument("--ddl", help="startup DDL file executed before queries")
+    p.add_argument("--config", help="TOML config (settings passthrough, ddl_path, [[udf]] blocks)")
     p.add_argument("--register", help="directory of corpus parquet files to register as views")
     p.add_argument("--db", help="dft-style {catalog}/{schema}/{table} directory database")
     p.add_argument("--time", action="store_true", help="print elapsed time per statement")
@@ -86,7 +87,23 @@ def main(argv: list[str] | None = None) -> int:
     from .sources.io import write_any
     from .sql import execute_ddl_file, prepare_statement, split_statements
 
-    spark = get_spark(master=args.master, app_name="datafusion-dft-spark-cli")
+    config = None
+    if args.config:
+        from .config import load_config
+
+        config = load_config(args.config)
+    spark = get_spark(
+        master=args.master,
+        app_name="datafusion-dft-spark-cli",
+        conf=config.execution.settings if config else None,
+    )
+    if config:
+        if config.udfs:
+            from .functions.udf_registry import register_udfs
+
+            register_udfs(spark, config.udfs)
+        if config.execution.ddl_path:
+            execute_ddl_file(spark, config.execution.ddl_path)
     if args.generate_tpch:
         from .tools.tpch_gen import generate
 

@@ -13,13 +13,18 @@ Scale design (the point of these implementations):
   buckets, so the candidate join is output-bounded rather than
   O(n^2). Signature agreement then estimates Jaccard without touching
   the original text.
-- **SimHash**: 64-bit weighted-bit fingerprint; Hamming<=3 pairs are
-  found with the pigeonhole band trick (4 x 16-bit chunks — any pair
-  within distance 3 shares at least one exact chunk), again avoiding
+- **SimHash**: 64-bit weighted-bit fingerprint; close-Hamming pairs are
+  found with the pigeonhole band trick (8 x 8-bit chunks — any pair
+  within distance 7 shares at least one exact chunk), again avoiding
   the quadratic self-join.
 
 Everything is deterministic (xxhash64/md5, no RNG) so results are
 reproducible across runs, partitionings, and cluster sizes.
+
+Note on caching: the sketch operators cache their intermediates for
+the duration of one plan tree; long-lived sessions iterating many
+pipelines should ``spark.catalog.clearCache()`` between them (bench.py
+does).
 """
 
 from __future__ import annotations

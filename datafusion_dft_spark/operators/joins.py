@@ -41,24 +41,25 @@ def asof_join(
     (and ``{right_ts}{suffix}``), NULL when no prior right row exists.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    # The whole right payload travels as ONE struct so last(ignorenulls)
+    # carries complete rows: per-column carries would backfill a NULL
+    # field of the newest right row from an older row, synthesizing a
+    # blended row no input contained (diverging from ASOF semantics).
+    payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in right_cols],
-    )
-    # Align schemas: left gets NULL right-payload columns and vice versa.
-    for c in right_cols:
-        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    rt = rt.select(
-        on,
-        "__ts",
-        "__side",
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        payload.alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
     )
-    lt = lt.select(on, "__ts", "__side", *[f"__r_{c}" for c in right_cols], *[c for c in left.columns if c != on])
+    lt = left.select(
+        on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rt.schema["__r"].dataType).alias("__r"),
+        *[c for c in left.columns if c != on],
+    )
     unioned = lt.unionByName(rt)
     # Right rows (side=0) sort before left rows at equal ts => "<=" semantics.
     w = (
@@ -66,19 +67,12 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.max(F.when(F.col("__side") == 0, F.col("__ts"))).over(w).alias(f"{right_ts}{suffix}"),
-    )
+    carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
     return carried.filter(F.col("__side") == 1).select(
         on,
         *[c for c in left.columns if c != on],
-        *[f"{c}{suffix}" for c in right_cols],
-        f"{right_ts}{suffix}",
+        *[F.col("__match").getField(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col("__match").getField("__rts").alias(f"{right_ts}{suffix}"),
     )
 
 
@@ -93,7 +87,11 @@ def salted_join(
 
     The small side is exploded xN so every (key, salt) bucket finds its
     match; hot keys spread across ``salt_buckets`` tasks instead of one.
+    Only inner/left joins are valid: an outer join would emit unmatched
+    small-side rows once per salt bucket.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     big_s = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

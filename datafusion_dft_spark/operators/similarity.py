@@ -200,10 +200,16 @@ def ivf_topk(
     argmax, and the probe join shuffles on cluster id only.
     """
     cd = corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
-    # Stride sample => deterministic, spread across the id range.
-    ids = [r.cid for r in cd.select("cid").orderBy("cid").collect()[:: max(1, corpus.count() // n_centroids)]][:n_centroids]
-    cents = cd.filter(F.col("cid").isin(ids)).select(
-        F.col("cid").alias("centroid_id"), F.col("cv").alias("centv")
+    # Deterministic distributed sample: hash-stride filter keeps ~n_centroids
+    # candidates executor-side (collecting all corpus ids to the driver would
+    # OOM at the scales this operator targets), then a tiny ordered limit
+    # pins the exact set.
+    stride = max(1, corpus.count() // n_centroids)
+    cents = (
+        cd.filter(F.pmod(F.xxhash64(F.col("cid")), F.lit(stride)) == 0)
+        .orderBy("cid")
+        .limit(n_centroids)
+        .select(F.col("cid").alias("centroid_id"), F.col("cv").alias("centv"))
     )
 
     def nearest(vec_df: DataFrame, vec: str, id_: str, n: int) -> DataFrame:

@@ -63,24 +63,30 @@ def run_bench(
     iterations: int = 10,
     run_before: str | None = None,
 ) -> BenchResult:
-    """Serial benchmark of one SQL statement (reference default: 10 runs)."""
+    """Serial benchmark of one SQL statement (reference default: 10 runs).
+
+    The execute phase runs the FULL plan to a noop sink — timing
+    ``count()`` would let Catalyst prune every projection and understate
+    queries whose cost is in the select list. The row count for the
+    result-validation column is taken once, untimed.
+    """
     res = BenchResult(query=sql, runs=iterations, concurrency_mode="serial")
     res.phase_times = {p: [] for p in PHASES}
     if run_before:
         spark.sql(run_before).write.format("noop").mode("overwrite").save()
+    res.row_counts = [spark.sql(sql).count()]  # validation only, untimed
     for _ in range(iterations):
         t0 = time.perf_counter()
         df = spark.sql(sql)
         t1 = time.perf_counter()
         df._jdf.queryExecution().executedPlan()  # force physical planning
         t2 = time.perf_counter()
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         t3 = time.perf_counter()
         res.phase_times["plan"].append(t1 - t0)
         res.phase_times["physical"].append(t2 - t1)
         res.phase_times["execute"].append(t3 - t2)
         res.phase_times["total"].append(t3 - t0)
-        res.row_counts.append(n)
     return res
 
 
@@ -106,23 +112,24 @@ def run_bench_concurrent(
     if run_before:
         spark.sql(run_before).write.format("noop").mode("overwrite").save()
 
-    def one(_: int) -> tuple[float, float, float, int]:
+    res.row_counts = [spark.sql(sql).count()]  # validation only, untimed
+
+    def one(_: int) -> tuple[float, float, float]:
         t0 = time.perf_counter()
         df = spark.sql(sql)
         t1 = time.perf_counter()
         df._jdf.queryExecution().executedPlan()
         t2 = time.perf_counter()
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         t3 = time.perf_counter()
-        return (t1 - t0, t2 - t1, t3 - t2, n)
+        return (t1 - t0, t2 - t1, t3 - t2)
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        for plan_t, phys_t, exec_t, n in pool.map(one, range(iterations)):
+        for plan_t, phys_t, exec_t in pool.map(one, range(iterations)):
             res.phase_times["plan"].append(plan_t)
             res.phase_times["physical"].append(phys_t)
             res.phase_times["execute"].append(exec_t)
             res.phase_times["total"].append(plan_t + phys_t + exec_t)
-            res.row_counts.append(n)
     return res
 
 

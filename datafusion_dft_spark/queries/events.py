@@ -60,7 +60,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     oracle="""
         WITH marked AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_session
@@ -68,7 +68,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS session_id
             FROM marked
         )
@@ -92,7 +92,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1).otherwise(0),
     )
-    wcum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # Same (ts, event_id) total order as the flag window — ts alone is
+    # ambiguous when a user has two events in the same microsecond.
+    wcum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     sessions = marked.withColumn("session_id", F.sum("new_session").over(wcum))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -192,6 +192,14 @@ def main(argv: list[str] | None = None) -> int:
 
     config = load_config(args.config) if args.config else AppConfig()
     spark = get_spark(app_name="datafusion-dft-spark-http", conf=config.execution.settings)
+    if config.udfs:
+        from ..functions.udf_registry import register_udfs
+
+        register_udfs(spark, config.udfs)
+    if config.execution.ddl_path:
+        from ..sql import execute_ddl_file
+
+        execute_ddl_file(spark, config.execution.ddl_path)
     if args.register:
         register_views(spark, args.register)
     app = create_app(spark, config, sf_dir=args.register)

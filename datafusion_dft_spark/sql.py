@@ -43,6 +43,12 @@ def split_statements(sql: str) -> list[str]:
         ch = sql[i]
         if in_s:
             buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                # Spark's default parser allows backslash escapes inside
+                # string literals — don't let \' terminate the string.
+                buf.append(sql[i + 1])
+                i += 2
+                continue
             if ch == in_s:
                 in_s = None
             i += 1
@@ -118,12 +124,34 @@ def _rewrite_json_functions(sql: str) -> str:
         r"(get_json_object(\1, '$.\2') IS NOT NULL)",
         sql,
     )
-    sql = re.sub(
-        r"(?i)\bjson_length\s*\(\s*([^)]+?)\s*\)",
-        r"json_array_length(\1)",
-        sql,
-    )
+    sql = _rewrite_json_length(sql)
     return sql
+
+
+_JSON_LENGTH_RE = re.compile(r"(?i)\bjson_length\s*\(")
+
+
+def _rewrite_json_length(sql: str) -> str:
+    """Paren-balanced json_length rewrite matching json_fns.json_length:
+    array length, falling back to object key count."""
+    out: list[str] = []
+    i = 0
+    while (m := _JSON_LENGTH_RE.search(sql, i)) is not None:
+        out.append(sql[i : m.start()])
+        j, depth = m.end(), 1
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        inner = sql[m.end() : j - 1].strip()
+        out.append(
+            f"coalesce(json_array_length({inner}), size(json_object_keys({inner})))"
+        )
+        i = j
+    out.append(sql[i:])
+    return "".join(out)
 
 
 _PQ_META_RE = re.compile(r"(?i)\bparquet_metadata\s*\(\s*'([^']+)'\s*\)")

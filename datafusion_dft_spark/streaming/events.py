@@ -36,7 +36,12 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (one file = one micro-batch)."""
+    """File-source stream over the events parquet (one file = one micro-batch).
+
+    The nanos-as-long legacy flag must stay ON for the lifetime of the
+    streaming query (micro-batches read parquet under the session conf),
+    so unlike the batch reader it cannot be set-and-restored here.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)

@@ -1,0 +1,93 @@
+"""Regression tests for code-review findings (round 1 review pass)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_dft_spark.operators.joins import asof_join, salted_join
+from datafusion_dft_spark.sql import prepare_statement, split_statements
+
+
+def test_asof_join_does_not_blend_right_rows(spark):
+    """A NULL field in the matched right row must stay NULL — not be
+    backfilled from an older right row (per-column carry bug)."""
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 3))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 1), 5.0, 7.0),
+            (1, dt.datetime(2024, 1, 1, 2), None, 9.0),
+        ],
+        "k long, ts timestamp, a double, b double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.a_right is None, "NULL field backfilled from an older right row"
+    assert row.b_right == 9.0
+    assert row.ts_right == dt.datetime(2024, 1, 1, 2)
+
+
+def test_asof_join_no_prior_match_is_null(spark):
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1), 1.0)], "k long, ts timestamp, a double"
+    )
+    row = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()[0]
+    assert row.a_right is None and row.ts_right is None
+
+
+def test_split_statements_backslash_escape():
+    stmts = split_statements(r"SELECT 'don\'t; stop' AS s; SELECT 2")
+    assert len(stmts) == 2
+    assert stmts[0] == r"SELECT 'don\'t; stop' AS s"
+
+
+def test_json_length_rewrite_nested_and_objects(spark):
+    stmt = prepare_statement(
+        spark, "SELECT json_length(json_get(j, 'arr')) AS n, json_length(j) AS k FROM jt"
+    )
+    assert stmt.count("(") == stmt.count(")"), stmt
+    spark.sql(
+        "SELECT '{\"arr\": [1,2,3], \"x\": 1}' AS j"
+    ).createOrReplaceTempView("jt")
+    row = spark.sql(stmt).collect()[0]
+    assert row.n == 3  # array length of $.arr
+    assert row.k == 2  # object key count fallback
+
+
+def test_salted_join_rejects_outer(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_nanos_flag_not_leaked(spark, sf_dir):
+    from datafusion_dft_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").count()
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+
+
+def test_cli_config_udf_wiring(sf_dir, tmp_path, capsys):
+    from datafusion_dft_spark.cli import main
+
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(
+        """
+[[udf]]
+name = "cli_cfg_add"
+mode = "row"
+input_types = ["int64", "int64"]
+return_type = "int64"
+function = "tests.udf_fixtures:add"
+"""
+    )
+    rc = main(["--config", str(cfg), "-c", "SELECT cli_cfg_add(40, 2) AS s"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "42" in out
