@@ -67,6 +67,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_min_k_sketch",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(words[i:i+4], ' ')
+                                         for i in range(1, greatest(len(words) - 3, 2))])) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list(md5(s)))[1:5], '|') AS sketch
+        FROM sh GROUP BY doc_id
+    """,
+    tags=("dedup", "sketch"),
+    doc="Winnowing-style min-k document sketch: the 5 lexicographically "
+    "smallest md5 shingle hashes per document, portable across engines "
+    "(md5 is identical everywhere, unlike xxhash64) — the sketching logic "
+    "itself is differentially verified.",
+)
+def doc_min_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = dd.word_shingles(docs, "doc_id", "text", k=5)
+    return sh.groupBy("doc_id").agg(
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list(F.md5("shingle"))), 1, 5), "|"
+        ).alias("sketch")
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-based sketch — validated against exact jaccard in tests
     tags=("dedup", "minhash", "lsh"),

@@ -130,6 +130,26 @@ def test_fuzz_orders_predicates(spark, duckcon, views, sql):
     _compare(spark, duckcon, sql)
 
 
+@st.composite
+def setop_query(draw):
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    lo = draw(st.integers(min_value=0, max_value=12))
+    hi = draw(st.integers(min_value=13, max_value=24))
+    return (
+        f"SELECT g, count(*) AS m FROM ("
+        f"  SELECT c_nationkey AS g FROM customer WHERE c_nationkey <= {hi} "
+        f"  {op} "
+        f"  SELECT s_nationkey FROM supplier WHERE s_nationkey >= {lo}"
+        f") u GROUP BY g"
+    )
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=setop_query())
+def test_fuzz_setops(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
+
+
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
 @given(sql=join_query())
 def test_fuzz_joins(spark, duckcon, views, sql):
