@@ -68,8 +68,8 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id,
@@ -110,7 +110,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 4) AS avg_k
         FROM events
         GROUP BY event_type
@@ -134,10 +134,10 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n_signups, n_views, n_clicks, n_purchases, count(*) AS n_users FROM (
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signups,
-                   sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_views,
-                   sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_clicks,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+                   CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+                   CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+                   CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
             FROM events GROUP BY user_id
         ) per_user
         GROUP BY n_signups, n_views, n_clicks, n_purchases

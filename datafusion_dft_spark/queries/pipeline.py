@@ -49,7 +49,7 @@ _QUALITY_MIN = 0.3
         )
         SELECT lang,
                count(*) AS n_docs,
-               sum(n_words) AS total_tokens,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens,
                round(avg(q) + 1e-9, 4) AS avg_quality
         FROM scored
         WHERE q >= {_QUALITY_MIN}

@@ -25,9 +25,9 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
     oracle="""
         SELECT lang, source,
                count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS total_tokens,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                round(avg(len(string_split(text, ' '))) + 1e-9, 4) AS avg_tokens,
-               sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_lex_tokens
+               CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_lex_tokens
         FROM documents
         GROUP BY lang, source
     """,

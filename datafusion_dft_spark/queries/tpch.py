@@ -509,7 +509,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipments",
     oracle="""
         SELECT o_orderpriority,
-               sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_count,
+               CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
                count(*) AS total_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
