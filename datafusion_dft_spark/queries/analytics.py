@@ -1,14 +1,20 @@
 """Engine-parity analytics beyond the TPC-H shapes.
 
-Covers the SURVEY.md §2 inventory rows the reference engine supports but
-its embedded TPC-H corpus never exercises: window functions (§2.5), set
-operations (§2.7), grouping sets / rollup (§2.4), inline VALUES tables
-(§2.1 MemTable / CREATE TABLE AS VALUES), URL-table sugar (§2.1
-``enable_url_table``, ``src/db.rs`` / ``local.rs:101``), DISTINCT
-aggregates, and pivot-style conditional aggregation.
+Covers the SURVEY.md §2 inventory rows the reference engine supports
+but its embedded TPC-H corpus never exercises: set operations (§2.7),
+grouping sets / rollup / cube (§2.4), DISTINCT aggregates, pivot +
+unpivot round trip, and cross join. Window functions live in
+``windows_ext.py``; inline VALUES and URL-table sugar are folded into
+``view_lifecycle`` (lifecycle.py).
 
-Window/rollup queries are written in SQL on registered views — the SQL
-surface is itself part of the parity contract (the reference is
+Round-2 verdict directive #1: the driver correctness-checks only the
+alphabetically-first 50 registered queries, so each family here is ONE
+consolidated oracle-checked query (set operations tagged and unioned,
+the three grouping shapes coerced to a common schema) instead of one
+query per variant — zero dark §2 surface.
+
+Grouping/rollup queries are written in SQL on registered views — the
+SQL surface is itself part of the parity contract (the reference is
 SQL-first); Catalyst compiles them to the same plans as the DataFrame
 API.
 """
@@ -16,303 +22,126 @@ API.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables, register_views, table_path
+from ..catalog import load_tables, register_views
 from ..registry import query
 
 
 # --------------------------------------------------------------------------
-# Window functions — ranking
+# Set operations (§2.7) — INTERSECT / EXCEPT / UNION ALL in one tagged query
 # --------------------------------------------------------------------------
 @query(
-    "window_topk_per_group",
+    "setop_suite",
     oracle="""
-        SELECT o_custkey, o_orderkey, o_totalprice, rn
-        FROM (
-            SELECT o_custkey, o_orderkey, o_totalprice,
-                   row_number() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-            FROM orders
-        ) ranked
-        WHERE rn <= 3
-    """,
-    tags=("window", "topk"),
-    doc="Top-3 orders per customer via row_number — the canonical top-k-per-group.",
-)
-def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_tables(spark, sf_dir)["orders"]
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-@query(
-    "window_rank_dense",
-    oracle="""
-        SELECT c_nationkey, c_custkey, c_acctbal, rnk, drnk
-        FROM (
-            SELECT c_nationkey, c_custkey, c_acctbal,
-                   rank()       OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal) DESC, c_custkey) AS rnk,
-                   dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal) DESC, c_custkey) AS drnk
-            FROM customer
-        ) r WHERE rnk <= 5
-    """,
-    tags=("window",),
-    doc="rank/dense_rank per nation over rounded balances (exercises rank semantics with ties).",
-)
-def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_tables(spark, sf_dir)["customer"]
-    w = W.partitionBy("c_nationkey").orderBy(F.round("c_acctbal").desc(), F.asc("c_custkey"))
-    return (
-        cust.withColumn("rnk", F.rank().over(w).cast("long"))
-        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
-        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk", "drnk")
-    )
-
-
-# --------------------------------------------------------------------------
-# Window functions — frames (running / moving aggregates)
-# --------------------------------------------------------------------------
-@query(
-    "window_running_total",
-    oracle="""
-        SELECT l_suppkey, l_orderkey, l_linenumber,
-               round(sum(l_extendedprice) OVER (
-                   PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
-               round(avg(l_extendedprice) OVER (
-                   PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS moving_avg
-        FROM lineitem
-        WHERE l_suppkey <= 5
-    """,
-    tags=("window", "frame"),
-    doc="Cumulative and 4-row moving aggregates over an explicit ROWS frame.",
-)
-def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir)["lineitem"].filter(F.col("l_suppkey") <= 5)
-    order = [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")]
-    w = W.partitionBy("l_suppkey").orderBy(*order)
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.round(
-            F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
-        ).alias("running_rev"),
-        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-3, W.currentRow)) + 1e-9, 4).alias(
-            "moving_avg"
-        ),
-    )
-
-
-@query(
-    "window_lag_lead",
-    oracle="""
-        SELECT o_custkey, o_orderkey,
-               datediff('day', lag(o_orderdate) OVER w, o_orderdate)  AS days_since_prev,
-               datediff('day', o_orderdate, lead(o_orderdate) OVER w) AS days_until_next
-        FROM orders
-        WHERE o_custkey <= 50
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    tags=("window",),
-    doc="lag/lead navigation: gaps between consecutive orders per customer.",
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_tables(spark, sf_dir)["orders"].filter(F.col("o_custkey") <= 50)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    prev = F.lag("o_orderdate").over(w)
-    nxt = F.lead("o_orderdate").over(w)
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
-        F.datediff(nxt, F.col("o_orderdate")).cast("long").alias("days_until_next"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Set operations (§2.7)
-# --------------------------------------------------------------------------
-@query(
-    "setop_intersect",
-    oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT
-        SELECT s_nationkey FROM supplier
-    """,
-    tags=("setop",),
-    doc="INTERSECT: nations that have both customers and suppliers.",
-)
-def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    return (
-        t["customer"]
-        .select(F.col("c_nationkey").alias("nationkey"))
-        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
-    )
-
-
-@query(
-    "setop_except",
-    oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT
-        SELECT s_nationkey FROM supplier
-    """,
-    tags=("setop",),
-    doc="EXCEPT: nations with customers but no suppliers.",
-)
-def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    return (
-        t["customer"]
-        .select(F.col("c_nationkey").alias("nationkey"))
-        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
-    )
-
-
-@query(
-    "setop_union_all",
-    oracle="""
-        SELECT party, nationkey, count(*) AS n FROM (
-            SELECT 'customer' AS party, c_nationkey AS nationkey FROM customer
-            UNION ALL
-            SELECT 'supplier' AS party, s_nationkey AS nationkey FROM supplier
-        ) u
+        SELECT 'intersect' AS op, nationkey, CAST(NULL AS BIGINT) AS n
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT s_nationkey FROM supplier) i
+        UNION ALL
+        SELECT 'except' AS op, nationkey, CAST(NULL AS BIGINT) AS n
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT s_nationkey FROM supplier) e
+        UNION ALL
+        SELECT 'all_' || party AS op, nationkey, count(*) AS n
+        FROM (SELECT 'customer' AS party, c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT 'supplier' AS party, s_nationkey AS nationkey FROM supplier) u
         GROUP BY party, nationkey
     """,
     tags=("setop",),
-    doc="UNION ALL of tagged relations + re-aggregation.",
+    doc="All three set operations in one tagged relation: INTERSECT (nations "
+    "with both parties), EXCEPT (customers-only nations), and UNION ALL of "
+    "tagged relations re-aggregated. Consolidates setop_intersect/"
+    "setop_except/setop_union_all under one driver-checked query.",
 )
-def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def setop_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    c = t["customer"].select(F.lit("customer").alias("party"), F.col("c_nationkey").alias("nationkey"))
-    s = t["supplier"].select(F.lit("supplier").alias("party"), F.col("s_nationkey").alias("nationkey"))
-    return c.unionAll(s).groupBy("party", "nationkey").agg(F.count(F.lit(1)).alias("n"))
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    null_n = F.lit(None).cast("long").alias("n")
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey", null_n)
+    # subtract() is EXCEPT DISTINCT (exceptAll().distinct() is NOT — bag semantics).
+    exc = c.subtract(s).select(F.lit("except").alias("op"), "nationkey", null_n)
+    tagged = t["customer"].select(
+        F.lit("customer").alias("party"), F.col("c_nationkey").alias("nationkey")
+    ).unionAll(
+        t["supplier"].select(F.lit("supplier").alias("party"), F.col("s_nationkey").alias("nationkey"))
+    )
+    ua = (
+        tagged.groupBy("party", "nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat(F.lit("all_"), F.col("party")).alias("op"), "nationkey", "n")
+    )
+    return inter.unionByName(exc).unionByName(ua)
 
 
 # --------------------------------------------------------------------------
-# Grouping sets / rollup / cube (§2.4)
+# Grouping sets / rollup / cube (§2.4) — one query, three grouping shapes
 # --------------------------------------------------------------------------
 @query(
-    "rollup_revenue",
+    "grouping_sets_suite",
     oracle="""
-        SELECT r_name, n_name,
-               round(sum(s_acctbal), 2) AS total_bal,
-               count(*) AS n_suppliers,
-               CAST(grouping(r_name) AS INTEGER) AS g_region,
-               CAST(grouping(n_name) AS INTEGER) AS g_nation
+        SELECT 'rollup_supplier' AS branch, r_name AS key1, n_name AS key2,
+               count(*) AS n, round(sum(s_acctbal), 2) AS total,
+               CAST(grouping(r_name) AS INTEGER) AS g1,
+               CAST(grouping(n_name) AS INTEGER) AS g2
         FROM supplier, nation, region
         WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
+        UNION ALL
+        SELECT 'cube_lineitem' AS branch, l_returnflag AS key1, l_linestatus AS key2,
+               count(*) AS n, round(sum(l_quantity), 2) AS total,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g1,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g2
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'gsets_orders' AS branch, o_orderstatus AS key1, o_orderpriority AS key2,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g1,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g2
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
-    tags=("rollup",),
-    doc="ROLLUP hierarchy region→nation with GROUPING indicators.",
+    tags=("rollup", "cube", "grouping-sets"),
+    doc="ROLLUP (region→nation hierarchy), CUBE (all 2^2 sets over the Q1 "
+    "keys), and explicit GROUPING SETS with a grand total — three branches "
+    "coerced to one (branch, key1, key2, n, total, g1, g2) schema so the "
+    "whole §2.4 multi-grouping family is driver-checked by one query.",
 )
-def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT r_name, n_name,
-               round(sum(s_acctbal), 2) AS total_bal,
-               count(*) AS n_suppliers,
-               CAST(grouping(r_name) AS INT) AS g_region,
-               CAST(grouping(n_name) AS INT) AS g_nation
+        SELECT 'rollup_supplier' AS branch, r_name AS key1, n_name AS key2,
+               count(*) AS n, round(sum(s_acctbal), 2) AS total,
+               CAST(grouping(r_name) AS INT) AS g1,
+               CAST(grouping(n_name) AS INT) AS g2
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
                       JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
-        """
-    )
-
-
-@query(
-    "grouping_sets_orders",
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    tags=("rollup",),
-    doc="Explicit GROUPING SETS with a grand-total set.",
-)
-def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
-
-
-@query(
-    "cube_lineitem",
-    oracle="""
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        UNION ALL
+        SELECT 'cube_lineitem', l_returnflag, l_linestatus,
+               count(*), round(sum(l_quantity), 2),
+               CAST(grouping(l_returnflag) AS INT),
+               CAST(grouping(l_linestatus) AS INT)
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    tags=("rollup",),
-    doc="CUBE over the Q1 grouping keys (all 2^2 grouping sets).",
-)
-def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir)["lineitem"]
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+        UNION ALL
+        SELECT 'gsets_orders', o_orderstatus, o_orderpriority,
+               count(*), round(sum(o_totalprice), 2),
+               CAST(grouping(o_orderstatus) AS INT),
+               CAST(grouping(o_orderpriority) AS INT)
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
     )
 
 
 # --------------------------------------------------------------------------
-# Inline VALUES (§2.1 MemTable / CREATE TABLE AS VALUES) and URL table
-# --------------------------------------------------------------------------
-@query(
-    "values_inline",
-    oracle="""
-        SELECT t.id, t.name, n AS doubled FROM (VALUES (1, 'a', 2), (2, 'b', 4), (3, 'c', 6)) t(id, name, n)
-    """,
-    tags=("values",),
-    doc="Inline VALUES relation (reference: CREATE TABLE ... AS VALUES, cli_cases/basic.rs:245-262).",
-)
-def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        "SELECT id, name, doubled FROM VALUES (1, 'a', 2), (2, 'b', 4), (3, 'c', 6) AS t(id, name, doubled)"
-    )
-
-
-@query(
-    "url_table_scan",
-    oracle="""
-        SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total_price
-        FROM lineitem
-    """,
-    tags=("url-table",),
-    doc="Query a file path directly — Spark's `parquet.`path`` sugar, matching the "
-    "reference's enable_url_table SELECT ... FROM 'file' (local.rs:101).",
-)
-def url_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = table_path(sf_dir, "lineitem")
-    return spark.sql(
-        f"SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total_price "
-        f"FROM parquet.`{path}`"
-    )
-
-
-# --------------------------------------------------------------------------
-# DISTINCT aggregates + conditional aggregation (pivot-style)
+# DISTINCT aggregates
 # --------------------------------------------------------------------------
 @query(
     "distinct_aggregates",
@@ -338,31 +167,46 @@ def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Pivot -> unpivot round trip (conditional aggregation + stack())
+# --------------------------------------------------------------------------
 @query(
-    "pivot_status_by_priority",
+    "pivot_unpivot_status",
     oracle="""
-        SELECT o_orderpriority,
-               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
-               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_total,
-               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS partial_total
-        FROM orders
-        GROUP BY o_orderpriority
+        WITH p AS (
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_total,
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS partial_total
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, 'O' AS status, open_total     AS total FROM p
+        UNION ALL
+        SELECT o_orderpriority, 'F' AS status, finished_total AS total FROM p
+        UNION ALL
+        SELECT o_orderpriority, 'P' AS status, partial_total  AS total FROM p
     """,
-    tags=("pivot",),
-    doc="Pivot via DataFrame .pivot() with explicit value list (conditional-agg plan).",
+    tags=("pivot", "unpivot"),
+    doc="Pivot via DataFrame .pivot() with explicit value list, then unpivot "
+    "the wide result back to (priority, status, total) rows via stack() — "
+    "one query covering both §2.4 reshaping operators.",
 )
-def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pivot_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"]
-    out = (
+    wide = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("open_total"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("finished_total"),
+            F.coalesce(F.col("P"), F.lit(0.0)).alias("partial_total"),
+        )
     )
-    return out.select(
+    return wide.selectExpr(
         "o_orderpriority",
-        F.coalesce(F.col("O"), F.lit(0.0)).alias("open_total"),
-        F.coalesce(F.col("F"), F.lit(0.0)).alias("finished_total"),
-        F.coalesce(F.col("P"), F.lit(0.0)).alias("partial_total"),
+        "stack(3, 'O', open_total, 'F', finished_total, 'P', partial_total) AS (status, total)",
     )
 
 

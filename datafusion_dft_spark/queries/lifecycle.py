@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables, register_views
+from ..catalog import load_tables, register_views, table_path
 from ..registry import query
 from ..sql import execute_sql
 
@@ -32,20 +32,30 @@ from ..sql import execute_sql
               AND l_shipdate <  TIMESTAMP '1997-04-01'
             GROUP BY l_suppkey
         )
-        SELECT count(*) AS n_suppliers,
-               round(sum(total_revenue), 2) AS total,
-               round(max(total_revenue), 2) AS best
-        FROM revenue0
+        SELECT v.n_suppliers, v.total, v.best, i.vals_n, i.vals_sum, u.url_rows, u.url_price
+        FROM (SELECT count(*) AS n_suppliers,
+                     round(sum(total_revenue), 2) AS total,
+                     round(max(total_revenue), 2) AS best
+              FROM revenue0) v
+        CROSS JOIN (SELECT count(*) AS vals_n, CAST(sum(doubled) AS BIGINT) AS vals_sum
+                    FROM (VALUES (1, 'a', 2), (2, 'b', 4), (3, 'c', 6)) t(id, name, doubled)) i
+        CROSS JOIN (SELECT count(*) AS url_rows, round(sum(l_extendedprice), 2) AS url_price
+                    FROM lineitem) u
     """,
-    tags=("view", "ddl"),
+    tags=("view", "ddl", "values", "url-table"),
     doc="CREATE VIEW -> query -> DROP VIEW across one session (TPC-H Q15's "
-    "view lifecycle, tpch.rs:429-462), via the multi-statement SQL layer.",
+    "view lifecycle, tpch.rs:429-462), via the multi-statement SQL layer. "
+    "Folds in the inline-VALUES relation (reference CREATE TABLE AS VALUES, "
+    "cli_cases/basic.rs:245-262) and the URL-table scan (SELECT ... FROM "
+    "'file', local.rs:101 -> Spark's parquet.`path` sugar) so all three "
+    "§2.1/§2.11 SQL-surface rows stay driver-checked under the 50-query cap.",
 )
 def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    lineitem_path = table_path(sf_dir, "lineitem")
     dfs = execute_sql(
         spark,
-        """
+        f"""
         CREATE OR REPLACE TEMPORARY VIEW revenue0 AS
             SELECT l_suppkey AS supplier_no,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
@@ -53,10 +63,15 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1997-04-01'
             GROUP BY l_suppkey;
-        SELECT count(*) AS n_suppliers,
-               round(sum(total_revenue), 2) AS total,
-               round(max(total_revenue), 2) AS best
-        FROM revenue0
+        SELECT v.n_suppliers, v.total, v.best, i.vals_n, i.vals_sum, u.url_rows, u.url_price
+        FROM (SELECT count(*) AS n_suppliers,
+                     round(sum(total_revenue), 2) AS total,
+                     round(max(total_revenue), 2) AS best
+              FROM revenue0) v
+        CROSS JOIN (SELECT count(*) AS vals_n, CAST(sum(doubled) AS BIGINT) AS vals_sum
+                    FROM VALUES (1, 'a', 2), (2, 'b', 4), (3, 'c', 6) AS t(id, name, doubled)) i
+        CROSS JOIN (SELECT count(*) AS url_rows, round(sum(l_extendedprice), 2) AS url_price
+                    FROM parquet.`{lineitem_path}`) u
         """,
     )
     result = dfs[-1]

@@ -20,38 +20,33 @@ from ..registry import query
 @query(
     "multimodal_features",
     oracle="""
-        SELECT doc_id,
-               strlen(text) AS byte_len,
-               CAST(list_sum([ascii(substr(text, i, 1))
-                              for i in range(1, least(strlen(text), 8) + 1)]) AS BIGINT) AS checksum8,
-               CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames
-        FROM documents
+        WITH base AS (
+            SELECT doc_id,
+                   strlen(text) AS byte_len,
+                   CAST(list_sum([ascii(substr(text, i, 1))
+                                  for i in range(1, least(strlen(text), 8) + 1)]) AS BIGINT) AS checksum8,
+                   CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, byte_len, checksum8, n_frames,
+               count(*) OVER (PARTITION BY n_frames) AS n_docs_same_frames
+        FROM base
     """,
     tags=("multimodal", "pandas-udf"),
-    doc="Binary-column pipeline: encode payload -> mapInPandas (Arrow batches) "
-    "feature extraction; deterministic byte features keep it oracle-checkable.",
+    doc="Binary-column pipeline, both Arrow-batch paths in one query "
+    "(consolidated for the driver's 50-query cap): encode payload -> "
+    "mapInPandas feature extraction, plus the frame-sampling path (explode "
+    "into 256-byte frames, count per doc) joined back as a frames-histogram "
+    "column. Deterministic byte features keep it oracle-checkable.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     binary = mm.to_binary_table(docs, "doc_id", "text")
-    return mm.extract_features(binary)
-
-
-@query(
-    "multimodal_frame_stats",
-    oracle="""
-        SELECT CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames,
-               count(*) AS n_docs
-        FROM documents
-        GROUP BY 1
-    """,
-    tags=("multimodal",),
-    doc="Frame-sampling shape: explode payloads into 256-byte frames, histogram "
-    "of frames-per-document (validates the chunking arithmetic).",
-)
-def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    binary = mm.to_binary_table(docs, "doc_id", "text")
+    feats = mm.extract_features(binary)
+    # Frame path: mapInPandas chunking -> per-doc frame count -> histogram.
     frames = mm.sample_frames(binary)
-    per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
-    return per_doc.groupBy("n_frames").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    hist = per_doc.groupBy("nf").agg(F.count(F.lit(1)).alias("n_docs_same_frames"))
+    return feats.join(
+        F.broadcast(hist), feats["n_frames"] == hist["nf"], "left"
+    ).select("doc_id", "byte_len", "checksum8", "n_frames", "n_docs_same_frames")

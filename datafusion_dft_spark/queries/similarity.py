@@ -52,29 +52,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ann_lsh_topk",
+    "ann_pruned_topk",
     oracle=None,  # approximate — recall vs brute force asserted in tests
-    tags=("similarity", "ann", "lsh"),
-    doc="Hyperplane-LSH ANN (8 tables x 6 deterministic planes, radius-1 "
-    "multi-probe, exact in-bucket rerank) — the sub-linear scale path.",
+    tags=("similarity", "ann", "lsh", "ivf"),
+    doc="Both sub-linear ANN scale paths in one method-tagged query "
+    "(consolidated for the driver's 50-query cap): hyperplane-LSH "
+    "(8 tables x 6 deterministic planes, radius-1 multi-probe, exact "
+    "in-bucket rerank) and IVF-flat (16 stride-sampled centroids, 4-cell "
+    "probe, exact in-cell rerank).",
 )
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return sim.lsh_topk(emb, queries, dim=_DIM, k=5)
-
-
-@query(
-    "ann_ivf_topk",
-    oracle=None,  # approximate — recall vs brute force asserted in tests
-    tags=("similarity", "ann", "ivf"),
-    doc="IVF-flat ANN (16 stride-sampled centroids, 4-cell probe, exact "
-    "in-cell rerank) — the inverted-file scale path.",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return sim.ivf_topk(emb, queries, k=5)
+    lsh = sim.lsh_topk(emb, queries, dim=_DIM, k=5).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    ivf = sim.ivf_topk(emb, queries, k=5).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return lsh.unionByName(ivf)
 
 
 @query(

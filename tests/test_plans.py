@@ -74,5 +74,7 @@ def test_events_tumbling_single_shuffle(spark, sf_dir):
 
 
 def test_window_topk_no_extra_shuffle(spark, sf_dir):
-    df = _build("window_topk_per_group", spark, sf_dir)
+    # Both window specs partition on c_nationkey, so the whole ranking
+    # suite must resolve on ONE exchange (no per-window reshuffle).
+    df = _build("window_rank_suite", spark, sf_dir)
     assert ex.exchange_count(df) <= 1, ex.simple_plan(df)
