@@ -46,6 +46,12 @@ def asof_join(
     # field of the newest right row from an older row, synthesizing a
     # blended row no input contained (diverging from ASOF semantics).
     payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
+    # Equi-join semantics: NULL keys never match, including NULL = NULL.
+    # Without this filter the window (partitioned by key) would group
+    # NULL-key left rows with NULL-key right rows and carry a payload no
+    # ASOF join would produce; dropping NULL-key right rows up front makes
+    # NULL-key left rows come out with a NULL payload.
+    right = right.filter(F.col(on).isNotNull())
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import base64
 import datetime as dt
+import hmac
 import json
 import re
 import time
@@ -57,16 +58,21 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
     obs = Observability(spark)
     metrics = {"requests_total": 0, "requests_failed": 0, "rows_returned_total": 0}
 
+    def _ct_eq(a: str, b: str) -> bool:
+        # Constant-time compare: '==' short-circuits on the first differing
+        # byte, leaking credential prefixes through response timing.
+        return hmac.compare_digest(a.encode(), b.encode())
+
     def check_auth() -> bool:
         h = config.http
         if not h.basic_auth and not h.bearer_token:
             return True
         auth = request.headers.get("Authorization", "")
-        if h.bearer_token and auth == f"Bearer {h.bearer_token}":
+        if h.bearer_token and auth.startswith("Bearer ") and _ct_eq(auth[7:], h.bearer_token):
             return True
         if h.basic_auth and auth.startswith("Basic "):
             try:
-                if base64.b64decode(auth[6:]).decode() == h.basic_auth:
+                if _ct_eq(base64.b64decode(auth[6:]).decode(), h.basic_auth):
                     return True
             except Exception:
                 return False
@@ -100,9 +106,15 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
         if not isinstance(body, dict) or not str(body.get("sql", "")).strip():
             return jsonify({"error": "body must be JSON with a non-empty 'sql' field"}), 400
         sql = body["sql"]
-        limit = int(body.get("limit", config.http.result_limit))
+        limit_raw = body.get("limit", config.http.result_limit)
 
         def run():
+            # Parsed inside guarded(): a bad limit must surface as a 400
+            # with metrics + observability recorded, not an unhandled 500.
+            try:
+                limit = int(limit_raw)
+            except (TypeError, ValueError):
+                raise ValueError(f"'limit' must be an integer, got {limit_raw!r}")
             df = None
             for stmt in split_statements(sql):
                 df = spark.sql(prepare_statement(spark, stmt))

@@ -91,3 +91,53 @@ function = "tests.udf_fixtures:add"
     rc = main(["--config", str(cfg), "-c", "SELECT cli_cfg_add(40, 2) AS s"])
     out = capsys.readouterr().out
     assert rc == 0 and "42" in out
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Equi-join semantics: a NULL left key must NOT pick up a NULL-key
+    right row's payload (round-2 ADVICE: NULL keys grouped together by
+    the window partition matched each other)."""
+    left = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 2)), (1, dt.datetime(2024, 1, 2))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, dt.datetime(2024, 1, 1), 99.0),
+            (1, dt.datetime(2024, 1, 1), 5.0),
+        ],
+        "k long, ts timestamp, a double",
+    )
+    rows = {r.k: r for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()}
+    assert rows[1].a_right == 5.0
+    assert rows[None].a_right is None, "NULL key matched a NULL-key right row"
+    assert rows[None].ts_right is None
+
+
+def test_http_bad_limit_is_400(spark, sf_dir):
+    from datafusion_dft_spark.config import AppConfig
+    from datafusion_dft_spark.server.http import create_app
+
+    c = create_app(spark, AppConfig(), sf_dir=sf_dir).test_client()
+    r = c.post("/sql", json={"sql": "SELECT 1 AS one", "limit": "not-a-number"})
+    assert r.status_code == 400
+    assert "limit" in r.get_json()["error"]
+    # metrics must have recorded the failure (not bypassed via a 500)
+    text = c.get("/metrics").get_data(as_text=True)
+    assert "dft_spark_requests_failed 1" in text
+
+
+def test_http_auth_constant_time_compare(spark, sf_dir):
+    """Wrong tokens still rejected, right ones accepted, through the
+    hmac.compare_digest path (including non-prefix mismatches)."""
+    from datafusion_dft_spark.config import AppConfig
+    from datafusion_dft_spark.server.http import create_app
+
+    cfg = AppConfig()
+    cfg.http.bearer_token = "sekret-token"
+    c = create_app(spark, cfg, sf_dir=sf_dir).test_client()
+    body = {"sql": "SELECT 1 AS one"}
+    assert c.post("/sql", json=body).status_code == 401
+    assert c.post("/sql", json=body, headers={"Authorization": "Bearer sekret-tokeX"}).status_code == 401
+    assert c.post("/sql", json=body, headers={"Authorization": "Bearer sekret-token-longer"}).status_code == 401
+    assert c.post("/sql", json=body, headers={"Authorization": "Bearer sekret-token"}).status_code == 200

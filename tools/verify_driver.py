@@ -23,6 +23,39 @@ TABLES = [
 ]
 
 
+def type_family(t: str) -> str:
+    """Canonical dtype family for cross-engine schema comparison.
+
+    The external driver compares typed values (Arrow-level), so a DuckDB
+    HUGEINT next to a Spark BIGINT hash-mismatches even when every value
+    is equal (round-1 failure mode). str(value)-based hashing can't see
+    that; comparing type families restores the sensitivity. int128 is
+    deliberately NOT folded into int.
+    """
+    t = t.lower()
+    if "hugeint" in t or "int128" in t:
+        return "int128"
+    if "decimal" in t:
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte") or t.startswith(("int", "uint", "ubigint", "usmallint", "utinyint")):
+        return "int"
+    if t in ("float", "double", "real") or t.startswith("float"):
+        return "float"
+    if "timestamp" in t:
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t in ("varchar", "string", "text"):
+        return "str"
+    if t in ("blob", "binary", "bytea"):
+        return "binary"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith(("array", "list")) or "[]" in t:
+        return "list"
+    return t
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
@@ -68,14 +101,23 @@ def main() -> int:
             continue
         ores = con.sql(oracles[name])
         orows = [tuple(r) for r in ores.fetchall()]
+        stypes = {c: type_family(t) for c, t in sdf.dtypes}
+        otypes = {c: type_family(str(t)) for c, t in zip(ores.columns, ores.types)}
+        type_diff = {
+            c: (stypes.get(c), otypes.get(c))
+            for c in set(stypes) | set(otypes)
+            if stypes.get(c) != otypes.get(c)
+        }
         ok = (
             sorted(sdf.columns) == sorted(ores.columns)
+            and not type_diff
             and len(srows) == len(orows)
             and value_hash(sdf.columns, srows) == value_hash(ores.columns, orows)
         )
         if not ok:
             fails.append(name)
-        print(f"  {name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} rows)")
+        note = f" TYPE {type_diff}" if type_diff else ""
+        print(f"  {name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} rows){note}")
     print("FAILURES:", fails or "none")
     return 1 if fails else 0
 
