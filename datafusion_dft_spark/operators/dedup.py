@@ -97,19 +97,67 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, num_perm: int = NUM_PERM
+def jaccard_verify_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    k: int = 5,
+    threshold: float = 0.8,
 ) -> DataFrame:
-    """(id_col, sig: array<long>[num_perm]) MinHash signature per document.
+    """Exact Jaccard restricted to LSH candidate pairs: the 100 TB verify
+    stage. The sketch proposes (sub-linear), exact confirms — but only
+    over the documents that appear in some candidate pair, so the
+    all-pairs shingle join runs on the (tiny) candidate subset instead
+    of the corpus. Same output contract as :func:`jaccard_pairs`.
+    """
+    cand = candidates.select("doc1", "doc2").distinct()
+    docs_in = (
+        cand.select(F.col("doc1").alias(id_col))
+        .union(cand.select(F.col("doc2").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(docs_in, id_col, "leftsemi")
+    exact = jaccard_pairs(sub, id_col, text_col, k=k, threshold=threshold)
+    return exact.join(cand, ["doc1", "doc2"], "leftsemi")
 
-    Permutation i is xxhash64(i, shingle) — deterministic, no stored
-    coefficient table, identical on every executor.
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = NUM_PERM,
+    method: str = "md5",
+) -> DataFrame:
+    """(id_col, sig: array[num_perm]) MinHash signature per document.
+
+    Permutation i hashes the shingle with a per-permutation salt —
+    deterministic, no stored coefficient table, identical on every
+    executor. Two hash methods:
+
+    - ``md5`` (default): min of md5(i ':' shingle) hex strings.
+      Engine-portable (md5 is identical everywhere), so the whole
+      LSH pipeline is differentially checkable against DuckDB — the
+      pattern proven by doc_min_k_sketch. Lexicographic min over the
+      uniform hex strings is an equally valid permutation-min.
+    - ``xxhash64``: min of the salted 64-bit integer hash; cheaper
+      (no hex-string materialization) but Spark-specific, so results
+      can only be validated by recall tests.
     """
     sh = word_shingles(df, id_col, text_col, k)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    if method == "md5":
+        mins = [
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    elif method == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        raise ValueError(f"unknown minhash method {method!r}")
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
@@ -124,22 +172,32 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
+    method: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs from banded MinHash-LSH.
 
     (doc1, doc2, est_jaccard) where est_jaccard = signature agreement
     rate >= threshold. Join happens only inside (band, bandhash)
     buckets — the scalable path for corpora where the pairwise join is
-    impossible.
+    impossible. With method='md5' (default) every step is
+    engine-portable and differentially verified against DuckDB.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
-    band_arr = F.array(
-        *[
-            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm, method=method).cache()
+    if method == "md5":
+        band_arr = F.array(
+            *[
+                F.md5(F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)]))
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_arr = F.array(
+            *[
+                F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                for b in range(bands)
+            ]
+        )
     banded = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "bandhash")
     )

@@ -1,11 +1,12 @@
 """Deduplication queries over the ``documents`` table.
 
 The exact methods (hash-group, n-gram Jaccard) carry full DuckDB
-oracles. The sketch methods (MinHash-LSH, SimHash) have no SQL
-equivalent DuckDB can replicate (xxhash64 is Spark-specific), so they
-run as rows-only checks here — tests/test_dedup.py validates them
-against the oracle-checked exact Jaccard pairs instead (recall on the
-injected near-duplicates).
+oracles, and so does MinHash-LSH: its md5-based permutations (min over
+salted md5 hex strings) are engine-portable, so DuckDB replays the
+whole sketch pipeline. SimHash remains rows-only (its weighted bit
+mixing needs xxhash64) — tests/test_dedup.py validates it against the
+oracle-checked exact Jaccard pairs instead (recall on the injected
+near-duplicates).
 """
 
 from __future__ import annotations
@@ -97,10 +98,41 @@ def doc_min_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based sketch — validated against exact jaccard in tests
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(words[i:i+4], ' ')
+                                         for i in range(1, greatest(len(words) - 3, 2))])) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        ), sig AS (
+            SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+            FROM sh CROSS JOIN range(64) r(i)
+            GROUP BY doc_id, i
+        ), sigarr AS (
+            SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+            FROM sigarr CROSS JOIN range(16) rb(b)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
+                                       AND a.doc_id < b.doc_id
+        )
+        SELECT doc1, doc2,
+               round(len(list_filter(range(1, 65), i -> s1.sig[i] = s2.sig[i])) / 64.0
+                     + 1e-9, 4) AS est_jaccard
+        FROM cand
+        JOIN sigarr s1 ON doc1 = s1.doc_id
+        JOIN sigarr s2 ON doc2 = s2.doc_id
+        WHERE len(list_filter(range(1, 65), i -> s1.sig[i] = s2.sig[i])) / 64.0 + 1e-9 >= 0.7
+    """,
     tags=("dedup", "minhash", "lsh"),
     doc="MinHash (64 perms) + LSH (16 bands x 4): candidate near-dup pairs with "
-    "signature-estimated Jaccard >= 0.7. The O(n^2)-free scale path.",
+    "signature-estimated Jaccard >= 0.7. The O(n^2)-free scale path. md5-based "
+    "permutations (min over salted md5 hex strings) make every stage "
+    "engine-portable, so the full sketch pipeline is differentially verified "
+    "against DuckDB — the doc_min_k_sketch pattern applied to MinHash.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]

@@ -59,9 +59,26 @@ _QUALITY_MIN = 0.3
     tags=("pipeline", "dedup", "quality"),
     doc="End-to-end corpus cleaning: quality gate (score >= 0.3) + near-dup "
     "removal (keep min doc_id of each Jaccard>=0.8 pair) -> per-language "
-    "statistics of the surviving corpus.",
+    "statistics of the surviving corpus. The registered hot path finds "
+    "near-dups via MinHash-LSH candidates + exact verify (sub-linear, the "
+    "100 TB path); the oracle is the exhaustive all-pairs Jaccard, and "
+    "tests/test_dedup.py asserts the exact-composed variant produces the "
+    "identical corpus at the test SFs.",
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_corpus(spark, sf_dir, near_dup="lsh")
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> DataFrame:
+    """Composed cleaning pipeline, near-dup stage parameterized.
+
+    near_dup='lsh' (default): banded MinHash-LSH proposes candidate
+    pairs (no est_jaccard cutoff — banding alone gates recall), exact
+    Jaccard confirms >=0.8 on the candidate subset only. O(n) + output-
+    bounded join: the only strategy that survives 100 TB.
+    near_dup='exact': exhaustive all-pairs inverted-index Jaccard — the
+    ground-truth/oracle formulation, viable only at small SF.
+    """
     docs = load_tables(spark, sf_dir)["documents"]
     scored = docs.select(
         "doc_id",
@@ -72,11 +89,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (tx.stopword_count("text") / tx.token_count("text").cast("double")) * 0.5
         ).alias("q"),
     )
-    drops = (
-        dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
-        .select(F.col("doc2").alias("doc_id"))
-        .distinct()
-    )
+    if near_dup == "exact":
+        pairs = dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+    elif near_dup == "lsh":
+        # threshold=0.0: every banded candidate goes to exact verify — the
+        # est_jaccard estimate (sigma ~0.05 at 64 perms) must not pre-filter
+        # pairs the exact stage would keep.
+        cand = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.0)
+        pairs = dd.jaccard_verify_candidates(docs, "doc_id", "text", cand, k=5, threshold=0.8)
+    else:
+        raise ValueError(f"unknown near_dup strategy {near_dup!r}")
+    drops = pairs.select(F.col("doc2").alias("doc_id")).distinct()
     kept = scored.filter(F.col("q") >= _QUALITY_MIN).join(
         F.broadcast(drops), "doc_id", "left_anti"
     )

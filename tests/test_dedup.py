@@ -64,3 +64,14 @@ def test_exact_duplicates_partition_is_total(docs):
     n_docs = docs.count()
     groups = dd.exact_duplicates(docs, "doc_id", "text").collect()
     assert sum(g.n_copies for g in groups) == n_docs
+
+
+def test_pipeline_lsh_equals_exact_composition(spark, sf_dir):
+    """The registered 100 TB path (LSH candidates + exact verify) must
+    produce the identical cleaned corpus as the exhaustive all-pairs
+    composition the oracle computes."""
+    from datafusion_dft_spark.queries.pipeline import clean_corpus
+
+    lsh = {tuple(r) for r in clean_corpus(spark, sf_dir, near_dup="lsh").collect()}
+    exact = {tuple(r) for r in clean_corpus(spark, sf_dir, near_dup="exact").collect()}
+    assert lsh == exact
