@@ -4,7 +4,7 @@ Reference: crates/datafusion-functions-parquet/src/lib.rs:143-291 — a
 UDTF exposing one row per (row_group, column chunk) with stats. Spark
 has no built-in equivalent; pyarrow reads the footer (driver-side —
 footers are KBs, not data) and the result becomes a DataFrame.
-Column set mirrors lib.rs:160-185.
+Column set mirrors lib.rs:160-185 (all 24 columns incl. logical_type).
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ SCHEMA = T.StructType(
         T.StructField("num_values", T.LongType()),
         T.StructField("path_in_schema", T.StringType()),
         T.StructField("type", T.StringType()),
+        T.StructField("logical_type", T.StringType()),
         T.StructField("stats_min", T.StringType()),
         T.StructField("stats_max", T.StringType()),
         T.StructField("stats_null_count", T.LongType()),
@@ -43,7 +44,9 @@ SCHEMA = T.StructType(
 
 
 def parquet_metadata_rows(path: str) -> list[tuple]:
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    schema = pf.schema
     rows: list[tuple] = []
     for rg_id in range(md.num_row_groups):
         rg = md.row_group(rg_id)
@@ -62,6 +65,7 @@ def parquet_metadata_rows(path: str) -> list[tuple]:
                     c.num_values,
                     c.path_in_schema,
                     str(c.physical_type),
+                    str(schema.column(col_id).logical_type),
                     str(st.min) if st and st.has_min_max else None,
                     str(st.max) if st and st.has_min_max else None,
                     st.null_count if st and st.has_null_count else None,

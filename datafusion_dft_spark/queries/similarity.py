@@ -76,25 +76,44 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pert AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   [v[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END
+                    for i in range(1, len(v) + 1)] AS v
+            FROM e WHERE vec_id < 5
+        ),
+        aug AS (SELECT * FROM e UNION ALL SELECT * FROM pert)
         SELECT a.vec_id AS id1, b.vec_id AS id2,
                round(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                      + 1e-9, 4) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
               + 1e-9 >= 0.95
     """,
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH candidates + "
-    "exact rerank; the oracle is the exhaustive pairwise join (the corpus "
-    "has no such pairs — recall is proven on synthetic perturbed vectors "
-    "in tests/test_similarity.py).",
+    "exact rerank. The natural corpus has no such pairs at test SF, which "
+    "made the oracle vacuously pass on 0 == 0 rows; both engines therefore "
+    "seed five deterministic near-duplicates (vec_id<5 perturbed by +0.05 "
+    "on the first component, cosine ~0.9987) so the check proves the LSH "
+    "candidate generation actually finds the pairs the exhaustive oracle "
+    "join finds.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return sim.cosine_dup_pairs(emb, threshold=0.95)
+    e = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    pert = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = e.unionByName(pert)
+    return sim.cosine_dup_pairs(aug, threshold=0.95)
 
 
 @query(

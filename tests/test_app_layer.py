@@ -188,3 +188,21 @@ def test_register_db_directory_layout(spark, tmp_path):
     name = registered[0]
     got = spark.sql(f"SELECT answer FROM {name}").collect()
     assert got[0].answer == 42
+
+
+def test_parquet_metadata_column_parity_with_reference():
+    """Column-set equality with the reference UDTF schema
+    (datafusion-functions-parquet/src/lib.rs:160-185, 24 columns)."""
+    from datafusion_dft_spark.functions.parquet_meta import SCHEMA
+
+    reference_cols = [
+        "filename", "row_group_id", "row_group_num_rows",
+        "row_group_num_columns", "row_group_bytes", "column_id",
+        "file_offset", "num_values", "path_in_schema", "type",
+        "logical_type", "stats_min", "stats_max", "stats_null_count",
+        "stats_distinct_count", "stats_min_value", "stats_max_value",
+        "compression", "encodings", "index_page_offset",
+        "dictionary_page_offset", "data_page_offset",
+        "total_compressed_size", "total_uncompressed_size",
+    ]
+    assert [f.name for f in SCHEMA.fields] == reference_cols
