@@ -43,6 +43,15 @@ class HttpConfig:
 
 
 @dataclass
+class FlightConfig:
+    """[flightsql_server] — mirrors the reference's FlightSQL auth config
+    (src/server/flightsql/mod.rs:60-105: basic XOR bearer)."""
+
+    basic_auth: str | None = None
+    bearer_token: str | None = None
+
+
+@dataclass
 class UdfConfig:
     name: str
     mode: str  # "row" | "arrow"
@@ -62,6 +71,7 @@ class ExecutionConfig:
 class AppConfig:
     execution: ExecutionConfig = field(default_factory=ExecutionConfig)
     http: HttpConfig = field(default_factory=HttpConfig)
+    flightsql: FlightConfig = field(default_factory=FlightConfig)
     udfs: list[UdfConfig] = field(default_factory=list)
 
 
@@ -74,6 +84,10 @@ def load_config(path: str) -> AppConfig:
 def parse_config(raw: dict) -> AppConfig:
     ex = raw.get("execution", {})
     http = raw.get("http_server", {})
+    flight = raw.get("flightsql_server", {})
+    if flight.get("basic_auth") and flight.get("bearer_token"):
+        # mod.rs:66 — "Only one auth type can be used at a time"
+        raise ValueError("flightsql_server: only one auth type can be used at a time")
     return AppConfig(
         execution=ExecutionConfig(
             ddl_path=ex.get("ddl_path"),
@@ -85,6 +99,10 @@ def parse_config(raw: dict) -> AppConfig:
             timeout_seconds=int(http.get("timeout_seconds", 10)),
             basic_auth=http.get("basic_auth"),
             bearer_token=http.get("bearer_token"),
+        ),
+        flightsql=FlightConfig(
+            basic_auth=flight.get("basic_auth"),
+            bearer_token=flight.get("bearer_token"),
         ),
         udfs=[
             UdfConfig(

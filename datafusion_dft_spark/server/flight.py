@@ -1,0 +1,370 @@
+"""Arrow Flight SQL-shaped frontend — the reference's network-native API.
+
+Reference: src/server/flightsql/service.rs —
+
+- **Two-phase statement execution**: ``get_flight_info_statement``
+  parses the SQL, builds the *logical plan*, stores it under a fresh
+  request id, and returns a ``FlightInfo`` carrying the result schema
+  plus a ticket with the handle (service.rs:87-226, 162-194); ``do_get``
+  looks the plan up and streams Arrow record batches
+  (service.rs:87-126). Here the "analyzed logical plan" is the
+  unexecuted Spark ``DataFrame`` (Catalyst analyzes eagerly; execution
+  is deferred until ``do_get`` collects to Arrow).
+- **Prepared statements**: ``do_action(create_prepared_statement)``
+  plans once and returns a handle + IPC-serialized dataset schema;
+  ``get_flight_info``/``do_get`` on the handle re-use the stored plan;
+  ``close_prepared_statement`` drops it (service.rs:563-726,
+  715-855).
+- **Catalog RPCs**: catalogs / db_schemas / tables / table_types /
+  sql_info / xdbc_type_info, each expressed as a query over
+  information_schema (service.rs:251-485) — same here, over the
+  ``__info_*`` emulation views.
+- **Auth**: basic or bearer validated per request
+  (src/server/flightsql/mod.rs:60-105) — here a gRPC server middleware.
+- **Observability**: every RPC records a row in the ``requests``
+  table with request id, path, latency and status
+  (service.rs:127-160).
+
+Documented deviation: the reference speaks the protobuf Flight *SQL*
+command envelope (``arrow.flight.protocol.sql``). ``pyarrow.flight``
+ships the generic Flight RPC surface without the FlightSQL protobuf
+codegen, so commands here are JSON objects in the descriptor/action
+body with the same fields and the same two-phase handle contract —
+protocol-shape parity, wire-format deviation. Everything else (Arrow
+IPC data plane, schema-in-FlightInfo, opaque tickets, prepared-
+statement lifecycle) is the real thing.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import hmac
+import json
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.flight as fl
+
+from ..config import AppConfig
+from ..observability import Observability
+from ..sql import prepare_statement, split_statements
+
+# FIFO cap on stored plans: the reference keeps every request's plan in
+# a HashMap forever (service.rs:181-187 never evicts) — unbounded on a
+# long-lived server. Bounding it changes nothing for well-behaved
+# clients (info -> immediate fetch) and is strictly safer.
+MAX_STORED_PLANS = 256
+
+
+@dataclass
+class PreparedStatementHandle:
+    """service.rs:55-62 — stored plan + schemas + creation time."""
+
+    df: object  # pyspark DataFrame (the analyzed plan)
+    dataset_schema: pa.Schema
+    parameter_schema: pa.Schema | None = None
+    created_at: float = field(default_factory=time.time)
+
+
+class _AuthMiddlewareFactory(fl.ServerMiddlewareFactory):
+    """Basic/bearer validation, mirroring mod.rs:60-105.
+
+    Uses constant-time compares; the reference delegates to tower-http's
+    ``ValidateRequestHeaderLayer`` which does the same.
+    """
+
+    def __init__(self, basic_auth: str | None, bearer_token: str | None):
+        self._basic = basic_auth
+        self._bearer = bearer_token
+
+    def start_call(self, info, headers):
+        if not self._basic and not self._bearer:
+            return None
+        auth = (headers.get("authorization") or headers.get("Authorization") or [""])[0]
+        if self._bearer and auth.startswith("Bearer "):
+            if hmac.compare_digest(auth[7:].encode(), self._bearer.encode()):
+                return None
+        if self._basic and auth.startswith("Basic "):
+            try:
+                decoded = base64.b64decode(auth[6:]).decode()
+            except Exception:
+                decoded = ""
+            if hmac.compare_digest(decoded.encode(), self._basic.encode()):
+                return None
+        raise fl.FlightUnauthenticatedError("invalid credentials")
+
+
+def _spark_to_arrow_schema(df) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
+class DftFlightServer(fl.FlightServerBase):
+    """The FlightSQL service over a Spark session.
+
+    Command envelope (JSON bytes in ``FlightDescriptor.command``):
+
+    - ``{"type": "statement", "query": sql}``         (CommandStatementQuery)
+    - ``{"type": "prepared_statement", "handle": h}`` (CommandPreparedStatementQuery)
+    - ``{"type": "catalogs"}``                        (CommandGetCatalogs)
+    - ``{"type": "db_schemas", "catalog": c?, "db_schema_filter_pattern": p?}``
+    - ``{"type": "tables", "catalog": c?, "db_schema_filter_pattern": p?,
+         "table_name_filter_pattern": p?, "table_types": [...]}``
+    - ``{"type": "table_types"}``
+    - ``{"type": "sql_info"}``
+    - ``{"type": "xdbc_type_info", "data_type": n?}``
+
+    Tickets are ``{"handle": request_id}`` — opaque to clients, exactly
+    the reference's ``TicketStatementQuery.statement_handle`` contract.
+    """
+
+    def __init__(self, spark, location: str = "grpc://127.0.0.1:0", config: AppConfig | None = None):
+        config = config or AppConfig()
+        fa = config.flightsql
+        middleware = {}
+        if fa.basic_auth or fa.bearer_token:
+            middleware["auth"] = _AuthMiddlewareFactory(fa.basic_auth, fa.bearer_token)
+        super().__init__(location, middleware=middleware)
+        self._spark = spark
+        self._obs = Observability(spark)
+        self._lock = threading.Lock()
+        self._requests: dict[str, object] = {}  # request_id -> DataFrame (plan)
+        self._prepared: dict[str, PreparedStatementHandle] = {}
+        self.metrics = {"requests_total": 0, "prepared_statements_active": 0}
+
+    # ------------------------------------------------------------- helpers
+
+    def _record(self, start: float, request_id: str | None, path: str, sql: str | None, status: int, rows: int | None = None) -> None:
+        ms = int((time.perf_counter() - start) * 1000)
+        try:
+            self._obs.record(path, sql, ms, rows, status, request_id=request_id)
+        except Exception:
+            pass
+
+    def _store_plan(self, request_id: str, df) -> None:
+        with self._lock:
+            self._requests[request_id] = df
+            while len(self._requests) > MAX_STORED_PLANS:
+                self._requests.pop(next(iter(self._requests)))
+
+    def _sql_to_df(self, sql: str):
+        df = None
+        for stmt in split_statements(sql):
+            df = self._spark.sql(prepare_statement(self._spark, stmt))
+        if df is None:
+            raise fl.FlightServerError("empty SQL statement")
+        return df
+
+    def _flight_info_for_df(self, df, request_id: str, descriptor: fl.FlightDescriptor) -> fl.FlightInfo:
+        """service.rs:162-194 — schema + one endpoint whose ticket is the handle."""
+        self._store_plan(request_id, df)
+        ticket = fl.Ticket(json.dumps({"handle": request_id}).encode())
+        schema = _spark_to_arrow_schema(df)
+        endpoint = fl.FlightEndpoint(ticket, [])
+        return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+    def _catalog_command_sql(self, cmd: dict) -> str:
+        """Catalog RPCs as information_schema queries (service.rs:251-485)."""
+        t = cmd["type"]
+        if t == "catalogs":
+            return "SELECT DISTINCT table_catalog FROM information_schema.tables ORDER BY table_catalog"
+        if t == "db_schemas":
+            preds = []
+            if cmd.get("catalog"):
+                preds.append(f"table_catalog = '{_q(cmd['catalog'])}'")
+            if cmd.get("db_schema_filter_pattern"):
+                preds.append(f"table_schema ILIKE '%{_q(cmd['db_schema_filter_pattern'])}%'")
+            where = (" WHERE " + " AND ".join(preds)) if preds else ""
+            return (
+                "SELECT DISTINCT table_catalog, table_schema FROM information_schema.tables"
+                f"{where} ORDER BY table_catalog, table_schema"
+            )
+        if t == "tables":
+            preds = []
+            if cmd.get("catalog"):
+                preds.append(f"table_catalog = '{_q(cmd['catalog'])}'")
+            if cmd.get("db_schema_filter_pattern"):
+                preds.append(f"table_schema ILIKE '%{_q(cmd['db_schema_filter_pattern'])}%'")
+            if cmd.get("table_name_filter_pattern"):
+                preds.append(f"table_name ILIKE '%{_q(cmd['table_name_filter_pattern'])}%'")
+            if cmd.get("table_types"):
+                quoted = ", ".join(f"'{_q(x)}'" for x in cmd["table_types"])
+                preds.append(f"table_type IN ({quoted})")
+            where = (" WHERE " + " AND ".join(preds)) if preds else ""
+            return (
+                "SELECT * FROM information_schema.tables"
+                f"{where} ORDER BY table_catalog, table_schema, table_name"
+            )
+        if t == "table_types":
+            return "SELECT DISTINCT table_type FROM information_schema.tables ORDER BY table_type"
+        if t == "sql_info":
+            # service.rs:400-432 — basic server info as a one-row relation.
+            from .. import __version__
+
+            return (
+                f"SELECT 'datafusion-dft-spark' AS server_name, '{__version__}' AS server_version, "
+                f"'{pa.__version__}' AS arrow_version, false AS read_only"
+            )
+        if t == "xdbc_type_info":
+            # service.rs:434-485 — XDBC metadata for the supported types.
+            rows = [
+                (-5, "BIGINT", 19, None, None, None, 1, 0, 3, 0, 0, 0, "BIGINT", -5, 0, 10, 0),
+                (4, "INTEGER", 10, None, None, None, 1, 0, 3, 0, 0, 0, "INTEGER", 4, 0, 10, 0),
+                (5, "SMALLINT", 5, None, None, None, 1, 0, 3, 0, 0, 0, "SMALLINT", 5, 0, 10, 0),
+                (-6, "TINYINT", 3, None, None, None, 1, 0, 3, 0, 0, 0, "TINYINT", -6, 0, 10, 0),
+                (8, "DOUBLE", 15, None, None, None, 1, 0, 3, 0, 0, 0, "DOUBLE PRECISION", 8, 0, 2, 0),
+                (7, "REAL", 7, None, None, None, 1, 0, 3, 0, 0, 0, "REAL", 7, 0, 2, 0),
+                (12, "VARCHAR", 2147483647, "'", "'", "length", 1, 1, 3, 0, 0, 0, "VARCHAR", 12, 0, 0, 0),
+                (91, "DATE", 10, "'", "'", None, 1, 0, 3, 0, 0, 0, "DATE", 91, 0, 0, 0),
+                (93, "TIMESTAMP", 23, "'", "'", None, 1, 0, 3, 0, 0, 0, "TIMESTAMP", 93, 3, 0, 0),
+                (-7, "BOOLEAN", 1, None, None, None, 1, 0, 3, 0, 0, 0, "BOOLEAN", -7, 0, 0, 0),
+                (-2, "BINARY", 2147483647, "'", "'", "length", 1, 0, 3, 0, 0, 0, "BINARY", -2, 0, 0, 0),
+                (2, "DECIMAL", 38, None, None, "precision,scale", 1, 0, 3, 0, 0, 0, "DECIMAL", 2, 0, 10, 0),
+            ]
+            cols = (
+                "type_name_num, type_name_str, column_size, literal_prefix, literal_suffix, "
+                "create_params, nullable, case_sensitive, searchable, unsigned_attribute, "
+                "fixed_prec_scale, auto_increment, local_type_name, data_type, minimum_scale, "
+                "maximum_scale, sql_datetime_sub"
+            )
+
+            def lit(v):
+                if v is None:
+                    return "CAST(NULL AS STRING)"
+                if isinstance(v, str):
+                    return f"'{_q(v)}'"
+                return str(v)
+
+            values = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+            sql = f"SELECT * FROM (VALUES {values}) AS types({cols})"
+            if cmd.get("data_type") is not None:
+                sql += f" WHERE data_type = {int(cmd['data_type'])}"
+            return sql
+        raise fl.FlightServerError(f"unknown command type: {t!r}")
+
+    # ------------------------------------------------------------ Flight API
+
+    def get_flight_info(self, context, descriptor):
+        self.metrics["requests_total"] += 1
+        start = time.perf_counter()
+        request_id = str(uuid.uuid4())
+        cmd = json.loads(descriptor.command.decode())
+        t = cmd.get("type", "statement")
+        path = f"/get_flight_info_{t}"
+        sql = None
+        try:
+            if t == "statement":
+                sql = cmd["query"]
+                df = self._sql_to_df(sql)
+            elif t == "prepared_statement":
+                with self._lock:
+                    handle = self._prepared.get(cmd["handle"])
+                if handle is None:
+                    raise fl.FlightServerError(f"prepared statement not found: {cmd['handle']}")
+                df = handle.df
+            else:
+                sql = self._catalog_command_sql(cmd)
+                df = self._sql_to_df(sql)
+            info = self._flight_info_for_df(df, request_id, descriptor)
+        except Exception:
+            self._record(start, request_id, path, sql, 13)
+            raise
+        self._record(start, request_id, path, sql, 0)
+        return info
+
+    def get_schema(self, context, descriptor):
+        info = self.get_flight_info(context, descriptor)
+        return fl.SchemaResult(info.schema)
+
+    def do_get(self, context, ticket):
+        """service.rs:87-126 — look up the stored plan, execute, stream IPC."""
+        self.metrics["requests_total"] += 1
+        start = time.perf_counter()
+        request_id = json.loads(ticket.ticket.decode())["handle"]
+        with self._lock:
+            df = self._requests.get(request_id)
+        if df is None:
+            self._record(start, request_id, "/do_get_statement", None, 13)
+            raise fl.FlightServerError(f"plan not found for id {request_id}")
+        table = df.toArrow()
+        self._record(start, request_id, "/do_get_statement", None, 0, rows=table.num_rows)
+        return fl.RecordBatchStream(table)
+
+    def do_action(self, context, action):
+        self.metrics["requests_total"] += 1
+        start = time.perf_counter()
+        if action.type == "create_prepared_statement":
+            # service.rs:563-654 — plan once, hand back handle + IPC schema.
+            body = json.loads(action.body.to_pybytes().decode())
+            sql = body["query"]
+            request_id = str(uuid.uuid4())
+            df = self._sql_to_df(sql)
+            schema = _spark_to_arrow_schema(df)
+            with self._lock:
+                self._prepared[request_id] = PreparedStatementHandle(df=df, dataset_schema=schema)
+                self.metrics["prepared_statements_active"] = len(self._prepared)
+            self._record(start, request_id, "/do_action/create_prepared_statement", sql, 0)
+            result = {
+                "prepared_statement_handle": request_id,
+                "dataset_schema": base64.b64encode(schema.serialize().to_pybytes()).decode(),
+                "parameter_schema": None,
+            }
+            return [json.dumps(result).encode()]
+        if action.type == "close_prepared_statement":
+            # service.rs:656-713.
+            body = json.loads(action.body.to_pybytes().decode())
+            handle = body["prepared_statement_handle"]
+            with self._lock:
+                found = self._prepared.pop(handle, None)
+                self.metrics["prepared_statements_active"] = len(self._prepared)
+            self._record(start, handle, "/do_action/close_prepared_statement", None, 0 if found else 5)
+            if found is None:
+                raise fl.FlightServerError(f"prepared statement not found: {handle}")
+            return []
+        raise fl.FlightServerError(f"unknown action: {action.type!r}")
+
+    def list_actions(self, context):
+        return [
+            ("create_prepared_statement", "Plan a SQL statement; returns a reusable handle"),
+            ("close_prepared_statement", "Drop a prepared statement handle"),
+        ]
+
+
+def _q(s: str) -> str:
+    """Escape a string literal for embedding in SQL (catalog RPC filters)."""
+    return str(s).replace("'", "''")
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    from ..catalog import register_views
+    from ..config import load_config
+    from ..functions.info_schema import refresh_information_schema
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(prog="datafusion-dft-spark-flight")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=50051)
+    p.add_argument("--config", help="TOML config file")
+    p.add_argument("--register", help="corpus directory to register as views")
+    args = p.parse_args(argv)
+
+    config = load_config(args.config) if args.config else AppConfig()
+    spark = get_spark(app_name="datafusion-dft-spark-flight", conf=config.execution.settings)
+    if args.register:
+        register_views(spark, args.register)
+    refresh_information_schema(spark)
+    server = DftFlightServer(spark, f"grpc://{args.host}:{args.port}", config)
+    print(f"FlightSQL server listening on grpc://{args.host}:{server.port}")
+    server.serve()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,194 @@
+"""FlightSQL frontend e2e: mirror of tests/server_cases/flightsql.rs.
+
+Round-trips a real gRPC Arrow Flight server (random port) with a
+pyarrow FlightClient: statement two-phase (get_flight_info -> do_get),
+catalog RPCs, prepared-statement lifecycle, and auth rejection —
+the contract of src/server/flightsql/service.rs.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pyarrow as pa
+import pyarrow.flight as fl
+import pytest
+
+from datafusion_dft_spark.catalog import register_views
+from datafusion_dft_spark.config import AppConfig, FlightConfig, parse_config
+from datafusion_dft_spark.functions.info_schema import refresh_information_schema
+from datafusion_dft_spark.server.flight import DftFlightServer
+
+
+def _cmd(d: dict) -> fl.FlightDescriptor:
+    return fl.FlightDescriptor.for_command(json.dumps(d).encode())
+
+
+def _fetch(client: fl.FlightClient, descriptor: fl.FlightDescriptor, **call_opts) -> pa.Table:
+    info = client.get_flight_info(descriptor, **call_opts)
+    return client.do_get(info.endpoints[0].ticket, **call_opts).read_all()
+
+
+@pytest.fixture(scope="module")
+def flight_server(spark, sf_dir):
+    register_views(spark, sf_dir)
+    refresh_information_schema(spark)
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0")
+    yield server
+    server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def client(flight_server):
+    c = fl.FlightClient(f"grpc://127.0.0.1:{flight_server.port}")
+    yield c
+    c.close()
+
+
+def test_statement_two_phase(client, spark):
+    """SELECT 1 round-trip — the flightsql.rs:25-71 smoke test."""
+    table = _fetch(client, _cmd({"type": "statement", "query": "SELECT 1 AS one"}))
+    assert table.num_rows == 1
+    assert table.column("one").to_pylist() == [1]
+
+
+def test_statement_schema_before_fetch(client):
+    """Phase 1 alone must carry the result schema (service.rs:162-194)."""
+    info = client.get_flight_info(
+        _cmd({"type": "statement", "query": "SELECT n_name, n_nationkey FROM nation"})
+    )
+    assert [f.name for f in info.schema] == ["n_name", "n_nationkey"]
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.num_rows == 25
+    assert table.schema.equals(info.schema)
+
+
+def test_statement_against_corpus(client, spark):
+    table = _fetch(
+        client,
+        _cmd({"type": "statement", "query": "SELECT count(*) AS n, min(n_nationkey) AS mn FROM nation"}),
+    )
+    assert table.to_pylist() == [{"n": 25, "mn": 0}]
+
+
+def test_unknown_ticket_errors(client):
+    bad = fl.Ticket(json.dumps({"handle": "no-such-plan"}).encode())
+    with pytest.raises(fl.FlightServerError, match="plan not found"):
+        client.do_get(bad).read_all()
+
+
+def test_catalogs_rpc(client):
+    table = _fetch(client, _cmd({"type": "catalogs"}))
+    assert "spark_catalog" in table.column("table_catalog").to_pylist()
+
+
+def test_db_schemas_rpc(client):
+    table = _fetch(client, _cmd({"type": "db_schemas"}))
+    assert {"table_catalog", "table_schema"} == set(table.schema.names)
+    assert table.num_rows >= 1
+
+
+def test_tables_rpc_with_filter(client):
+    table = _fetch(
+        client,
+        _cmd({"type": "tables", "table_name_filter_pattern": "nation", "table_types": ["VIEW"]}),
+    )
+    assert "nation" in table.column("table_name").to_pylist()
+    # ilike filter: no non-matching names
+    assert all("nation" in n for n in table.column("table_name").to_pylist())
+
+
+def test_table_types_rpc(client):
+    table = _fetch(client, _cmd({"type": "table_types"}))
+    assert "VIEW" in table.column("table_type").to_pylist()
+
+
+def test_sql_info_rpc(client):
+    table = _fetch(client, _cmd({"type": "sql_info"}))
+    row = table.to_pylist()[0]
+    assert row["server_name"] == "datafusion-dft-spark"
+    assert row["read_only"] is False
+
+
+def test_xdbc_type_info_rpc(client):
+    table = _fetch(client, _cmd({"type": "xdbc_type_info"}))
+    assert table.num_rows == 12
+    filtered = _fetch(client, _cmd({"type": "xdbc_type_info", "data_type": -5}))
+    assert filtered.column("type_name_str").to_pylist() == ["BIGINT"]
+
+
+def test_prepared_statement_lifecycle(client):
+    """create -> schema in result -> info/fetch -> close -> gone
+    (service.rs:563-855)."""
+    res = list(
+        client.do_action(
+            fl.Action(
+                "create_prepared_statement",
+                json.dumps({"query": "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"}).encode(),
+            )
+        )
+    )
+    body = json.loads(res[0].body.to_pybytes().decode())
+    handle = body["prepared_statement_handle"]
+    schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(body["dataset_schema"])))
+    assert schema.names == ["n_regionkey", "n"]
+
+    # Re-usable: two executions from one prepared plan.
+    for _ in range(2):
+        table = _fetch(client, _cmd({"type": "prepared_statement", "handle": handle}))
+        assert table.num_rows == 5
+
+    list(client.do_action(fl.Action("close_prepared_statement", json.dumps({"prepared_statement_handle": handle}).encode())))
+    with pytest.raises(fl.FlightServerError, match="not found"):
+        client.get_flight_info(_cmd({"type": "prepared_statement", "handle": handle}))
+
+
+def test_list_actions(client):
+    kinds = {a.type for a in client.list_actions()}
+    assert kinds == {"create_prepared_statement", "close_prepared_statement"}
+
+
+def test_observability_records_requests(flight_server, client, spark):
+    _fetch(client, _cmd({"type": "statement", "query": "SELECT 1 AS x"}))
+    paths = [r.path for r in spark.table("requests").collect()]
+    assert "/get_flight_info_statement" in paths
+    assert "/do_get_statement" in paths
+
+
+def test_bearer_auth(spark):
+    config = AppConfig(flightsql=FlightConfig(bearer_token="sekrit"))
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0", config)
+    try:
+        c = fl.FlightClient(f"grpc://127.0.0.1:{server.port}")
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            c.get_flight_info(_cmd({"type": "statement", "query": "SELECT 1"}))
+        opts = fl.FlightCallOptions(headers=[(b"authorization", b"Bearer sekrit")])
+        table = _fetch(c, _cmd({"type": "statement", "query": "SELECT 1 AS one"}), options=opts)
+        assert table.num_rows == 1
+        c.close()
+    finally:
+        server.shutdown()
+
+
+def test_basic_auth(spark):
+    config = AppConfig(flightsql=FlightConfig(basic_auth="user:pass"))
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0", config)
+    try:
+        c = fl.FlightClient(f"grpc://127.0.0.1:{server.port}")
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            c.get_flight_info(_cmd({"type": "statement", "query": "SELECT 1"}))
+        tok = base64.b64encode(b"user:pass").decode()
+        opts = fl.FlightCallOptions(headers=[(b"authorization", f"Basic {tok}".encode())])
+        table = _fetch(c, _cmd({"type": "statement", "query": "SELECT 1 AS one"}), options=opts)
+        assert table.num_rows == 1
+        c.close()
+    finally:
+        server.shutdown()
+
+
+def test_flight_config_parse_and_exclusivity():
+    cfg = parse_config({"flightsql_server": {"bearer_token": "t"}})
+    assert cfg.flightsql.bearer_token == "t"
+    with pytest.raises(ValueError, match="one auth type"):
+        parse_config({"flightsql_server": {"bearer_token": "t", "basic_auth": "u:p"}})
