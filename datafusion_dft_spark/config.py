@@ -65,6 +65,9 @@ class ExecutionConfig:
     ddl_path: str | None = None
     benchmark_iterations: int = 10
     settings: dict[str, str] = field(default_factory=dict)
+    # [execution.object_store] — S3 / HuggingFace store registrations
+    # (config.rs:238-241; extensions/s3.rs, extensions/huggingface.rs).
+    object_store: "ObjectStoreConfig | None" = None
 
 
 @dataclass
@@ -88,11 +91,16 @@ def parse_config(raw: dict) -> AppConfig:
     if flight.get("basic_auth") and flight.get("bearer_token"):
         # mod.rs:66 — "Only one auth type can be used at a time"
         raise ValueError("flightsql_server: only one auth type can be used at a time")
+    from .sources.object_store import parse_object_store
+
     return AppConfig(
         execution=ExecutionConfig(
             ddl_path=ex.get("ddl_path"),
             benchmark_iterations=int(ex.get("benchmark_iterations", 10)),
             settings={str(k): str(v) for k, v in ex.get("settings", {}).items()},
+            object_store=(
+                parse_object_store(ex["object_store"]) if "object_store" in ex else None
+            ),
         ),
         http=HttpConfig(
             result_limit=int(http.get("result_limit", 1000)),

@@ -208,6 +208,10 @@ def main(argv: list[str] | None = None) -> int:
         from ..functions.udf_registry import register_udfs
 
         register_udfs(spark, config.udfs)
+    if config.execution.object_store:
+        from ..sources.object_store import register_object_stores
+
+        register_object_stores(spark, config.execution.object_store)
     if config.execution.ddl_path:
         from ..sql import execute_ddl_file
 

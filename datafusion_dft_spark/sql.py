@@ -180,8 +180,51 @@ def _rewrite_information_schema(spark: SparkSession, sql: str) -> str:
     return _INFO_SCHEMA_RE.sub(lambda m: f"__info_{m.group(1).lower()}", sql)
 
 
+_EXT_TABLE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_]\w*)\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'\s*$"
+)
+
+
+def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
+    """DataFusion's ``CREATE EXTERNAL TABLE n STORED AS fmt LOCATION 'p'``.
+
+    The reference registers a session-scoped table over the file/dir
+    (sql parity: tests/extension_cases/deltalake.rs:23-45 for
+    ``STORED AS DELTATABLE``; plain formats via listing tables). The
+    Spark analog is a temp view over the corresponding reader —
+    session-scoped like DataFusion's, no warehouse write. Returns the
+    replacement statement, or None if the DDL shape doesn't match.
+    """
+    m = _EXT_TABLE_RE.match(stmt)
+    if not m:
+        return None
+    if_not_exists, name, fmt, path = m.group(1), m.group(2), m.group(3).lower(), m.group(4)
+    if if_not_exists and any(t.name == name for t in spark.catalog.listTables()):
+        return f"SELECT '{name}' AS table_name WHERE 1=0"
+    if fmt == "deltatable":
+        # extensions/deltalake.rs:34-51 — DELTATABLE factory. Gated on
+        # the delta-spark classpath; raises an actionable error if absent.
+        from .sources.delta import read_delta
+
+        read_delta(spark, path).createOrReplaceTempView(name)
+    elif fmt in ("parquet", "csv", "json", "ndjson"):
+        reader = spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = reader.format("json" if fmt == "ndjson" else fmt).load(path)
+        df.createOrReplaceTempView(name)
+    else:
+        raise ValueError(f"unsupported STORED AS format: {fmt!r}")
+    # DDL yields an empty, schema-stable result like Spark's own CREATE.
+    return f"SELECT '{name}' AS table_name WHERE 1=0"
+
+
 def prepare_statement(spark: SparkSession, stmt: str) -> str:
     """Apply all app-level rewrites to one statement."""
+    ext = _rewrite_external_table(spark, stmt)
+    if ext is not None:
+        return ext
     stmt = _rewrite_url_tables(stmt)
     stmt = _rewrite_json_functions(stmt)
     stmt = _rewrite_parquet_metadata(spark, stmt)
