@@ -3,9 +3,9 @@
 Reference: crates/datafusion-app/src/observability/mod.rs:144-157 — a
 per-request log queryable as a table. Schema mirrored exactly (unsigned
 columns widened per SURVEY.md §7: rows u64→long, status u16→int).
-Rows accumulate in memory and re-register as the ``requests`` temp view
-on each insert — the same rebuild-on-read approach the reference's
-MapTable takes (tables/map_table.rs:101-120).
+Backed by the MapTable analog (tables/map_table.rs:46-120): rows key on
+request_id with upsert semantics, re-registering the ``requests`` temp
+view on each insert — the reference's rebuild-on-scan approach.
 """
 
 from __future__ import annotations
@@ -15,6 +15,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from .map_table import MapTable
 
 SCHEMA = T.StructType(
     [
@@ -31,10 +33,7 @@ SCHEMA = T.StructType(
 
 class Observability:
     def __init__(self, spark: SparkSession, view_name: str = "requests"):
-        self._spark = spark
-        self._view = view_name
-        self._rows: list[tuple] = []
-        self.refresh()
+        self._table = MapTable(spark, view_name, SCHEMA, primary_key="request_id")
 
     def record(
         self,
@@ -46,24 +45,21 @@ class Observability:
         request_id: str | None = None,
     ) -> str:
         rid = request_id or str(uuid.uuid4())
-        self._rows.append(
-            (
-                rid,
-                path,
-                sql,
-                dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
-                int(duration_ms),
-                None if rows is None else int(rows),
-                int(status),
-            )
+        self._table.upsert(
+            {
+                "request_id": rid,
+                "path": path,
+                "sql": sql,
+                "timestamp": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                "duration_ms": int(duration_ms),
+                "rows": None if rows is None else int(rows),
+                "status": int(status),
+            }
         )
-        self.refresh()
         return rid
 
     def refresh(self) -> DataFrame:
-        df = self._spark.createDataFrame(self._rows, SCHEMA)
-        df.createOrReplaceTempView(self._view)
-        return df
+        return self._table.refresh()
 
     def df(self) -> DataFrame:
-        return self._spark.table(self._view)
+        return self._table._spark.table(self._table.name)
