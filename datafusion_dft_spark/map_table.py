@@ -35,15 +35,17 @@ class MapTable:
         spark: SparkSession,
         name: str,
         schema: T.StructType,
-        primary_key: str,
+        primary_key: str | tuple[str, ...],
         register: bool = True,
     ):
-        if primary_key not in schema.fieldNames():
-            raise ValueError(f"primary key {primary_key!r} not in schema")
+        pk = (primary_key,) if isinstance(primary_key, str) else tuple(primary_key)
+        missing = [c for c in pk if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"primary key {missing} not in schema")
         self._spark = spark
         self.name = name
         self.schema = schema
-        self.primary_key = primary_key
+        self.primary_key = pk
         self._fields = set(schema.fieldNames())
         self._rows: dict[object, dict] = {}  # insertion-ordered (py3.7+ dict)
         self._register = register
@@ -64,9 +66,7 @@ class MapTable:
                 raise ValueError(
                     f"columns {sorted(extra)} for table {self.name} are not in the provided schema"
                 )
-            key = row.get(self.primary_key)
-            if key is None:
-                raise ValueError(f"row is missing primary key {self.primary_key!r}")
+            key = self._key_of(row)
             if key in self._rows:
                 self._rows[key].update(row)
             else:
@@ -83,6 +83,12 @@ class MapTable:
         if n and self._register:
             self.refresh()
         return n
+
+    def _key_of(self, row: dict):
+        vals = tuple(row.get(c) for c in self.primary_key)
+        if any(v is None for v in vals):
+            raise ValueError(f"row is missing primary key {self.primary_key!r}")
+        return vals[0] if len(vals) == 1 else vals
 
     def get(self, key) -> dict | None:
         """O(1) primary-key lookup (the map's reason to exist)."""
@@ -120,7 +126,7 @@ class MapTable:
         n = 0
         for r in self._spark.read.schema(self.schema).parquet(path).collect():
             d = r.asDict()
-            self._rows[d[self.primary_key]] = d
+            self._rows[self._key_of(d)] = d
             n += 1
         if self._register:
             self.refresh()

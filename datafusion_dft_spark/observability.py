@@ -33,7 +33,11 @@ SCHEMA = T.StructType(
 
 class Observability:
     def __init__(self, spark: SparkSession, view_name: str = "requests"):
-        self._table = MapTable(spark, view_name, SCHEMA, primary_key="request_id")
+        # Composite key: one request id spans multiple RPC rows in the
+        # reference's log (FlightSQL's get_flight_info + do_get share an
+        # id, service.rs:127-160 — append keeps both); (request_id, path)
+        # preserves that while re-records of the same phase coalesce.
+        self._table = MapTable(spark, view_name, SCHEMA, primary_key=("request_id", "path"))
 
     def record(
         self,

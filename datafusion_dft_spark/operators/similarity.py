@@ -53,6 +53,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine for bulk rerank stages.
+
+    ``cosine()``'s higher-order expressions are interpreted per
+    element; fine at one dot per surviving row, but a candidate rerank
+    evaluates millions of rows x dim lambdas (measured ~3 s of the
+    4 s dedup_embedding_cosine steady state at sf0.1). One numpy
+    einsum per Arrow batch does the same FLOPs at memory bandwidth.
+    Left-to-right accumulation matches F.aggregate / DuckDB
+    list_dot_product summation order closely enough that the rounded
+    (+1e-9, 4dp) values hash identically — verified differentially.
+    """
+
+    @F.pandas_udf("double")
+    def _udf(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        m1 = np.stack(v1.to_numpy())
+        m2 = np.stack(v2.to_numpy())
+        num = np.einsum("ij,ij->i", m1, m2)
+        den = np.linalg.norm(m1, axis=1) * np.linalg.norm(m2, axis=1)
+        return pd.Series(num / den)
+
+    return _udf(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,39 +169,44 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = N_PLANES,
-    n_tables: int = N_TABLES,
+    n_tables: int = 2 * N_TABLES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine >= threshold).
 
     Candidates come from multi-table LSH self-buckets, then the exact
-    cosine filter runs only on candidates. At theta = acos(0.95) ~ 18deg
-    a pair agrees with a random hyperplane w.p. ~0.9, so the probability
-    of missing a true near-dup across 8 tables x radius-1 probes is
-    ~1e-7 — the candidate set is effectively exhaustive for the
-    near-dup regime while never forming the O(n^2) join.
+    cosine filter runs only on candidates. Unlike query ANN
+    (``lsh_topk``), a SELF-join needs no multi-probe: both members of
+    a pair hash through the same planes, so recall is bought with more
+    tables instead — at theta = acos(0.95) ~ 18deg a pair agrees with
+    a random plane w.p. ~0.9, same 6-plane bucket w.p. 0.52, and the
+    miss probability across 16 independent tables is 0.48^16 ~ 7e-6.
+    Dropping the radius-1 probe stage cut the pre-distinct candidate
+    stream 7x (3.5M -> 0.5M at sf0.1) for the same effective recall.
     """
     sigs = signatures(F.col("v"), _dim_of(corpus, vec_col), n_planes, n_tables)
-    # NOTE: no _ensure_parallelism here — base is cached and consumed by
-    # four subtrees; a repartition under a cache that bench clears between
-    # runs re-executes the exchange per consumer (measured 6s -> 20-70s,
-    # high variance). The cache itself restores downstream parallelism.
-    base = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v")).cache()
+    base = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    # No cache: the only expensive subtree is the pandas-UDF signature
+    # pass, and exactly one consumer (banded) needs it — v1/v2 rejoin
+    # from the raw scan, which the parquet reader serves for pennies.
+    # (An earlier cached-base variant scheduled all four consumers onto
+    # the cache's partitioning: 1 scan task serialized the UDF, and
+    # cache+repartition interacted pathologically with multi-consumer
+    # plans — 20-70 s swings. Single-consumer repartition is the
+    # lsh_topk/ivf_topk shape that measured 10x.)
     # Candidate generation on bare ids — carrying the 64-double vectors
     # through the bucket join + distinct multiplies shuffle bytes ~30x
     # (measured 10.6s -> ~2s at sf0.1); vectors rejoin only for the
     # exact rerank of the (small) candidate set.
-    banded = base.select("vid", F.posexplode(sigs).alias("table", "bucket"))
-    probes = banded.select(
-        "vid",
-        "table",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)],
-            )
-        ).alias("bucket"),
+    banded = (
+        _ensure_parallelism(base)
+        .select("vid", F.posexplode(sigs).alias("table", "bucket"))
+        .cache()
     )
-    left = probes.select(F.col("vid").alias("id1"), "table", "bucket")
+    # cache AFTER the UDF: the self-join reads banded twice, and AQE's
+    # exchange reuse across the two subtrees is not dependable under
+    # repartition+UDF (measured 3 s -> 25 s swings without it); the
+    # cached relation pins one signature pass per execution.
+    left = banded.select(F.col("vid").alias("id1"), "table", "bucket")
     right = banded.select(F.col("vid").alias("id2"), "table", "bucket")
     cand = (
         left.join(right, ["table", "bucket"])
@@ -190,7 +219,7 @@ def cosine_dup_pairs(
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2")) + 1e-9, 4))
+        .withColumn("cosine", F.round(cosine_batch(F.col("v1"), F.col("v2")) + 1e-9, 4))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )

@@ -79,6 +79,23 @@ def test_save_load_round_trip(spark, tmp_path):
     assert {r.id for r in t2.df().collect()} == {1, 2}
 
 
+def test_composite_primary_key(spark):
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("n", T.IntegerType(), True),
+        ]
+    )
+    t = MapTable(spark, "map_composite", schema, primary_key=("rid", "path"), register=False)
+    t.upsert({"rid": "a", "path": "/x", "n": 1}, {"rid": "a", "path": "/y", "n": 2})
+    t.upsert({"rid": "a", "path": "/x", "n": 3})  # same composite key: replaces
+    assert len(t) == 2
+    assert t.get(("a", "/x"))["n"] == 3
+    with pytest.raises(ValueError, match="missing primary key"):
+        t.upsert({"rid": "a", "n": 4})
+
+
 def test_observability_on_map_table(spark):
     """observability/mod.rs:185-231 — record one request, read it back
     through SQL with the exact reference schema."""
