@@ -243,23 +243,41 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, method: str = "md5") -> DataFrame:
     """(id_col, simhash: long) 64-bit SimHash over word-frequency weights.
 
-    Word hashing (xxhash64) and the (doc, word) count stay JVM-side;
-    the 64 weighted bit-sums per document run as one numpy broadcast in
-    a vectorized pandas UDF — evaluating them as 64 aggregate
+    Word hashing and the (doc, word) count stay JVM-side; the 64
+    weighted bit-sums per document run as one numpy broadcast in a
+    vectorized pandas UDF — evaluating them as 64 aggregate
     expressions costs 64 codegen buffers x every word row (measured
     ~5s at sf0.1 vs <1s vectorized). Bit b of the arithmetic-shifted
     signed hash equals bit b of the unsigned value, so results are
     identical to the pure-expression formulation.
+
+    - ``md5`` (default): the word's 64 hash bits are the first 16 hex
+      chars of md5(word) (hi 32 | lo 32 assembled bitwise — no
+      overflow semantics involved). Engine-portable, so the whole
+      SimHash pipeline is differentially checkable against DuckDB by
+      per-bit extraction from the same hex — the doc_min_k_sketch /
+      minhash pattern applied to SimHash.
+    - ``xxhash64``: Spark's native hash; recall-tested only.
     """
     wc = (
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.xxhash64("word"))
     )
+    if method == "md5":
+        # md5 projected once; hi|lo assembled bitwise (shiftleft, not
+        # multiply — no overflow semantics under ANSI mode).
+        wc = wc.withColumn("m", F.md5(F.col("word")))
+        hi = F.conv(F.substring("m", 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring("m", 9, 8), 16, 10).cast("long")
+        wc = wc.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo)).drop("m")
+    elif method == "xxhash64":
+        wc = wc.withColumn("h", F.xxhash64("word"))
+    else:
+        raise ValueError(f"unknown simhash method {method!r}")
     lists = wc.groupBy(id_col).agg(
         F.collect_list("h").alias("hs"), F.collect_list("cnt").alias("cs")
     )
@@ -281,7 +299,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, method: str = "md5"
 ) -> DataFrame:
     """(doc1, doc2, hamming) pairs within Hamming distance via pigeonhole bands.
 
@@ -291,7 +309,7 @@ def simhash_pairs(
     """
     if max_hamming >= SIMHASH_CHUNKS:
         raise ValueError("pigeonhole bands require max_hamming < number of chunks")
-    fp = simhash(df, id_col, text_col).cache()
+    fp = simhash(df, id_col, text_col, method=method).cache()
     width = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = F.array(
         *[
@@ -314,7 +332,7 @@ def simhash_pairs(
     return (
         cand.join(f1, "doc1")
         .join(f2, "doc2")
-        .withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))))
+        .withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )

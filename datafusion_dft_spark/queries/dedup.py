@@ -148,10 +148,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based sketch — validated in tests
+    oracle="""
+        WITH wc AS (
+            SELECT doc_id, word, count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents) w
+            GROUP BY doc_id, word
+        ), bits AS (
+            -- bit b of the 64-bit word hash = bit (b%4) of hex nibble
+            -- 16 - b//4 of md5(word): identical to Spark's
+            -- shiftleft(conv(hex[1:8]),32) | conv(hex[9:16]) assembly.
+            SELECT doc_id, b,
+                   CASE WHEN sum(cnt * (2 * ((('0x' || substr(md5(word), 16 - b // 4, 1))::INT
+                                              >> (b % 4)) & 1) - 1)) > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM wc CROSS JOIN range(64) r(b)
+            GROUP BY doc_id, b
+        ), chunks AS (
+            SELECT doc_id, b // 8 AS chunk, sum(bit << (b % 8)) AS chunkval
+            FROM bits GROUP BY doc_id, b // 8
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM chunks a JOIN chunks b USING (chunk, chunkval)
+            WHERE a.doc_id < b.doc_id
+        ), ham AS (
+            SELECT c.doc1, c.doc2,
+                   CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN bits x ON x.doc_id = c.doc1
+            JOIN bits y ON y.doc_id = c.doc2 AND y.b = x.b
+            GROUP BY c.doc1, c.doc2
+        )
+        SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 6
+    """,
     tags=("dedup", "simhash"),
     doc="64-bit SimHash fingerprints; Hamming<=6 pairs via 8x8-bit pigeonhole "
-    "bands (no quadratic self-join).",
+    "bands (no quadratic self-join). Word-hash bits come from md5 hex, so the "
+    "full sketch is differentially verified against DuckDB per-bit — the "
+    "doc_min_k_sketch pattern applied to SimHash.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
