@@ -107,6 +107,7 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
             return jsonify({"error": "body must be JSON with a non-empty 'sql' field"}), 400
         sql = body["sql"]
         limit_raw = body.get("limit", config.http.result_limit)
+        offset_raw = body.get("offset", 0)
 
         def run():
             # Parsed inside guarded(): a bad limit must surface as a 400
@@ -115,11 +116,20 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
                 limit = int(limit_raw)
             except (TypeError, ValueError):
                 raise ValueError(f"'limit' must be an integer, got {limit_raw!r}")
+            try:
+                offset = int(offset_raw)
+            except (TypeError, ValueError):
+                raise ValueError(f"'offset' must be an integer, got {offset_raw!r}")
             df = None
             for stmt in split_statements(sql):
                 df = spark.sql(prepare_statement(spark, stmt))
             if df is None:
                 return {"rows": [], "schema": []}, 0
+            if offset > 0:
+                # Pagination analog of the TUI's batch slicing: the plan's
+                # GlobalLimit absorbs offset+limit, so a page deep into an
+                # ordered result still never materializes the full set.
+                df = df.offset(offset)
             rows = _df_to_json_rows(df, limit)
             return (
                 {"rows": rows, "schema": [{"name": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields]},

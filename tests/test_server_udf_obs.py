@@ -38,6 +38,17 @@ def test_post_sql_result_limit(client):
     assert len(r.get_json()["rows"]) == 7
 
 
+def test_post_sql_pagination(client):
+    """offset+limit page through an ordered result (TUI-slice analog)."""
+    sql = "SELECT r_regionkey FROM region ORDER BY r_regionkey"
+    page1 = client.post("/sql", json={"sql": sql, "limit": 2}).get_json()["rows"]
+    page2 = client.post("/sql", json={"sql": sql, "limit": 2, "offset": 2}).get_json()["rows"]
+    page3 = client.post("/sql", json={"sql": sql, "limit": 2, "offset": 4}).get_json()["rows"]
+    assert [r["r_regionkey"] for r in page1 + page2 + page3] == [0, 1, 2, 3, 4]
+    bad = client.post("/sql", json={"sql": sql, "offset": "x"})
+    assert bad.status_code == 400 and "offset" in bad.get_json()["error"]
+
+
 def test_post_sql_error(client):
     r = client.post("/sql", json={"sql": "SELECT * FROM nope"})
     assert r.status_code == 400
