@@ -89,16 +89,21 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
-    # Two aggregates joined on the tiny group key instead of one: mixing
-    # COUNT(DISTINCT) (Expand plan) with typed-buffer aggregates (HLL++,
-    # percentile) degrades to a sort-aggregate over the expanded rows
-    # (measured 47s vs <2s per split at sf0.1).
-    exact = li.groupBy("l_returnflag").agg(
+    # Three aggregates joined on the tiny group key instead of one:
+    # COUNT(DISTINCT) plans via Expand, and ANY typed-buffer aggregate
+    # (exact percentile, HLL++) sharing its Aggregate degrades to a
+    # sort-aggregate over the expanded rows — 24M buffered rows at
+    # sf0.1, measured 50 s under heap pressure vs ~4 s split. The
+    # approx pair (HLL++ + percentile_approx) coexists fine: both are
+    # typed buffers, no Expand.
+    distinct = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    pctl = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
     )
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
     )
-    return exact.join(approx, "l_returnflag")
+    return distinct.join(pctl, "l_returnflag").join(approx, "l_returnflag")
