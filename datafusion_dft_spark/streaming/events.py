@@ -104,6 +104,49 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def view_purchase_join(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to a prior view.
+
+    Spark's StreamingSymmetricHashJoin — the engine analog of
+    DataFusion's SymmetricHashJoinExec (unbounded two-sided hash join,
+    which the reference compiles in but never schedules for its finite
+    sources; SURVEY §2.3). Both sides buffer keyed state; the
+    watermark + time-range predicate (view <= purchase <= view +
+    horizon) lets Spark evict state older than the horizon, so memory
+    is bounded by (keys x horizon) not the stream length. Scale: state
+    is partitioned by user_id — horizontal scale is adding executors.
+    """
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + INTERVAL {horizon}
+            """
+        ),
+        "inner",
+    ).select("v_user", "view_id", "view_ts", "purchase_ts", "purchase_value")
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming query over all available input synchronously
     (memory sink, complete mode) — the local test harness."""

@@ -10,6 +10,7 @@ from datafusion_dft_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_windows,
+    view_purchase_join,
     windowed_counts,
 )
 
@@ -31,6 +32,47 @@ def test_streaming_dedup(spark, sf_dir):
     n_rows = spark.sql("SELECT count(*) AS n FROM stream_dedup").collect()[0].n
     n_batch = load_tables(spark, sf_dir)["events"].select("event_id").distinct().count()
     assert n_stream == n_rows == n_batch  # no dup survived, none lost
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """StreamingSymmetricHashJoin (view->purchase within 1h) == the
+    identical batch join — the SymmetricHashJoinExec analog (§2.3)."""
+    views = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    q = (
+        view_purchase_join(views, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_vp_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(purchase_value) AS v FROM stream_vp_join"
+    ).collect()[0]
+    ev = load_tables(spark, sf_dir)["events"]
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"), "event_id"
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
+    )
+    want = (
+        bv.join(
+            bp,
+            F.expr(
+                "v_user = p_user AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 1 hour"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("purchase_value").alias("v"))
+        .collect()[0]
+    )
+    assert got.n == want.n and got.n > 0
+    assert abs(got.v - want.v) < 1e-6
 
 
 def test_windowed_counts_match_batch(spark, sf_dir):
