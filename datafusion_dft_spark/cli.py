@@ -26,13 +26,7 @@ import time
 from pyspark.sql import DataFrame
 
 
-def format_table(df: DataFrame, limit: int = 40) -> str:
-    """psql-style ASCII table of the first ``limit`` rows."""
-    rows = df.take(limit + 1)
-    truncated = len(rows) > limit
-    rows = rows[:limit]
-    cols = df.columns
-    cells = [[("NULL" if v is None else str(v)) for v in r] for r in rows]
+def _format_cells(cols: list[str], cells: list[list[str]], truncated: bool, limit: int) -> str:
     widths = [
         max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
         for i, c in enumerate(cols)
@@ -45,6 +39,23 @@ def format_table(df: DataFrame, limit: int = 40) -> str:
     if truncated:
         out.append(f"-- printed {limit} rows (truncated); use --limit to raise")
     return "\n".join(out)
+
+
+def format_table(df: DataFrame, limit: int = 40) -> str:
+    """psql-style ASCII table of the first ``limit`` rows."""
+    rows = df.take(limit + 1)
+    truncated = len(rows) > limit
+    rows = rows[:limit]
+    cells = [[("NULL" if v is None else str(v)) for v in r] for r in rows]
+    return _format_cells(df.columns, cells, truncated, limit)
+
+
+def format_arrow_table(table, limit: int = 40) -> str:
+    """Same ASCII rendering for a pyarrow Table (FlightSQL client path)."""
+    truncated = table.num_rows > limit
+    rows = table.slice(0, limit).to_pylist()
+    cells = [[("NULL" if r[c] is None else str(r[c])) for c in table.schema.names] for r in rows]
+    return _format_cells(list(table.schema.names), cells, truncated, limit)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -72,7 +83,48 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", help="write last result to file (format from suffix)")
     p.add_argument("--limit", type=int, default=40, help="max rows to print")
     p.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument(
+        "--flightsql",
+        action="store_true",
+        help="route queries through a FlightSQL server instead of a local session",
+    )
+    p.add_argument(
+        "--host",
+        default="grpc://127.0.0.1:50051",
+        help="FlightSQL server location for --flightsql",
+    )
     return p
+
+
+def run_flightsql_client(args, scripts: list[str]) -> int:
+    """``dft -c ... --flightsql --host`` (tests/server_cases/flightsql.rs:55-71):
+    each statement goes get_flight_info → do_get against the server; no
+    local Spark session is built."""
+    import json as _json
+
+    import pyarrow.flight as fl
+
+    from .sql import split_statements
+
+    client = fl.FlightClient(args.host)
+    rc = 0
+    for script in scripts:
+        for stmt in split_statements(script):
+            try:
+                t0 = time.perf_counter()
+                desc = fl.FlightDescriptor.for_command(
+                    _json.dumps({"type": "statement", "query": stmt}).encode()
+                )
+                info = client.get_flight_info(desc)
+                table = client.do_get(info.endpoints[0].ticket).read_all()
+                print(format_arrow_table(table, limit=args.limit))
+                if args.time:
+                    print(f"elapsed: {time.perf_counter() - t0:.3f}s")
+            except Exception as e:
+                print(f"error in statement: {stmt[:80]}...\n  {e}", file=sys.stderr)
+                rc = 1
+    client.close()
+    return rc
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -80,6 +132,13 @@ def main(argv: list[str] | None = None) -> int:
     if not args.command and not args.file and not args.generate_tpch:
         print("error: provide SQL via -c or -f (or --generate-tpch DIR)", file=sys.stderr)
         return 2
+
+    if args.flightsql:
+        scripts = list(args.command)
+        for path in args.file:
+            with open(path) as f:
+                scripts.append(f.read())
+        return run_flightsql_client(args, scripts)
 
     from .catalog import register_db, register_views
     from .plans.bench import format_report, run_bench, save_csv

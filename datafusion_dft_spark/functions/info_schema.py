@@ -49,6 +49,10 @@ def refresh_information_schema(spark: SparkSession) -> None:
     for db in spark.catalog.listDatabases():
         tables_in_db = spark.catalog.listTables(db.name)
         for t in tables_in_db:
+            if t.tableType == "TEMPORARY" and not t.namespace:
+                # listTables(db) repeats session temp views under EVERY
+                # database; they are catalogued once below instead.
+                continue
             ttype = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "BASE TABLE"
             schema = t.namespace[0] if t.namespace else db.name
             tables.append((t.catalog or catalog, schema, t.name, ttype))
@@ -67,11 +71,19 @@ def refresh_information_schema(spark: SparkSession) -> None:
                     )
             except Exception:
                 pass
-    # Global temp views live outside databases; include plain temp views once.
-    seen = {(t[2]) for t in tables}
+    # Session temp views live outside databases — catalogued exactly once
+    # under the "session" schema (with their columns), regardless of how
+    # many databases exist or whether a db table shares the name.
     for t in spark.catalog.listTables():
-        if t.name not in seen:
+        if t.tableType == "TEMPORARY" and not t.namespace:
             tables.append((catalog, "session", t.name, "VIEW"))
+            try:
+                for i, c in enumerate(spark.catalog.listColumns(t.name)):
+                    columns.append(
+                        (catalog, "session", t.name, c.name, i + 1, c.dataType, "YES" if c.nullable else "NO")
+                    )
+            except Exception:
+                pass
     schemata = [(catalog, db.name) for db in spark.catalog.listDatabases()]
 
     spark.createDataFrame(tables, _TABLES_SCHEMA).createOrReplaceTempView("__info_tables")

@@ -83,9 +83,12 @@ def test_parquet_metadata_udtf(spark, sf_dir):
 
 def test_information_schema(spark, sf_dir):
     register_views(spark, sf_dir)
+    # scope to the session schema: other tests may have created db
+    # tables with the same names, which legitimately list separately
     dfs = execute_sql(
         spark,
-        "SELECT table_name FROM information_schema.tables WHERE table_name = 'lineitem'",
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_name = 'lineitem' AND table_schema = 'session'",
     )
     assert dfs[0].count() == 1
     cols = execute_sql(

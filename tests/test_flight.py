@@ -187,6 +187,25 @@ def test_basic_auth(spark):
         server.shutdown()
 
 
+def test_cli_flightsql_client(flight_server, capsys):
+    """``-c 'SELECT 1' --flightsql --host`` against a live server —
+    the flightsql.rs:25-71 custom-host smoke test."""
+    from datafusion_dft_spark.cli import main as cli_main
+
+    rc = cli_main(
+        [
+            "-c",
+            "SELECT 1 AS one",
+            "--flightsql",
+            "--host",
+            f"grpc://127.0.0.1:{flight_server.port}",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "| one |" in out and "| 1   |" in out
+
+
 def test_flight_config_parse_and_exclusivity():
     cfg = parse_config({"flightsql_server": {"bearer_token": "t"}})
     assert cfg.flightsql.bearer_token == "t"
