@@ -34,9 +34,6 @@ from pyspark.sql import functions as F
 
 N_PLANES = 6
 N_TABLES = 8
-_PLANE_SEED = 42
-
-
 def as_double(vec: Column | str) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -113,9 +110,27 @@ def brute_force_topk(
 
 
 def _planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
-    """Deterministic hyperplane normals, one set per table (seeded)."""
-    rng = np.random.RandomState(_PLANE_SEED)
-    return rng.randn(n_tables, n_planes, dim)
+    """Deterministic hyperplane normals, one set per table.
+
+    Coordinates are md5-derived uniforms on [-0.5, 0.5):
+    ``int(md5("t:p:d")[:8], 16) / 2^32 - 0.5`` — every step is exact
+    integer arithmetic followed by identical IEEE-754 ops, so DuckDB
+    reproduces the planes bit-for-bit
+    (``('0x'||substr(md5(t||':'||p||':'||d),1,8))::BIGINT / 4294967296.0
+    - 0.5``) and the whole LSH pipeline becomes differentially
+    checkable. Uniform (vs Gaussian) hyperplane normals lose exact
+    rotation invariance but remain valid sign-LSH planes; recall is
+    asserted against brute force in tests either way.
+    """
+    import hashlib
+
+    out = np.empty((n_tables, n_planes, dim))
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+                out[t, p, d] = h / 4294967296.0 - 0.5
+    return out
 
 
 def signatures(
@@ -257,8 +272,13 @@ def ivf_topk(
     # OOM at the scales this operator targets), then a tiny ordered limit
     # pins the exact set.
     stride = max(1, corpus.count() // n_centroids)
+    # md5-based stride (not xxhash64) keeps the sample engine-portable:
+    # DuckDB reproduces ('0x'||substr(md5(id),1,8))::BIGINT % stride.
+    stride_hash = F.conv(
+        F.substring(F.md5(F.col("cid").cast("string")), 1, 8), 16, 10
+    ).cast("long")
     cents = (
-        cd.filter(F.pmod(F.xxhash64(F.col("cid")), F.lit(stride)) == 0)
+        cd.filter(F.pmod(stride_hash, F.lit(stride)) == 0)
         .orderBy("cid")
         .limit(n_centroids)
         .select(F.col("cid").alias("centroid_id"), F.col("cv").alias("centv"))

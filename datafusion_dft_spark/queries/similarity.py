@@ -53,13 +53,107 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_pruned_topk",
-    oracle=None,  # approximate — recall vs brute force asserted in tests
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+        planes AS (
+            -- bit-identical to operators/similarity._planes: md5-derived
+            -- uniforms on [-0.5, 0.5), exact integer -> IEEE ops.
+            SELECT t, p, d,
+                   ('0x' || substr(md5(t || ':' || p || ':' || d), 1, 8))::BIGINT
+                       / 4294967296.0 - 0.5 AS w
+            FROM range(8) rt(t) CROSS JOIN range(6) rp(p) CROSS JOIN range({_DIM}) rd(d)
+        ),
+        dots AS (
+            SELECT e.vec_id, pl.t, pl.p, sum(e.v[pl.d + 1] * pl.w) AS dp
+            FROM e CROSS JOIN planes pl
+            GROUP BY e.vec_id, pl.t, pl.p
+        ),
+        sigs AS (
+            SELECT vec_id, t,
+                   CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id, t
+        ),
+        qprobes AS (
+            SELECT s.vec_id AS query_id, s.t,
+                   CASE WHEN j = 0 THEN s.bucket
+                        ELSE xor(s.bucket, CAST(1 << (j - 1) AS BIGINT)) END AS bucket
+            FROM sigs s JOIN q ON q.vec_id = s.vec_id
+            CROSS JOIN range(7) rj(j)
+        ),
+        lsh_cand AS (
+            SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+            FROM qprobes qp JOIN sigs c ON c.t = qp.t AND c.bucket = qp.bucket
+            WHERE c.vec_id <> qp.query_id
+        ),
+        lsh_ranked AS (
+            SELECT 'lsh' AS method, lc.query_id, lc.neighbor_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                         + 1e-9, 4) AS cosine
+            FROM lsh_cand lc JOIN e a ON a.vec_id = lc.query_id
+                             JOIN e b ON b.vec_id = lc.neighbor_id
+        ),
+        lsh_top AS (
+            SELECT method, query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM lsh_ranked QUALIFY rank <= 5
+        ),
+        stride AS (SELECT greatest(1, count(*) // 16) AS s FROM e),
+        cents AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e, stride
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % s = 0
+            ORDER BY vec_id LIMIT 16
+        ),
+        asgn AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, c.cv)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                           DESC, c.centroid_id ASC) AS rnk
+                FROM e CROSS JOIN cents c) WHERE rnk = 1
+        ),
+        qprobe AS (
+            SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT q.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_dot_product(q.v, c.cv)
+                           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                           DESC, c.centroid_id ASC) AS rnk
+                FROM q CROSS JOIN cents c) WHERE rnk <= 4
+        ),
+        ivf_cand AS (
+            SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+            FROM qprobe qp JOIN asgn a USING (centroid_id)
+            WHERE a.vec_id <> qp.query_id
+        ),
+        ivf_ranked AS (
+            SELECT 'ivf' AS method, ic.query_id, ic.neighbor_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                         + 1e-9, 4) AS cosine
+            FROM ivf_cand ic JOIN e a ON a.vec_id = ic.query_id
+                             JOIN e b ON b.vec_id = ic.neighbor_id
+        ),
+        ivf_top AS (
+            SELECT method, query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM ivf_ranked QUALIFY rank <= 5
+        )
+        SELECT * FROM lsh_top UNION ALL SELECT * FROM ivf_top
+    """,
     tags=("similarity", "ann", "lsh", "ivf"),
     doc="Both sub-linear ANN scale paths in one method-tagged query "
     "(consolidated for the driver's 50-query cap): hyperplane-LSH "
-    "(8 tables x 6 deterministic planes, radius-1 multi-probe, exact "
-    "in-bucket rerank) and IVF-flat (16 stride-sampled centroids, 4-cell "
-    "probe, exact in-cell rerank).",
+    "(8 tables x 6 md5-derived planes, radius-1 multi-probe, exact "
+    "in-bucket rerank) and IVF-flat (16 md5-stride-sampled centroids, "
+    "4-cell probe, exact in-cell rerank). Planes and stride derive from "
+    "md5, so DuckDB reproduces bucketing, assignment, probing and rerank "
+    "exactly — both approximate indexes are differentially verified, "
+    "the doc_min_k_sketch pattern applied to ANN.",
 )
 def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
