@@ -93,6 +93,57 @@ def window_query(draw):
     )
 
 
+@st.composite
+def string_fn_query(draw):
+    """§2.8 scalar string functions with cross-engine-identical semantics."""
+    col = draw(st.sampled_from(["p_name", "p_brand", "p_type"]))
+    fn = draw(
+        st.sampled_from(
+            [
+                "upper({c})",
+                "lower({c})",
+                "length({c})",
+                "substr({c}, 1, 3)",
+                "substr({c}, 3)",
+                "trim({c})",
+                "replace({c}, 'a', '_')",
+                "concat({c}, '-', p_brand)",
+                "reverse({c})",
+                "lpad({c}, 12, 'x')",
+            ]
+        )
+    ).format(c=col)
+    pred_frac = draw(st.integers(min_value=1, max_value=9))
+    return (
+        f"SELECT {fn} AS g, count(*) AS m, min(p_partkey) AS mn "
+        f"FROM part WHERE p_size <= {pred_frac * 5} "
+        f"GROUP BY {fn}"
+    )
+
+
+@st.composite
+def conditional_date_query(draw):
+    """CASE / coalesce / nullif + EXTRACT over lineitem dates."""
+    part = draw(st.sampled_from(["year", "month", "day"]))
+    thresh = draw(st.integers(min_value=10, max_value=45))
+    branch = draw(
+        st.sampled_from(
+            [
+                "CASE WHEN l_quantity > {t} THEN 'big' ELSE 'small' END",
+                "CASE WHEN l_discount > 0.05 THEN 'hi' WHEN l_discount > 0.02 THEN 'mid' ELSE 'lo' END",
+                "coalesce(nullif(l_returnflag, 'N'), 'none')",
+                "CASE WHEN l_tax = 0.0 THEN NULL ELSE l_returnflag END",
+            ]
+        )
+    ).format(t=thresh)
+    return (
+        f"SELECT extract({part} FROM l_shipdate) AS p, {branch} AS g, "
+        f"count(*) AS m, round(sum(l_extendedprice), 2) AS s "
+        f"FROM lineitem WHERE l_quantity <= {thresh} "
+        f"GROUP BY extract({part} FROM l_shipdate), {branch}"
+    )
+
+
 def _rows(res) -> list[tuple]:
     out = []
     for r in res:
@@ -127,6 +178,18 @@ def test_fuzz_lineitem_aggregates(spark, duckcon, views, sql):
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(sql=orders_query())
 def test_fuzz_orders_predicates(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=string_fn_query())
+def test_fuzz_string_functions(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=conditional_date_query())
+def test_fuzz_conditionals_and_extract(spark, duckcon, views, sql):
     _compare(spark, duckcon, sql)
 
 
