@@ -12,11 +12,11 @@ Reference: src/server/http/router.rs —
 - basic/bearer auth, ``/health``, Prometheus-style ``/metrics``, and a
   per-request insert into the observability ``requests`` table.
 
-Timeouts: the reference cancels queries after ``timeout_seconds``
-(router.rs:74-81). Flask's sync workers can't safely kill a Spark job
-mid-flight; instead the elapsed time is checked and reported, and jobs
-run inside a Spark job group so operators can cancel externally —
-documented deviation.
+Timeouts: the reference cancels queries after ``timeout_seconds`` and
+returns 408 (router.rs:75-81 TimeoutLayer). Same here: each request's
+Spark jobs run in a dedicated job group; a timer cancels the group at
+the deadline, aborting the in-flight collect, and the handler maps the
+cancellation to 408.
 """
 
 from __future__ import annotations
@@ -85,20 +85,43 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
             metrics["requests_failed"] += 1
             obs.record(path, sql, 0, None, 401)
             return jsonify({"error": "unauthorized"}), 401
+        # Real cancellation (router.rs:75-81 TimeoutLayer -> 408): the
+        # request's Spark jobs run in a dedicated job group; a timer
+        # cancels the group at timeout_seconds, aborting the collect.
+        import threading
+        import uuid as _uuid
+
+        sc = spark.sparkContext
+        group = f"http-{_uuid.uuid4()}"
+        timed_out = threading.Event()
+
+        def _cancel():
+            timed_out.set()
+            try:
+                sc.cancelJobGroup(group)
+            except Exception:
+                pass
+
+        sc.setJobGroup(group, path, interruptOnCancel=True)
+        timer = threading.Timer(config.http.timeout_seconds, _cancel)
+        timer.start()
         try:
             payload, n_rows = fn()
             ms = int((time.perf_counter() - t0) * 1000)
             obs.record(path, sql, ms, n_rows, 200)
             metrics["rows_returned_total"] += n_rows or 0
-            if ms > config.http.timeout_seconds * 1000:
-                # Documented deviation: report timeout overrun post-hoc.
-                payload["timeout_exceeded"] = True
             return jsonify(payload)
         except Exception as e:
             metrics["requests_failed"] += 1
             ms = int((time.perf_counter() - t0) * 1000)
+            if timed_out.is_set():
+                obs.record(path, sql, ms, None, 408)
+                return jsonify({"error": f"query exceeded {config.http.timeout_seconds}s timeout"}), 408
             obs.record(path, sql, ms, None, 400)
             return jsonify({"error": str(e).split("\n")[0]}), 400
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
 
     @app.post("/sql")
     def post_sql():

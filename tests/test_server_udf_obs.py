@@ -49,6 +49,29 @@ def test_post_sql_pagination(client):
     assert bad.status_code == 400 and "offset" in bad.get_json()["error"]
 
 
+def test_post_sql_timeout_cancels(spark, sf_dir):
+    """router.rs:75-81 — a query over the deadline is cancelled, 408."""
+    import time as _time
+
+    from datafusion_dft_spark.config import HttpConfig
+
+    app = create_app(spark, AppConfig(http=HttpConfig(timeout_seconds=2)), sf_dir=sf_dir)
+    app.testing = True
+    c = app.test_client()
+    t0 = _time.time()
+    r = c.post(
+        "/sql",
+        json={"sql": "SELECT count(*) FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c"},
+    )
+    elapsed = _time.time() - t0
+    assert r.status_code == 408
+    assert "timeout" in r.get_json()["error"]
+    assert elapsed < 60  # the O(n^3) join would run far longer uncancelled
+    # the session survives cancellation for subsequent requests
+    ok = c.post("/sql", json={"sql": "SELECT 1 AS x"})
+    assert ok.status_code == 200
+
+
 def test_post_sql_error(client):
     r = client.post("/sql", json={"sql": "SELECT * FROM nope"})
     assert r.status_code == 400
