@@ -86,6 +86,13 @@ def main() -> int:
     for name, spec in specs.items():
         try:
             spark.catalog.clearCache()
+            # ContextCleaner frees shuffle files / broadcast blocks only
+            # when the JVM GCs; 50 queries accumulate enough half-dead
+            # references that sporadic full GCs land inside later timed
+            # runs (measured: text_quality_langid 0.27 s -> 2.5 s in the
+            # unlucky invocations). One explicit GC per query moves that
+            # cost outside the timing windows.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
             df.collect()
