@@ -73,6 +73,33 @@ def test_events_tumbling_single_shuffle(spark, sf_dir):
     assert ex.exchange_count(df) <= 3, ex.simple_plan(df)
 
 
+def test_sketch_queries_never_cartesian(spark, sf_dir):
+    """The sketch operators' whole point is avoiding the O(n^2) join:
+    none of their plans may contain a cartesian/unconditioned product.
+    (ann_cosine_topk is the declared exact baseline and exempt.)"""
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine", "ann_pruned_topk"):
+        plan = ex.formatted_plan(_build(name, spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        # BroadcastNestedLoopJoin without a condition is a cartesian in disguise
+        assert "BroadcastNestedLoopJoin BuildRight, Inner\n" not in plan, name
+
+
+def test_minhash_bucket_join_is_equi(spark, sf_dir):
+    """The LSH band join must be a hash/sort-merge equi-join on the
+    (band, bandhash) key — bucketed candidate generation, not a filter
+    over a product."""
+    plan = ex.formatted_plan(_build("dedup_minhash_lsh", spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+
+
+def test_documents_scan_prunes_columns(spark, sf_dir):
+    """Sketches read (doc_id, text) — the documents scan must not drag
+    the other columns through the shingle explosion."""
+    df = _build("dedup_minhash_lsh", spark, sf_dir)
+    cols = ex.scan_columns(df)
+    assert cols and all(len(c) <= 2 for c in cols), cols
+
+
 def test_window_topk_no_extra_shuffle(spark, sf_dir):
     # Both window specs partition on c_nationkey, so the whole ranking
     # suite must resolve on ONE exchange (no per-window reshuffle).
