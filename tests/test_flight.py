@@ -187,6 +187,25 @@ def test_basic_auth(spark):
         server.shutdown()
 
 
+def test_concurrent_statements(flight_server):
+    """Four clients fire statements in parallel — handles must not
+    cross-talk (each ticket resolves to its own plan)."""
+    import concurrent.futures as cf
+
+    def one(i: int):
+        c = fl.FlightClient(f"grpc://127.0.0.1:{flight_server.port}")
+        try:
+            t = _fetch(c, _cmd({"type": "statement", "query": f"SELECT {i} AS v, count(*) AS n FROM nation"}))
+            return t.to_pylist()[0]
+        finally:
+            c.close()
+
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(one, range(8)))
+    assert [r["v"] for r in results] == list(range(8))
+    assert all(r["n"] == 25 for r in results)
+
+
 def test_cli_flightsql_client(flight_server, capsys):
     """``-c 'SELECT 1' --flightsql --host`` against a live server —
     the flightsql.rs:25-71 custom-host smoke test."""
