@@ -43,14 +43,48 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     if fmt == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")
     if fmt == "arrow":
-        # No bundled Arrow-IPC reader in this build: read via pyarrow into
-        # a DataFrame (driver-side; fine for the CLI use the reference has).
-        import pyarrow.ipc as ipc
-
-        with open(path, "rb") as f:
-            table = ipc.open_file(f).read_all()
-        return spark.createDataFrame(table.to_pandas())
+        return read_arrow(spark, path)
     return reader.format(fmt).load(path)
+
+
+def read_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Arrow IPC reader (no bundled JVM datasource).
+
+    The driver touches only the first file's *footer* for the schema
+    (KBs); the file list is then distributed and each executor streams
+    its files' record batches through ``mapInPandas`` — Arrow-native
+    end to end, one task per file. A directory (or glob) of IPC files
+    parallelizes like any other source; a single big file is one task,
+    the same contract parquet has with a single row group.
+    """
+    import glob as _glob
+
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.arrow")))
+        if os.path.isdir(path)
+        else sorted(_glob.glob(path)) or [path]
+    )
+    with open(files[0], "rb") as f:
+        arrow_schema = ipc.open_file(f).schema
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    def read_files(pdfs):
+        import pyarrow.ipc as ipc_
+
+        for pdf in pdfs:
+            for p in pdf["path"]:
+                with open(p, "rb") as fh:
+                    rd = ipc_.open_file(fh)
+                    for i in range(rd.num_record_batches):
+                        yield rd.get_batch(i).to_pandas()
+
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        len(files)
+    )
+    return paths_df.mapInPandas(read_files, schema=spark_schema)
 
 
 def write_any(

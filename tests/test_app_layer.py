@@ -128,6 +128,28 @@ def test_writers_roundtrip(spark, sf_dir, tmp_path):
         assert sorted(back.columns) == ["dbl", "id"], fmt
 
 
+def test_arrow_ipc_distributed_roundtrip(spark, tmp_path):
+    """Arrow IPC: write via pyarrow, read back distributed (one task per
+    file through mapInPandas), values and schema preserved."""
+    from datafusion_dft_spark.sources.io import read_any, write_any
+
+    df = spark.sql("SELECT id, CAST(id * 1.5 AS DOUBLE) AS v FROM range(20)")
+    single = str(tmp_path / "out.arrow")
+    write_any(df, single, single_file=True)
+    back = read_any(spark, single)
+    assert back.count() == 20
+    assert {(r.id, r.v) for r in back.collect()} == {(i, i * 1.5) for i in range(20)}
+
+    # directory of IPC files parallelizes one-task-per-file
+    d = tmp_path / "ipcdir"
+    d.mkdir()
+    write_any(df.filter("id < 10"), str(d / "a.arrow"), fmt="arrow", single_file=True)
+    write_any(df.filter("id >= 10"), str(d / "b.arrow"), fmt="arrow", single_file=True)
+    both = read_any(spark, str(d), fmt="arrow")
+    assert both.rdd.getNumPartitions() == 2
+    assert both.count() == 20
+
+
 def test_copy_to(spark, sf_dir, tmp_path):
     from datafusion_dft_spark.sources.io import copy_to
 
