@@ -243,6 +243,70 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "doc2") -> DataFrame:
+    """(member, component) labels over an undirected pair graph.
+
+    Near-dup PAIRS are not a dedup decision: if A~B and B~C, keeping
+    "min of each pair" can drop A and C while both survive other
+    pairs' decisions inconsistently. Production dedup clusters the
+    pair graph and keeps one representative per component.
+
+    Algorithm: iterative minimum-label propagation (hash-join rounds)
+    to fixpoint — each round every node adopts the smallest label among
+    itself and its neighbors. Converges in O(diameter) rounds; near-dup
+    components are small (pairs are transitive-ish), so 3-5 rounds
+    cover real corpora. Each round is one shuffle join on node id —
+    no driver-side graph state, scales with executors. The canonical
+    label is the component's minimum member id.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    # label(node) starts as min(node, min neighbor)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("member"), "label")
+    )
+    for _ in range(20):  # diameter bound; near-dup graphs converge in <5
+        # propagate: my next label = min(my label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("member", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_labels.withColumnRenamed("src", "member"), "member", "left")
+            .select(
+                "member",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        # fixpoint when no label changed
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "member")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.cache()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("member", F.col("label").alias("component"))
+
+
+def cluster_representatives(pairs: DataFrame, a_col: str = "doc1", b_col: str = "doc2") -> DataFrame:
+    """(member, keep) — drop decision per clustered near-dup member:
+    keep = the component's minimum id."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.select("member", F.col("component").alias("keep"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, method: str = "md5") -> DataFrame:
     """(id_col, simhash: long) 64-bit SimHash over word-frequency weights.
 
