@@ -147,6 +147,27 @@ def view_purchase_join(
     ).select("v_user", "view_id", "view_ts", "purchase_ts", "purchase_value")
 
 
+def sink_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> None:
+    """Durable append sink: exactly-once parquet with checkpointed offsets.
+
+    The production shape for streaming results (SCALE.md): Spark's file
+    sink commits each micro-batch atomically through its own
+    transaction log under ``path/_spark_metadata`` and resumes from the
+    checkpoint on restart — the same query moves to a Kafka source or a
+    Delta sink by swapping format strings. Runs with the available-now
+    trigger: drain everything currently readable, then stop.
+    """
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming query over all available input synchronously
     (memory sink, complete mode) — the local test harness."""

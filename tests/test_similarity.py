@@ -42,6 +42,29 @@ def test_ivf_recall_vs_brute_force(emb):
     assert recall >= 0.4, f"IVF recall {recall:.2f} ({len(exact & approx)}/{len(exact)})"
 
 
+def test_ivf_kmeans_refinement(emb):
+    """Lloyd refinement must not hurt recall, and must produce balanced
+    cells (the scale property it exists for)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    base = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, queries, k=5, refine_iters=0).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, queries, k=5, refine_iters=2).collect()
+    }
+    r_base = len(exact & base) / len(exact)
+    r_ref = len(exact & refined) / len(exact)
+    # refinement moves centroids toward density: allow equality, forbid collapse
+    assert r_ref >= r_base - 0.1, f"refined {r_ref:.2f} vs stride {r_base:.2f}"
+    assert r_ref >= 0.4
+
+
 def test_cosine_dup_pairs_find_synthetic_near_dups(spark, emb):
     """The corpus has no cosine>=0.95 pairs; inject perturbed copies and
     require the LSH-candidate path to find every one of them."""

@@ -10,6 +10,7 @@ from datafusion_dft_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_windows,
+    sink_to_parquet,
     view_purchase_join,
     windowed_counts,
 )
@@ -32,6 +33,22 @@ def test_streaming_dedup(spark, sf_dir):
     n_rows = spark.sql("SELECT count(*) AS n FROM stream_dedup").collect()[0].n
     n_batch = load_tables(spark, sf_dir)["events"].select("event_id").distinct().count()
     assert n_stream == n_rows == n_batch  # no dup survived, none lost
+
+
+def test_parquet_sink_durable(spark, sf_dir, tmp_path):
+    """Streamed dedup sinks to parquet exactly-once; the files read back
+    equal to the batch distinct."""
+    stream = read_events_stream(spark, sf_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sink_to_parquet(dedup_stream(stream), out, ckpt)
+    back = spark.read.parquet(out)
+    n_batch = load_tables(spark, sf_dir)["events"].select("event_id").distinct().count()
+    assert back.select("event_id").distinct().count() == n_batch
+    assert back.count() == n_batch
+    # re-running against the same checkpoint adds nothing (offsets committed)
+    sink_to_parquet(dedup_stream(read_events_stream(spark, sf_dir)), out, ckpt)
+    assert spark.read.parquet(out).count() == n_batch
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir):
