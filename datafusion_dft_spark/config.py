@@ -76,6 +76,10 @@ class AppConfig:
     http: HttpConfig = field(default_factory=HttpConfig)
     flightsql: FlightConfig = field(default_factory=FlightConfig)
     udfs: list[UdfConfig] = field(default_factory=list)
+    # [db] path — app-state directory (src/config.rs DbConfig): the
+    # observability requests MapTable persists under it across restarts
+    # (tables/map_table.rs:69-71 "serialized on app shutdown").
+    db_path: str | None = None
 
 
 def load_config(path: str) -> AppConfig:
@@ -112,6 +116,7 @@ def parse_config(raw: dict) -> AppConfig:
             basic_auth=flight.get("basic_auth"),
             bearer_token=flight.get("bearer_token"),
         ),
+        db_path=raw.get("db", {}).get("path"),
         udfs=[
             UdfConfig(
                 name=u["name"],

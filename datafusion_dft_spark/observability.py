@@ -32,12 +32,35 @@ SCHEMA = T.StructType(
 
 
 class Observability:
-    def __init__(self, spark: SparkSession, view_name: str = "requests"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        view_name: str = "requests",
+        persist_path: str | None = None,
+    ):
         # Composite key: one request id spans multiple RPC rows in the
         # reference's log (FlightSQL's get_flight_info + do_get share an
         # id, service.rs:127-160 — append keeps both); (request_id, path)
         # preserves that while re-records of the same phase coalesce.
         self._table = MapTable(spark, view_name, SCHEMA, primary_key=("request_id", "path"))
+        self._persist_path = persist_path
+        if persist_path:
+            # restore prior sessions' log (map_table.rs:69-71) and save
+            # on interpreter exit.
+            import atexit
+            import os
+
+            self._table.load(os.path.join(persist_path, "observability", view_name))
+            atexit.register(self.save)
+
+    def save(self) -> None:
+        """Persist the requests log under the configured db path."""
+        if self._persist_path:
+            import os
+
+            self._table.save(
+                os.path.join(self._persist_path, "observability", self._table.name)
+            )
 
     def record(
         self,

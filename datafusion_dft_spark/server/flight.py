@@ -131,7 +131,7 @@ class DftFlightServer(fl.FlightServerBase):
             middleware["auth"] = _AuthMiddlewareFactory(fa.basic_auth, fa.bearer_token)
         super().__init__(location, middleware=middleware)
         self._spark = spark
-        self._obs = Observability(spark)
+        self._obs = Observability(spark, persist_path=config.db_path)
         self._lock = threading.Lock()
         self._requests: dict[str, object] = {}  # request_id -> DataFrame (plan)
         self._prepared: dict[str, PreparedStatementHandle] = {}

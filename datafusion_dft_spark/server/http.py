@@ -55,7 +55,7 @@ def _df_to_json_rows(df, limit: int) -> list[dict]:
 def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None) -> Flask:
     config = config or AppConfig()
     app = Flask("datafusion_dft_spark")
-    obs = Observability(spark)
+    obs = Observability(spark, persist_path=config.db_path)
     metrics = {"requests_total": 0, "requests_failed": 0, "rows_returned_total": 0}
 
     def _ct_eq(a: str, b: str) -> bool:

@@ -226,7 +226,8 @@ def test_cli_flightsql_client(flight_server, capsys):
 
 
 def test_flight_config_parse_and_exclusivity():
-    cfg = parse_config({"flightsql_server": {"bearer_token": "t"}})
+    cfg = parse_config({"flightsql_server": {"bearer_token": "t"}, "db": {"path": "/tmp/dft-db"}})
     assert cfg.flightsql.bearer_token == "t"
+    assert cfg.db_path == "/tmp/dft-db"
     with pytest.raises(ValueError, match="one auth type"):
         parse_config({"flightsql_server": {"bearer_token": "t", "basic_auth": "u:p"}})

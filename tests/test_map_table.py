@@ -96,6 +96,26 @@ def test_composite_primary_key(spark):
         t.upsert({"rid": "a", "n": 4})
 
 
+def test_observability_persistence_round_trip(spark, tmp_path):
+    """[db] path — the requests log survives a server restart
+    (map_table.rs:69-71 shutdown serialization)."""
+    p = str(tmp_path / "dbdir")
+    a = Observability(spark, view_name="req_persist_a", persist_path=p)
+    a.record("/sql", "SELECT 1", 10, 1, 200, request_id="r1")
+    a.save()
+    # "restart": a fresh instance with a different view name, same path
+    # layout — copy the file to the new view's location to simulate
+    # a same-name reload without clashing temp views in the shared session
+    import shutil
+
+    shutil.copytree(
+        f"{p}/observability/req_persist_a", f"{p}/observability/req_persist_b"
+    )
+    b = Observability(spark, view_name="req_persist_b", persist_path=p)
+    rows = spark.table("req_persist_b").collect()
+    assert len(rows) == 1 and rows[0].request_id == "r1" and rows[0].path == "/sql"
+
+
 def test_observability_on_map_table(spark):
     """observability/mod.rs:185-231 — record one request, read it back
     through SQL with the exact reference schema."""
