@@ -1,0 +1,69 @@
+"""Deterministic sampling for training-data pipelines.
+
+Spark's ``df.sample`` is seed-dependent *per partitioning*: the same
+seed yields different rows after a repartition, and no other engine
+can reproduce it. Pipelines that must be auditable sample by CONTENT
+hash instead: a row is in the p-sample iff
+``md5(key) mod M < p*M`` — stable under repartitioning, re-runs,
+engine changes, and incremental appends (a row's membership never
+flips as the corpus grows). The same predicate runs in DuckDB, so
+samples are differentially verifiable like the sketch operators
+(``tests/test_sampling.py``).
+
+At 100 TB both operators are a single predicate pushed into the scan —
+no shuffle, no state; stratified sampling broadcasts only the tiny
+per-stratum fraction map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-ish prime modulus: big enough that fraction granularity
+# (1/M ~ 5e-10) is far below any practical sampling rate.
+_M = 2147483647
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """Uniform bucket in [0, M) from the md5 of the key's string form."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(_M),
+    )
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Content-keyed p-sample: row kept iff hash(key) < fraction*M."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(key) < int(fraction * _M))
+
+
+def stratified_sample(df: DataFrame, key: str, strata_col: str, fractions: dict[str, float]) -> DataFrame:
+    """Per-stratum fractions (e.g. upsample rare languages).
+
+    Strata absent from ``fractions`` are dropped — explicit beats
+    implicit when the output feeds a training mix. The fraction map
+    rides the plan as a literal CASE, so the whole operator remains
+    one scan-level predicate.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {f}")
+    thresh = None
+    expr = F.when(F.lit(False), F.lit(0))
+    for s, f in fractions.items():
+        expr = expr.when(F.col(strata_col) == s, int(f * _M))
+    thresh = expr.otherwise(F.lit(0))
+    return df.filter(hash_bucket(key) < thresh)
+
+
+def sample_oracle_sql(key: str, fraction: float, table: str = "documents") -> str:
+    """The DuckDB-equivalent predicate, for differential tests."""
+    return (
+        f"SELECT * FROM {table} WHERE "
+        f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {_M} "
+        f"< {int(fraction * _M)}"
+    )

@@ -1,0 +1,63 @@
+"""Deterministic sampling: differential vs DuckDB + stability properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_dft_spark.catalog import load_tables
+from datafusion_dft_spark.operators import sampling as sp
+
+
+def test_sample_matches_duckdb(spark, sf_dir, duckcon):
+    docs = load_tables(spark, sf_dir)["documents"]
+    got = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    want = {r[0] for r in duckcon.sql(
+        "SELECT doc_id FROM (" + sp.sample_oracle_sql("doc_id", 0.2) + ")"
+    ).fetchall()}
+    assert got == want
+    n = docs.count()
+    assert 0.1 * n <= len(got) <= 0.3 * n  # roughly the asked fraction
+
+
+def test_sample_stable_under_repartition(spark, sf_dir):
+    """Membership is content-keyed: repartitioning must not change it
+    (the property seed-based df.sample lacks)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.15).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in sp.deterministic_sample(docs.repartition(7), "doc_id", 0.15).select("doc_id").collect()
+    }
+    assert a == b
+
+
+def test_sample_nested_subsets(spark, sf_dir):
+    """p1 < p2 implies sample(p1) is a subset of sample(p2) — incremental
+    growth of a training mix never flips prior membership."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    small = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    big = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_stratified_fractions(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep, drop = langs[0], langs[1:]
+    out = sp.stratified_sample(docs, "doc_id", "lang", {keep: 1.0})
+    got_langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert got_langs == {keep}  # absent strata drop
+    assert out.count() == docs.filter(F.col("lang") == keep).count()  # fraction 1.0 keeps all
+
+    half = sp.stratified_sample(docs, "doc_id", "lang", {keep: 0.5})
+    n_all = docs.filter(F.col("lang") == keep).count()
+    assert 0.3 * n_all <= half.count() <= 0.7 * n_all
+
+
+def test_sample_predicate_is_scan_level(spark, sf_dir):
+    """No shuffle: the sample is a filter, not an exchange."""
+    from datafusion_dft_spark.plans import explain as ex
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = sp.deterministic_sample(docs, "doc_id", 0.2)
+    assert ex.exchange_count(df) == 0, ex.simple_plan(df)
