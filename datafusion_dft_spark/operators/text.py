@@ -8,7 +8,7 @@ compose them into their own projections.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Function words used by the quality/langid heuristics. Keep in sync
@@ -83,3 +83,37 @@ def predict_lang(text: Column | str) -> Column:
     for lang in reversed(list(LANG_MARKERS)):
         expr = F.when((counts[lang] == best) & (best > 0), lang).otherwise(expr)
     return expr
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, n_tokens, avg_neg_logprob) — LM-lite quality signal.
+
+    Pseudo-perplexity against the corpus's own unigram model: fit
+    p(word) = count(word)/total over the whole corpus (one groupBy),
+    then score each document by the mean negative log-probability of
+    its tokens. High scores = documents full of corpus-rare tokens
+    (boilerplate hashes, mojibake, code dumps); low scores = central
+    text — the cheap first-pass filter production pipelines run before
+    any model-based scoring.
+
+    Shape at scale: token explode → two aggregations (corpus model,
+    per-doc score) + one shuffle join on word. The unigram "model" is
+    a relation, never driver state, so vocabulary size is unbounded.
+    ln() on both engines is IEEE libm — differentially testable at
+    rounded precision (tests/test_text_quality.py).
+    """
+    toks = docs.select(F.col(id_col), F.explode(words(text_col)).alias("word"))
+    total = toks.count()
+    model = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        toks.join(model, "word")
+        .withColumn("neg_lp", -F.log(F.col("cnt") / F.lit(float(total))))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("neg_lp") + 1e-9, 4).alias("avg_neg_logprob"),
+        )
+    )
+    return scored
