@@ -73,6 +73,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.set(key, prev)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Spark 4.1 infers naive parquet timestamps as TIMESTAMP_NTZ by
+            # default; event-time operators (unix_micros, watermarks,
+            # stream-stream time-range predicates) require TIMESTAMP. The
+            # session TZ is pinned UTC, so the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(path)
 

@@ -86,7 +86,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_us = F.lag(us).over(w)
     marked = ev.withColumn(
         "new_session",
@@ -100,7 +100,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = marked.withColumn("session_id", F.sum("new_session").over(wcum))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        (F.unix_micros(F.max("ts").cast("timestamp")) - F.unix_micros(F.min("ts").cast("timestamp"))).alias("duration_us"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
 

@@ -37,7 +37,7 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("us_since_view"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("ts_right").cast("timestamp"))).alias("us_since_view"),
     )
 
 

@@ -26,6 +26,12 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Spark 4.1 reads parquet `timestamp[us] isAdjustedToUTC=false` as
+    # TIMESTAMP_NTZ by default, which breaks every event-time expression
+    # that requires TIMESTAMP (unix_micros, watermarks, time-range join
+    # predicates). Session TZ is pinned UTC above, so forcing the classic
+    # inference changes no values — only the type.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 # Conf keys that are safe to (re)set on a live session.
@@ -36,6 +42,7 @@ _RUNTIME_CONF: tuple[str, ...] = (
     "spark.sql.session.timeZone",
     "spark.sql.execution.arrow.pyspark.enabled",
     "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
 )
 
 

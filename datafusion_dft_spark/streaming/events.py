@@ -35,20 +35,54 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (one file = one micro-batch).
+def _events_ts_unit(sf_dir: str) -> str:
+    """Physical time unit of the events ``ts`` column ('ns' or 'us').
 
-    The nanos-as-long legacy flag must stay ON for the lifetime of the
-    streaming query (micro-batches read parquet under the session conf),
-    so unlike the batch reader it cannot be set-and-restored here.
+    The corpus has been written both ways across driver versions
+    (TIMESTAMP(NANOS), which Spark can only read as long under the
+    legacy flag, and plain TIMESTAMP(MICROS)); sniff the footer so the
+    stream decodes whichever is on disk.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+        return getattr(field.type, "unit", "us") or "us"
+    except Exception:
+        return "us"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one micro-batch)."""
+    if _events_ts_unit(sf_dir) == "ns":
+        # The nanos-as-long legacy flag must stay ON for the lifetime of
+        # the streaming query (micro-batches read parquet under the
+        # session conf), so unlike the batch reader it cannot be
+        # set-and-restored here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Micros encoding: declare ts as TIMESTAMP outright. The explicit
+    # schema (not inference) keeps the column TimestampType even when
+    # the engine would infer TIMESTAMP_NTZ; session TZ is pinned UTC so
+    # values are identical either way.
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_counts(
