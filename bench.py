@@ -111,20 +111,35 @@ def main() -> int:
 
     total = round(sum(v for v in times.values() if v >= 0), 4)
     total_cold = round(sum(v for v in cold.values() if v >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "runs": runs,
-                "cold_total_sec": total_cold,
-                "queries_cold": cold,
-            }
-        )
-    )
+    # The driver captures only a bounded tail of stdout, and round 3/4
+    # lost the headline number twice to an oversized line. The final
+    # line stays compact (totals + per-query steady-state, no spaces);
+    # per-query cold times and metadata go to BENCH_DETAIL.json.
+    detail = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "runs": runs,
+        "cold_total_sec": total_cold,
+        "queries_cold": cold,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"bench: BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    line = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "runs": runs,
+        "cold_total_sec": total_cold,
+    }
+    print(json.dumps(line, separators=(",", ":")))
     return 0
 
 
