@@ -53,15 +53,20 @@ SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 8
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
-    """Distinct k-word shingles per document: (id_col, shingle)."""
+def shingle_array(text_col: str, k: int = 5):
+    """Column of distinct k-word shingles for one document row."""
     w = F.split(F.col(text_col), " ")
     n = F.greatest(F.size(w) - (k - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(w, i, k), " ")
     )
+    return F.array_distinct(shingles)
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct k-word shingles per document: (id_col, shingle)."""
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+        F.col(id_col), F.explode(shingle_array(text_col, k)).alias("shingle")
     )
 
 
@@ -153,27 +158,47 @@ def minhash_signatures(
     - ``xxhash64``: min of the salted 64-bit integer hash;
       Spark-specific, so results can only be validated by recall tests.
     """
-    sh = word_shingles(df, id_col, text_col, k)
     if method == "md5":
-        # ONE md5 per shingle (projected before the aggregate so it is
-        # computed exactly once), then num_perm universal-hash
-        # permutations as fused integer multiply-mods — 64 salted md5
-        # digests per shingle measured ~50x slower for identical LSH
-        # quality. The first 8 hex chars parse to a 32-bit base hash in
-        # both engines (Spark conv(x,16,10), DuckDB ('0x'||x)::BIGINT).
-        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-        sh = sh.select(F.col(id_col), base.alias("h"))
-        mins = [
-            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"h{i}")
-            for i in range(num_perm)
-        ]
-    elif method == "xxhash64":
-        mins = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_perm)
-        ]
-    else:
+        # Per-ROW formulation: a document's shingles all come from its
+        # own text, so the signature needs no explode + groupBy at all —
+        # zero shuffles (the r3 shape exploded shingles and ran
+        # num_perm min-aggregates, which shuffled every shingle hash
+        # AND planned a 64-expression aggregate; Catalyst planning of
+        # that tree dominated cold time). ONE md5 per shingle, parsed
+        # to a 32-bit base hash JVM-side (first 8 hex chars — Spark
+        # conv(x,16,10), DuckDB ('0x'||x)::BIGINT, identical); the
+        # num_perm universal-hash mins then run as one numpy
+        # broadcast per Arrow batch (same vectorized-UDF pattern as
+        # simhash below). A_i < 2^31 and h < 2^32 keep A_i*h + B_i
+        # < 2^63: no int64 overflow in numpy, Spark, or DuckDB.
+        hs = F.transform(
+            shingle_array(text_col, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
+        a = np.asarray(MINHASH_A[:num_perm], dtype=np.int64)[:, None]
+        b = np.asarray(MINHASH_B[:num_perm], dtype=np.int64)[:, None]
+
+        @F.pandas_udf("array<long>")
+        def sig_udf(hss: "pd.Series") -> "pd.Series":
+            return pd.Series(
+                [
+                    ((a * np.asarray(h, dtype=np.int64)[None, :] + b) % MINHASH_P).min(axis=1)
+                    for h in hss
+                ]
+            )
+
+        from .similarity import _ensure_parallelism
+
+        return _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), sig_udf(hs).alias("sig")
+        )
+    if method != "xxhash64":
         raise ValueError(f"unknown minhash method {method!r}")
+    sh = word_shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
