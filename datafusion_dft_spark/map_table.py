@@ -67,10 +67,12 @@ class MapTable:
                     f"columns {sorted(extra)} for table {self.name} are not in the provided schema"
                 )
             key = self._key_of(row)
-            if key in self._rows:
-                self._rows[key].update(row)
-            else:
-                self._rows[key] = dict(row)
+            # REPLACE the whole row (IndexMap insert semantics,
+            # map_table.rs:101-120): re-inserting a narrower row must not
+            # keep stale column values from the old row. Python dict
+            # assignment keeps an existing key's position, matching
+            # IndexMap insert.
+            self._rows[key] = dict(row)
         if self._register:
             self.refresh()
         return len(rows)

@@ -36,11 +36,14 @@ def test_upsert_replaces_in_place(spark):
     assert t.get(1) == {"id": 1, "val": "A2"}
 
 
-def test_partial_upsert_merges_columns(spark):
+def test_narrower_upsert_replaces_whole_row(spark):
+    """IndexMap insert REPLACES the stored row (map_table.rs:101-120):
+    re-inserting a narrower row must not keep stale column values."""
     t = MapTable(spark, "map_partial", SCHEMA, primary_key="id", register=False)
     t.upsert({"id": 7, "val": "x"})
-    t.upsert({"id": 7})  # no val: existing column survives the merge
-    assert t.get(7) == {"id": 7, "val": "x"}
+    t.upsert({"id": 7})  # no val: the old 'x' must NOT survive
+    assert t.get(7) == {"id": 7}
+    assert [tuple(r) for r in t.df().collect()] == [(7, None)]
 
 
 def test_unknown_column_rejected(spark):
