@@ -150,21 +150,45 @@ def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(DISTINCT l_orderkey) AS n_orders,
                count(DISTINCT l_partkey)  AS n_parts,
                count(DISTINCT l_suppkey)  AS n_supps,
-               count(*) AS n_rows
+               count(*) AS n_rows,
+               median(l_quantity) AS exact_p50_qty,
+               true AS approx_orders_ok,
+               true AS approx_p50_ok
         FROM lineitem
         GROUP BY l_returnflag
     """,
-    tags=("aggregate", "distinct"),
-    doc="Multiple COUNT(DISTINCT) in one aggregate (expand-based plan).",
+    tags=("aggregate", "distinct", "approx"),
+    doc="Multiple COUNT(DISTINCT) in one aggregate (expand-based plan), plus "
+    "the approximate-aggregate surface at the same l_returnflag grain: an "
+    "exact percentile (on integer-valued l_quantity — interpolated "
+    "midpoints are exact in IEEE-754, so engines agree bit-for-bit) and "
+    "the HLL++/percentile_approx sketches. Sketch outputs are "
+    "implementation-specific, so their oracle contract is the tolerance "
+    "bound itself (approx within 5%% of exact -> literal true); raw sketch "
+    "values are additionally asserted in tests/test_approx.py.",
 )
 def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lifecycle import approx_aggregates_raw
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    base = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    approx = approx_aggregates_raw(spark, sf_dir).select(
+        "l_returnflag",
+        "exact_p50_qty",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= F.greatest(0.05 * F.col("exact_orders"), F.lit(2.0))
+        ).alias("approx_orders_ok"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 0.05 * F.col("exact_p50")
+        ).alias("approx_p50_ok"),
+    )
+    return base.join(approx, "l_returnflag")
 
 
 # --------------------------------------------------------------------------

@@ -67,38 +67,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
 
 
-@query(
-    "doc_min_k_sketch",
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id,
-                   unnest(list_distinct([array_to_string(words[i:i+4], ' ')
-                                         for i in range(1, greatest(len(words) - 3, 2))])) AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
-        )
-        SELECT doc_id,
-               array_to_string(list_sort(list(md5(s)))[1:5], '|') AS sketch
-        FROM sh GROUP BY doc_id
-    """,
-    tags=("dedup", "sketch"),
-    doc="Winnowing-style min-k document sketch: the 5 lexicographically "
-    "smallest md5 shingle hashes per document, portable across engines "
-    "(md5 is identical everywhere, unlike xxhash64) — the sketching logic "
-    "itself is differentially verified.",
-)
-def doc_min_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    sh = dd.word_shingles(docs, "doc_id", "text", k=5)
-    return sh.groupBy("doc_id").agg(
-        F.array_join(
-            F.slice(F.sort_array(F.collect_list(F.md5("shingle"))), 1, 5), "|"
-        ).alias("sketch")
-    )
-
-
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# MinHash-LSH candidate pairs, replayed entirely in DuckDB (shared by
+# the pair query and the clustering query built on top of it).
+MINHASH_PAIRS_ORACLE = f"""
         WITH sh AS (
             SELECT doc_id,
                    unnest(list_distinct([array_to_string(words[i:i+4], ' ')
@@ -133,7 +104,12 @@ def doc_min_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sigarr s1 ON doc1 = s1.doc_id
         JOIN sigarr s2 ON doc2 = s2.doc_id
         WHERE len(list_filter(range(1, 65), i -> s1.sig[i] = s2.sig[i])) / 64.0 + 1e-9 >= 0.7
-    """,
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=MINHASH_PAIRS_ORACLE,
     tags=("dedup", "minhash", "lsh"),
     doc="MinHash (64 perms) + LSH (16 bands x 4): candidate near-dup pairs with "
     "signature-estimated Jaccard >= 0.7. The O(n^2)-free scale path. One md5 "
@@ -190,3 +166,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+        edges AS (
+            SELECT doc1 AS src, doc2 AS dst FROM pairs
+            UNION
+            SELECT doc2 AS src, doc1 AS dst FROM pairs
+        ),
+        walk(member, node) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+            UNION
+            SELECT w.member, e.dst FROM walk w JOIN edges e ON w.node = e.src
+        )
+        SELECT member, min(node) AS component FROM walk GROUP BY member
+    """,
+    tags=("dedup", "clustering"),
+    # bench=False: the fixpoint loop materializes per-round caches, so a
+    # steady-state re-collect would measure either a cache hit or (after
+    # clearCache) an exponentially re-expanded join lineage — neither is
+    # a meaningful per-query number. Cold cost is the loop itself.
+    bench=False,
+    doc="Connected-components clustering of the MinHash-LSH near-dup pair "
+    "graph (min-label propagation, one shuffle join per round, no driver "
+    "graph state — operators/dedup.py:connected_components). Pairwise "
+    "near-dup decisions are inconsistent under transitivity; production "
+    "dedup keeps one representative per component. Oracle: DuckDB "
+    "recursive reachability closure over the same (engine-portable) "
+    "candidate pairs.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.7)
+    return dd.connected_components(pairs)

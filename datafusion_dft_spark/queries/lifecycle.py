@@ -4,11 +4,12 @@
   (``CREATE VIEW revenue0 ...; SELECT ...; DROP VIEW revenue0`` —
   src/server/http/tpch.rs:429-462) through the multi-statement SQL
   layer, proving shared session state across statements.
-- ``approx_aggregates`` covers the engine's approximate functions
-  (approx_count_distinct / percentile_approx). Sketch outputs differ
-  by implementation, so the oracle-checked columns are the exact
-  counterparts; the approx columns are asserted within tolerance in
-  tests/test_approx.py (rows-only here).
+- ``approx_aggregates_raw`` covers the engine's approximate functions
+  (approx_count_distinct / percentile_approx); its oracle-checked
+  registry surface lives in ``distinct_aggregates``
+  (queries/analytics.py — same l_returnflag grain, consolidated under
+  the driver's 50-query cap), with raw sketch values asserted within
+  tolerance in tests/test_approx.py.
 """
 
 from __future__ import annotations
@@ -80,14 +81,8 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
-@query(
-    "approx_aggregates",
-    oracle=None,  # sketch outputs are implementation-specific; bounds in tests
-    tags=("aggregate", "approx"),
-    doc="approx_count_distinct + percentile_approx next to their exact "
-    "counterparts (accuracy asserted within tolerance in tests).",
-)
-def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_aggregates_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + sketch aggregates side by side (raw values)."""
     li = load_tables(spark, sf_dir)["lineitem"]
     # Three aggregates joined on the tiny group key instead of one:
     # COUNT(DISTINCT) plans via Expand, and ANY typed-buffer aggregate
@@ -101,6 +96,7 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pctl = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50_qty"),
     )
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),

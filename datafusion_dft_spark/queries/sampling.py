@@ -1,0 +1,54 @@
+"""Deterministic-sampling queries over the ``documents`` table.
+
+Registry surface for operators/sampling.py: content-hash sampling is a
+training-mix primitive (auditable, repartition-stable, incremental-
+append-stable), and its md5 predicate replays exactly in DuckDB, so
+the whole operator is oracle-checked like the sketch pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators import sampling as sp
+from ..registry import query
+
+_FRACTION = 0.2
+# Per-language training-mix fractions: keep all German, half English,
+# drop everything else (absent strata drop — explicit beats implicit
+# when the output feeds a training mix).
+_STRATA = {"en": 0.5, "de": 1.0}
+
+
+@query(
+    "sampling_suite",
+    oracle=f"""
+        SELECT 'det' AS variant, doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {sp._M} < {int(_FRACTION * sp._M)}
+        UNION ALL
+        SELECT 'strat' AS variant, doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {sp._M} < CASE lang WHEN 'en' THEN {int(0.5 * sp._M)}
+                                    WHEN 'de' THEN {int(1.0 * sp._M)}
+                                    ELSE 0 END
+    """,
+    tags=("sampling", "pipeline"),
+    doc="Deterministic content-hash sampling (md5(key) mod M < p*M): a flat "
+    "20%% sample plus a stratified per-language training mix. Membership is "
+    "stable under repartitioning, re-runs, and corpus growth — unlike "
+    "seed-based df.sample — and the predicate is scan-level (zero "
+    "exchanges, asserted in tests/test_sampling.py). "
+    "operators/sampling.py:37-69.",
+)
+def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    det = sp.deterministic_sample(docs, "doc_id", _FRACTION).select(
+        F.lit("det").alias("variant"), "doc_id", "lang"
+    )
+    strat = sp.stratified_sample(docs, "doc_id", "lang", _STRATA).select(
+        F.lit("strat").alias("variant"), "doc_id", "lang"
+    )
+    return det.unionAll(strat)

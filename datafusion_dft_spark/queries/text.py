@@ -27,6 +27,27 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
 @query(
     "text_quality_langid",
     oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ), model AS (
+            SELECT word, count(*) AS cnt FROM toks GROUP BY word
+        ), total AS (SELECT count(*)::DOUBLE AS n FROM toks),
+        uni AS (
+            SELECT t.doc_id,
+                   round(avg(-ln(m.cnt / total.n)) + 1e-9, 4) AS avg_neg_logprob
+            FROM toks t JOIN model m USING (word), total
+            GROUP BY t.doc_id
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(words[i:i+4], ' ')
+                                         for i in range(1, greatest(len(words) - 3, 2))])) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        ), sk AS (
+            SELECT doc_id, array_to_string(list_sort(list(md5(s)))[1:5], '|') AS sketch
+            FROM sh GROUP BY doc_id
+        )
+        SELECT f.*, uni.avg_neg_logprob, sk.sketch
+        FROM (
         SELECT doc_id, lang, pred_lang, n_words, stop_count,
                round(nospace_len / CAST(n_words AS DOUBLE) + 1e-9, 4) AS avg_word_len,
                round(stop_count / CAST(n_words AS DOUBLE) + 1e-9, 4) AS stop_ratio,
@@ -57,18 +78,28 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
                        ) AS g
                 FROM documents
             ) c
+        ) f0
         ) f
+        JOIN uni USING (doc_id)
+        JOIN sk USING (doc_id)
     """,
-    tags=("text", "quality", "langid"),
-    doc="Per-document quality features (word count, avg word length, stopword "
-    "ratio, composite score) plus the marker-word language-ID prediction "
-    "(argmax with fixed tie order) next to the labeled lang column.",
+    tags=("text", "quality", "langid", "language-model", "sketch"),
+    doc="The per-document feature relation: quality features (word count, avg "
+    "word length, stopword ratio, composite score), marker-word language-ID "
+    "prediction (argmax with fixed tie order) next to the labeled lang "
+    "column, unigram-LM pseudo-perplexity (avg_neg_logprob — corpus model "
+    "as a relation, one shuffle join on word; the cheap pre-model quality "
+    "filter), and the engine-portable min-k md5 shingle sketch. One doc_id-"
+    "grain query consolidating the text-analysis surface under the "
+    "driver's 50-query cap (operators/text.py, operators/dedup.py).",
 )
 def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
     docs = load_tables(spark, sf_dir)["documents"]
     n = tx.token_count("text")
     stop = tx.stopword_count("text")
-    return docs.select(
+    feats = docs.select(
         "doc_id",
         "lang",
         tx.predict_lang("text").alias("pred_lang"),
@@ -78,6 +109,17 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop / n.cast("double") + 1e-9, 4).alias("stop_ratio"),
         tx.quality_score("text").alias("quality_score"),
     )
+    uni = tx.unigram_logprob_scores(docs).select("doc_id", "avg_neg_logprob")
+    sketch = (
+        dd.word_shingles(docs, "doc_id", "text", k=5)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list(F.md5("shingle"))), 1, 5), "|"
+            ).alias("sketch")
+        )
+    )
+    return feats.join(uni, "doc_id").join(sketch, "doc_id")
 
 
 @query(

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "datafusion_dft_spark.queries.analytics",
     "datafusion_dft_spark.queries.events",
     "datafusion_dft_spark.queries.text",
+    "datafusion_dft_spark.queries.sampling",
     "datafusion_dft_spark.queries.dedup",
     "datafusion_dft_spark.queries.similarity",
     "datafusion_dft_spark.queries.multimodal",
