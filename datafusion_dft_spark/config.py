@@ -49,6 +49,13 @@ class FlightConfig:
 
     basic_auth: str | None = None
     bearer_token: str | None = None
+    # do_get result cap (rows), mirroring [http_server] result_limit.
+    # 0 = unlimited: unlike the HTTP JSON path the Flight data plane
+    # streams record batches with bounded driver memory, so a cap is a
+    # policy choice rather than a safety requirement.
+    result_limit: int = 0
+    # rows per streamed Arrow record batch
+    stream_batch_rows: int = 8192
 
 
 @dataclass
@@ -115,6 +122,8 @@ def parse_config(raw: dict) -> AppConfig:
         flightsql=FlightConfig(
             basic_auth=flight.get("basic_auth"),
             bearer_token=flight.get("bearer_token"),
+            result_limit=int(flight.get("result_limit", 0)),
+            stream_batch_rows=int(flight.get("stream_batch_rows", 8192)),
         ),
         db_path=raw.get("db", {}).get("path"),
         udfs=[

@@ -131,6 +131,7 @@ class DftFlightServer(fl.FlightServerBase):
             middleware["auth"] = _AuthMiddlewareFactory(fa.basic_auth, fa.bearer_token)
         super().__init__(location, middleware=middleware)
         self._spark = spark
+        self._flight_conf = fa
         self._obs = Observability(spark, persist_path=config.db_path)
         self._lock = threading.Lock()
         self._requests: dict[str, object] = {}  # request_id -> DataFrame (plan)
@@ -282,7 +283,17 @@ class DftFlightServer(fl.FlightServerBase):
         return fl.SchemaResult(info.schema)
 
     def do_get(self, context, ticket):
-        """service.rs:87-126 — look up the stored plan, execute, stream IPC."""
+        """service.rs:87-126 — look up the stored plan, execute, stream IPC.
+
+        Streams record batches INCREMENTALLY: ``toLocalIterator`` pulls
+        one Spark partition at a time to the driver (the reference
+        likewise forwards the plan's record-batch stream,
+        service.rs:87-126), so driver memory is bounded by
+        (partition size + one in-flight batch) instead of the whole
+        result — a ``SELECT *`` over a 100 TB table no longer OOMs the
+        server. An optional ``result_limit`` (mirroring the HTTP
+        server's) is pushed into the plan as a GlobalLimit.
+        """
         self.metrics["requests_total"] += 1
         start = time.perf_counter()
         request_id = json.loads(ticket.ticket.decode())["handle"]
@@ -291,9 +302,30 @@ class DftFlightServer(fl.FlightServerBase):
         if df is None:
             self._record(start, request_id, "/do_get_statement", None, 13)
             raise fl.FlightServerError(f"plan not found for id {request_id}")
-        table = df.toArrow()
-        self._record(start, request_id, "/do_get_statement", None, 0, rows=table.num_rows)
-        return fl.RecordBatchStream(table)
+        cap = self._flight_conf.result_limit
+        if cap and cap > 0:
+            df = df.limit(cap)
+        schema = _spark_to_arrow_schema(df)
+        batch_rows = max(1, self._flight_conf.stream_batch_rows)
+
+        def batches():
+            n = 0
+            buf: list[dict] = []
+            try:
+                for row in df.toLocalIterator(prefetchPartitions=True):
+                    buf.append(row.asDict(recursive=True))
+                    if len(buf) >= batch_rows:
+                        n += len(buf)
+                        yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                        buf = []
+                if buf:
+                    n += len(buf)
+                    yield pa.RecordBatch.from_pylist(buf, schema=schema)
+            finally:
+                # rows recorded when the stream drains (or the client bails)
+                self._record(start, request_id, "/do_get_statement", None, 0, rows=n)
+
+        return fl.GeneratorStream(schema, batches())
 
     def do_action(self, context, action):
         self.metrics["requests_total"] += 1

@@ -231,3 +231,46 @@ def test_flight_config_parse_and_exclusivity():
     assert cfg.db_path == "/tmp/dft-db"
     with pytest.raises(ValueError, match="one auth type"):
         parse_config({"flightsql_server": {"bearer_token": "t", "basic_auth": "u:p"}})
+
+
+def test_do_get_streams_multiple_batches(spark, sf_dir):
+    """Results stream as incremental record batches with bounded driver
+    memory (no whole-result toArrow): a result bigger than the batch
+    size must arrive in >1 batch, values intact."""
+    register_views(spark, sf_dir)
+    cfg = AppConfig(flightsql=FlightConfig(stream_batch_rows=100))
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0", config=cfg)
+    try:
+        c = fl.FlightClient(f"grpc://127.0.0.1:{server.port}")
+        info = c.get_flight_info(
+            _cmd({"type": "statement",
+                  "query": "SELECT l_orderkey, l_extendedprice FROM lineitem"})
+        )
+        reader = c.do_get(info.endpoints[0].ticket)
+        n_batches = 0
+        n_rows = 0
+        for chunk in reader:
+            n_batches += 1
+            n_rows += chunk.data.num_rows
+            assert chunk.data.num_rows <= 100
+        want = spark.table("lineitem").count()
+        assert n_rows == want
+        assert n_batches >= (want // 100)
+        c.close()
+    finally:
+        server.shutdown()
+
+
+def test_do_get_result_limit_cap(spark, sf_dir):
+    """[flightsql_server] result_limit caps do_get via a plan-side limit."""
+    register_views(spark, sf_dir)
+    cfg = parse_config({"flightsql_server": {"result_limit": 7, "stream_batch_rows": 3}})
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0", config=cfg)
+    try:
+        c = fl.FlightClient(f"grpc://127.0.0.1:{server.port}")
+        table = _fetch(c, _cmd({"type": "statement",
+                                "query": "SELECT l_orderkey FROM lineitem"}))
+        assert table.num_rows == 7
+        c.close()
+    finally:
+        server.shutdown()
