@@ -57,6 +57,21 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
     app = Flask("datafusion_dft_spark")
     obs = Observability(spark, persist_path=config.db_path)
     metrics = {"requests_total": 0, "requests_failed": 0, "rows_returned_total": 0}
+    # Per-path latency histograms (reference: src/telemetry records
+    # per-path request-duration histograms). Cumulative Prometheus
+    # buckets in milliseconds; +Inf is implicit as the count.
+    hist_buckets = (5, 10, 25, 50, 100, 250, 500, 1000, 2500, 5000, 10000)
+    histograms: dict[str, dict] = {}
+
+    def observe_latency(path: str, ms: float) -> None:
+        h = histograms.setdefault(
+            path, {"counts": [0] * len(hist_buckets), "sum": 0.0, "count": 0}
+        )
+        for i, le in enumerate(hist_buckets):
+            if ms <= le:
+                h["counts"][i] += 1
+        h["sum"] += ms
+        h["count"] += 1
 
     def _ct_eq(a: str, b: str) -> bool:
         # Constant-time compare: '==' short-circuits on the first differing
@@ -120,6 +135,7 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
             obs.record(path, sql, ms, None, 400)
             return jsonify({"error": str(e).split("\n")[0]}), 400
         finally:
+            observe_latency(path, (time.perf_counter() - t0) * 1000)
             timer.cancel()
             sc.setJobGroup("", "")
 
@@ -215,7 +231,19 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
             f"dft_spark_requests_failed {metrics['requests_failed']}",
             "# TYPE dft_spark_rows_returned_total counter",
             f"dft_spark_rows_returned_total {metrics['rows_returned_total']}",
+            "# TYPE dft_spark_request_duration_ms histogram",
         ]
+        for path in sorted(histograms):
+            h = histograms[path]
+            for le, c in zip(hist_buckets, h["counts"]):
+                lines.append(
+                    f'dft_spark_request_duration_ms_bucket{{path="{path}",le="{le}"}} {c}'
+                )
+            lines.append(
+                f'dft_spark_request_duration_ms_bucket{{path="{path}",le="+Inf"}} {h["count"]}'
+            )
+            lines.append(f'dft_spark_request_duration_ms_sum{{path="{path}"}} {h["sum"]:.3f}')
+            lines.append(f'dft_spark_request_duration_ms_count{{path="{path}"}} {h["count"]}')
         return Response("\n".join(lines) + "\n", mimetype="text/plain")
 
     return app

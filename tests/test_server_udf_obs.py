@@ -97,8 +97,18 @@ def test_tpch_endpoint(client):
 
 def test_health_and_metrics(client):
     assert client.get("/health").get_json()["status"] == "ok"
+    client.post("/sql", json={"sql": "SELECT 1 AS one"})  # populate a histogram
     text = client.get("/metrics").get_data(as_text=True)
     assert "dft_spark_requests_total" in text
+    # per-path latency histogram (src/telemetry parity): cumulative
+    # buckets + sum + count for the exercised path
+    assert 'dft_spark_request_duration_ms_bucket{path="/sql",le="+Inf"}' in text
+    assert 'dft_spark_request_duration_ms_count{path="/sql"}' in text
+    infs = [l for l in text.splitlines()
+            if l.startswith('dft_spark_request_duration_ms_bucket{path="/sql"')]
+    # buckets are cumulative: counts must be non-decreasing in le order
+    counts = [int(l.rsplit(" ", 1)[1]) for l in infs]
+    assert counts == sorted(counts)
 
 
 def test_observability_requests_table(client, spark):
