@@ -120,19 +120,41 @@ def jaccard_verify_candidates(
 ) -> DataFrame:
     """Exact Jaccard restricted to LSH candidate pairs: the 100 TB verify
     stage. The sketch proposes (sub-linear), exact confirms — but only
-    over the documents that appear in some candidate pair, so the
-    all-pairs shingle join runs on the (tiny) candidate subset instead
-    of the corpus. Same output contract as :func:`jaccard_pairs`.
+    over the candidate pairs, so no inverted-index self-join runs at
+    all: each candidate document's distinct-shingle SET is built per
+    row (shuffle-free), the pair list joins its two sets in, and the
+    Jaccard is one array_intersect per pair. Work is strictly
+    O(|candidates| * doc_length); the r3 shape (leftsemi subset ->
+    full jaccard_pairs machinery) re-ran the explode + shingle-equality
+    join + three aggregations on the subset — ~6 extra stages for the
+    same numbers. Same output contract as :func:`jaccard_pairs`.
     """
-    cand = candidates.select("doc1", "doc2").distinct()
+    # cache both small relations: cand feeds three consumers (docs_in
+    # twice via the union + the pair join) and sub feeds two (each side
+    # of the pair); uncached, the whole LSH candidate lineage would
+    # re-execute once per consumer — multiplicatively.
+    cand = candidates.select("doc1", "doc2").distinct().cache()
     docs_in = (
         cand.select(F.col("doc1").alias(id_col))
         .union(cand.select(F.col("doc2").alias(id_col)))
         .distinct()
     )
-    sub = df.join(docs_in, id_col, "leftsemi")
-    exact = jaccard_pairs(sub, id_col, text_col, k=k, threshold=threshold)
-    return exact.join(cand, ["doc1", "doc2"], "leftsemi")
+    sub = (
+        df.join(docs_in, id_col, "leftsemi")
+        .select(F.col(id_col), shingle_array(text_col, k).alias("sh"))
+        .cache()
+    )
+    s1 = sub.select(F.col(id_col).alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sub.select(F.col(id_col).alias("doc2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", F.round(inter / union.cast("double") + 1e-9, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
 
 
 def minhash_signatures(

@@ -327,6 +327,16 @@ def ivf_topk(
     )
     if refine_iters:
         cents = refine_centroids(cd, cents, iters=refine_iters)
+    # Pin the centroid table: it is <= n_centroids rows BY CONSTRUCTION
+    # (a bounded coarse quantizer, not data-scaled), but as a lazy plan
+    # it would re-scan the corpus once per consumer (corpus assignment
+    # AND query probing). Materializing it to a literal relation costs
+    # one tiny job and makes both broadcast joins trivial — the same
+    # move every IVF implementation makes (the codebook lives with the
+    # index, not the data).
+    cents = corpus.sparkSession.createDataFrame(
+        cents.collect(), "centroid_id long, centv array<double>"
+    )
 
     def nearest(vec_df: DataFrame, vec: str, id_: str, n: int) -> DataFrame:
         scored = vec_df.crossJoin(F.broadcast(cents)).select(
