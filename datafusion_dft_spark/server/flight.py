@@ -25,14 +25,16 @@ Reference: src/server/flightsql/service.rs —
   table with request id, path, latency and status
   (service.rs:127-160).
 
-Documented deviation: the reference speaks the protobuf Flight *SQL*
-command envelope (``arrow.flight.protocol.sql``). ``pyarrow.flight``
-ships the generic Flight RPC surface without the FlightSQL protobuf
-codegen, so commands here are JSON objects in the descriptor/action
-body with the same fields and the same two-phase handle contract —
-protocol-shape parity, wire-format deviation. Everything else (Arrow
-IPC data plane, schema-in-FlightInfo, opaque tickets, prepared-
-statement lifecycle) is the real thing.
+Wire format: BOTH envelopes are accepted per request. The reference's
+protobuf ``arrow.flight.protocol.sql`` commands (``google.protobuf.Any``
+wrapping CommandStatementQuery et al. — what stock JDBC/ADBC FlightSQL
+clients send) are decoded by the hand-rolled wire codec in
+``flightsql_proto.py`` (pyarrow ships no FlightSQL protobuf codegen and
+this environment has no protobuf runtime); responses — tickets, action
+results — are packed in the same envelope the request used. The
+documented JSON envelope below remains for scriptability. The data
+plane (Arrow IPC batches, schema-in-FlightInfo, opaque tickets,
+prepared-statement lifecycle) is identical in both.
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ import pyarrow.flight as fl
 from ..config import AppConfig
 from ..observability import Observability
 from ..sql import prepare_statement, split_statements
+from . import flightsql_proto as fsp
 
 # FIFO cap on stored plans: the reference keeps every request's plan in
 # a HashMap forever (service.rs:181-187 never evicts) — unbounded on a
@@ -161,10 +164,24 @@ class DftFlightServer(fl.FlightServerBase):
             raise fl.FlightServerError("empty SQL statement")
         return df
 
-    def _flight_info_for_df(self, df, request_id: str, descriptor: fl.FlightDescriptor) -> fl.FlightInfo:
-        """service.rs:162-194 — schema + one endpoint whose ticket is the handle."""
+    def _parse_command(self, raw: bytes) -> tuple[dict, bool]:
+        """Decode a command envelope: protobuf Any (the reference's
+        arrow.flight.protocol.sql wire format — what stock JDBC/ADBC
+        FlightSQL clients send) or the documented JSON shape. Returns
+        (command dict, was_protobuf)."""
+        cmd = fsp.command_to_dict(raw)
+        if cmd is not None:
+            return cmd, True
+        return json.loads(raw.decode()), False
+
+    def _flight_info_for_df(self, df, request_id: str, descriptor: fl.FlightDescriptor, proto: bool = False) -> fl.FlightInfo:
+        """service.rs:162-194 — schema + one endpoint whose ticket is the
+        handle (packed as TicketStatementQuery for protobuf clients)."""
         self._store_plan(request_id, df)
-        ticket = fl.Ticket(json.dumps({"handle": request_id}).encode())
+        if proto:
+            ticket = fl.Ticket(fsp.encode_command({"type": "ticket", "handle": request_id}))
+        else:
+            ticket = fl.Ticket(json.dumps({"handle": request_id}).encode())
         schema = _spark_to_arrow_schema(df)
         endpoint = fl.FlightEndpoint(ticket, [])
         return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
@@ -254,7 +271,7 @@ class DftFlightServer(fl.FlightServerBase):
         self.metrics["requests_total"] += 1
         start = time.perf_counter()
         request_id = str(uuid.uuid4())
-        cmd = json.loads(descriptor.command.decode())
+        cmd, proto = self._parse_command(descriptor.command)
         t = cmd.get("type", "statement")
         path = f"/get_flight_info_{t}"
         sql = None
@@ -271,7 +288,7 @@ class DftFlightServer(fl.FlightServerBase):
             else:
                 sql = self._catalog_command_sql(cmd)
                 df = self._sql_to_df(sql)
-            info = self._flight_info_for_df(df, request_id, descriptor)
+            info = self._flight_info_for_df(df, request_id, descriptor, proto=proto)
         except Exception:
             self._record(start, request_id, path, sql, 13)
             raise
@@ -296,7 +313,11 @@ class DftFlightServer(fl.FlightServerBase):
         """
         self.metrics["requests_total"] += 1
         start = time.perf_counter()
-        request_id = json.loads(ticket.ticket.decode())["handle"]
+        parsed = fsp.command_to_dict(ticket.ticket)
+        if parsed is not None:
+            request_id = parsed["handle"]
+        else:
+            request_id = json.loads(ticket.ticket.decode())["handle"]
         with self._lock:
             df = self._requests.get(request_id)
         if df is None:
@@ -330,10 +351,16 @@ class DftFlightServer(fl.FlightServerBase):
     def do_action(self, context, action):
         self.metrics["requests_total"] += 1
         start = time.perf_counter()
-        if action.type == "create_prepared_statement":
+        if action.type in ("create_prepared_statement", "CreatePreparedStatement"):
             # service.rs:563-654 — plan once, hand back handle + IPC schema.
-            body = json.loads(action.body.to_pybytes().decode())
-            sql = body["query"]
+            # Stock FlightSQL clients use the protobuf action name +
+            # Any-wrapped request/result; the JSON envelope is kept for
+            # the documented JSON contract.
+            raw = action.body.to_pybytes()
+            sql = fsp.parse_action_create(raw)
+            proto = sql is not None
+            if not proto:
+                sql = json.loads(raw.decode())["query"]
             request_id = str(uuid.uuid4())
             df = self._sql_to_df(sql)
             schema = _spark_to_arrow_schema(df)
@@ -341,16 +368,21 @@ class DftFlightServer(fl.FlightServerBase):
                 self._prepared[request_id] = PreparedStatementHandle(df=df, dataset_schema=schema)
                 self.metrics["prepared_statements_active"] = len(self._prepared)
             self._record(start, request_id, "/do_action/create_prepared_statement", sql, 0)
+            schema_bytes = schema.serialize().to_pybytes()
+            if proto:
+                return [fsp.encode_action_create_result(request_id, schema_bytes)]
             result = {
                 "prepared_statement_handle": request_id,
-                "dataset_schema": base64.b64encode(schema.serialize().to_pybytes()).decode(),
+                "dataset_schema": base64.b64encode(schema_bytes).decode(),
                 "parameter_schema": None,
             }
             return [json.dumps(result).encode()]
-        if action.type == "close_prepared_statement":
+        if action.type in ("close_prepared_statement", "ClosePreparedStatement"):
             # service.rs:656-713.
-            body = json.loads(action.body.to_pybytes().decode())
-            handle = body["prepared_statement_handle"]
+            raw = action.body.to_pybytes()
+            handle = fsp.parse_action_close(raw)
+            if handle is None:
+                handle = json.loads(raw.decode())["prepared_statement_handle"]
             with self._lock:
                 found = self._prepared.pop(handle, None)
                 self.metrics["prepared_statements_active"] = len(self._prepared)
@@ -364,6 +396,8 @@ class DftFlightServer(fl.FlightServerBase):
         return [
             ("create_prepared_statement", "Plan a SQL statement; returns a reusable handle"),
             ("close_prepared_statement", "Drop a prepared statement handle"),
+            ("CreatePreparedStatement", "Protobuf-envelope alias (arrow.flight.protocol.sql)"),
+            ("ClosePreparedStatement", "Protobuf-envelope alias (arrow.flight.protocol.sql)"),
         ]
 
 

@@ -146,7 +146,12 @@ def test_prepared_statement_lifecycle(client):
 
 def test_list_actions(client):
     kinds = {a.type for a in client.list_actions()}
-    assert kinds == {"create_prepared_statement", "close_prepared_statement"}
+    assert kinds == {
+        "create_prepared_statement",
+        "close_prepared_statement",
+        "CreatePreparedStatement",   # protobuf-envelope aliases
+        "ClosePreparedStatement",    # (arrow.flight.protocol.sql)
+    }
 
 
 def test_observability_records_requests(flight_server, client, spark):
