@@ -99,11 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
 def run_flightsql_client(args, scripts: list[str]) -> int:
     """``dft -c ... --flightsql --host`` (tests/server_cases/flightsql.rs:55-71):
     each statement goes get_flight_info → do_get against the server; no
-    local Spark session is built."""
-    import json as _json
-
+    local Spark session is built. Commands go over the stock protobuf
+    ``arrow.flight.protocol.sql`` envelope, so this client also works
+    against any standard FlightSQL server (and ours exercises the
+    protobuf path end-to-end)."""
     import pyarrow.flight as fl
 
+    from .server import flightsql_proto as fsp
     from .sql import split_statements
 
     client = fl.FlightClient(args.host)
@@ -113,7 +115,7 @@ def run_flightsql_client(args, scripts: list[str]) -> int:
             try:
                 t0 = time.perf_counter()
                 desc = fl.FlightDescriptor.for_command(
-                    _json.dumps({"type": "statement", "query": stmt}).encode()
+                    fsp.encode_command({"type": "statement", "query": stmt})
                 )
                 info = client.get_flight_info(desc)
                 table = client.do_get(info.endpoints[0].ticket).read_all()
