@@ -96,3 +96,29 @@ def sample_frames(binary_df: DataFrame, id_col: str = "doc_id", frame_bytes: int
             "frame"
         ),
     )
+
+
+RESIZED_SCHEMA = "doc_id long, content binary, meta struct<mime:string,n_chars:long>, resized binary, scale long"
+
+
+def resize_media(binary_df: DataFrame, scale: int = 4) -> DataFrame:
+    """Resize plumbing: per-payload downsample as an Arrow-batched map.
+
+    Real image resize (PIL.Image.resize / cv2.resize) slots into the
+    per-batch function; the deterministic stand-in keeps every
+    ``scale``-th byte (an exact byte-level "nearest-neighbor downsample")
+    so schema, batch shape, and partitioning are testable end-to-end.
+    Output keeps the original columns and appends (resized, scale) —
+    the production pattern where multiple resolutions ride one row.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["resized"] = pdf["content"].map(lambda b: bytes(b[::scale]))
+            out["scale"] = scale
+            yield out
+
+    return binary_df.mapInPandas(run, schema=RESIZED_SCHEMA)
