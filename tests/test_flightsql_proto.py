@@ -119,3 +119,55 @@ def test_e2e_protobuf_prepared_statement(proto_server):
     list(proto_server.do_action(fl.Action("ClosePreparedStatement", close)))
     with pytest.raises(fl.FlightError):
         _proto_fetch(proto_server, {"type": "prepared_statement", "handle": handle})
+
+
+def test_e2e_empty_result_stream(proto_server):
+    """Zero-row results must stream a valid (schema-only) response."""
+    _, table = _proto_fetch(
+        proto_server,
+        {"type": "statement", "query": "SELECT n_name FROM nation WHERE n_nationkey < 0"},
+    )
+    assert table.num_rows == 0
+    assert table.schema.names == ["n_name"]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(min_size=0, max_size=500))
+    @settings(max_examples=200, deadline=None)
+    def test_statement_query_round_trip_any_text(q):
+        enc = fsp.encode_command({"type": "statement", "query": q})
+        assert fsp.command_to_dict(enc) == {"type": "statement", "query": q}
+
+    @given(
+        st.one_of(st.none(), st.text(max_size=50)),
+        st.one_of(st.none(), st.text(max_size=50)),
+        st.one_of(st.none(), st.text(max_size=50)),
+        st.lists(st.sampled_from(["TABLE", "VIEW", "SYSTEM TABLE"]), max_size=3),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_get_tables_round_trip(cat, schp, tabp, types):
+        cmd = {
+            "type": "tables",
+            "catalog": cat,
+            "db_schema_filter_pattern": schp,
+            "table_name_filter_pattern": tabp,
+            "table_types": types,
+        }
+        got = fsp.command_to_dict(fsp.encode_command(cmd))
+        assert got == cmd
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_arbitrary_bytes_never_crash_the_detector(buf):
+        """command_to_dict on garbage must return None or raise ValueError
+        for a recognized-but-unsupported message — never crash."""
+        try:
+            out = fsp.command_to_dict(buf)
+        except ValueError:
+            return
+        assert out is None or isinstance(out, dict)
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass
