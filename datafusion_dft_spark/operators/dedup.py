@@ -317,8 +317,9 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .select(F.col("src").alias("member"), "label")
+        .cache()
     )
-    for _ in range(20):  # diameter bound; near-dup graphs converge in <5
+    for i in range(20):  # diameter bound; near-dup graphs converge in <5
         # propagate: my next label = min(my label, neighbors' labels)
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("member", "dst"), "dst")
@@ -340,7 +341,18 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
             .limit(1)
             .count()
         )
-        labels = updated.cache()
+        # Bound memory AND lineage across rounds: materialize the new
+        # labels, drop the superseded generation, and truncate the plan
+        # every few rounds (localCheckpoint) — without this, round N's
+        # plan nests N join trees and executors hold every generation's
+        # cache; both grow without bound on a high-diameter graph.
+        prev = labels
+        if i % 5 == 4:
+            labels = updated.localCheckpoint(eager=True)
+        else:
+            labels = updated.cache()
+            labels.count()  # materialize before dropping the parent
+        prev.unpersist()
         if changed == 0:
             break
     edges.unpersist()

@@ -105,3 +105,42 @@ def test_window_topk_no_extra_shuffle(spark, sf_dir):
     # suite must resolve on ONE exchange (no per-window reshuffle).
     df = _build("window_rank_suite", spark, sf_dir)
     assert ex.exchange_count(df) <= 1, ex.simple_plan(df)
+
+
+def test_sampling_suite_is_scan_level(spark, sf_dir):
+    """Both sampling variants must stay filters over the scan — zero
+    exchanges anywhere in the plan (union of two filtered scans)."""
+    plan = ex.formatted_plan(_build("sampling_suite", spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_delta_read_scans_plain_parquet(spark, tmp_path):
+    """The pure-Python Delta reader must plan ordinary parquet scans
+    (pruning/pushdown-capable), not a Python data source."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_dft_spark.sources.delta import read_delta
+
+    root = tmp_path / "t"
+    (root / "_delta_log").mkdir(parents=True)
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}), root / "f.parquet")
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "0", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {}, "createdTime": 0}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f.parquet", "partitionValues": {}, "size": os.path.getsize(root / "f.parquet"),
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    df = read_delta(spark, str(root)).filter("id > 1")
+    plan = ex.formatted_plan(df)
+    assert "Scan parquet" in plan, plan
+    assert ex.pushed_filters(df), plan
