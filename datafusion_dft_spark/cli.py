@@ -6,6 +6,7 @@ Reference: ``dft -c "SELECT ..." -f file.sql --time --bench -n N -o out``
   -c / --command   one or more SQL strings (multi-statement, ';'-split)
   -f / --file      one or more SQL files
   --ddl FILE       run startup DDL before queries (execution.ddl analog)
+  --run-ddl        run the --config file's ddl_path (config.rs gate)
   --register DIR   register the corpus parquet tables under DIR as views
   --db DIR         dft-style {catalog}/{schema}/{table} directory database
   --time           print wall time per statement
@@ -76,7 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale-factor", type=float, default=0.01, help="generator scale factor")
     p.add_argument("--db-layout", action="store_true", help="generator: {db}/tables/dft/tpch/{t}/ layout")
     p.add_argument("--analyze", action="store_true", help="plan + phase breakdown per statement")
-    p.add_argument("-n", "--iterations", type=int, default=10)
+    p.add_argument(
+        "-n", "--iterations", type=int, default=None,
+        help="bench iterations (default: config benchmark_iterations, else 10)",
+    )
+    p.add_argument(
+        "--run-ddl", action="store_true",
+        help="execute the config's ddl_path before statements (config.rs gate)",
+    )
     p.add_argument("--run-before", help="statement run before each benchmark")
     p.add_argument("--save", help="save benchmark results to CSV")
     p.add_argument("--append", action="store_true", help="append to --save file")
@@ -134,6 +142,19 @@ def main(argv: list[str] | None = None) -> int:
     if not args.command and not args.file and not args.generate_tpch:
         print("error: provide SQL via -c or -f (or --generate-tpch DIR)", file=sys.stderr)
         return 2
+    # cli_cases/basic.rs:128-166 — a missing -f file is a usage error
+    # (exit 2, clean message), checked up front so no statement runs.
+    import os as _os
+
+    for path in args.file:
+        if not _os.path.exists(path):
+            print(f"File does not exist: '{path}'", file=sys.stderr)
+            return 2
+    # cli_cases/basic.rs:399-414 — -o is only meaningful for exactly one
+    # command/file; silently writing "the last result" hides the others.
+    if args.output and (len(args.command) + len(args.file)) > 1:
+        print("Error: Output can only be saved for a single file or command", file=sys.stderr)
+        return 2
 
     if args.flightsql:
         scripts = list(args.command)
@@ -167,7 +188,10 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.object_store import register_object_stores
 
             register_object_stores(spark, config.execution.object_store)
-        if config.execution.ddl_path:
+        if config.execution.ddl_path and args.run_ddl:
+            # cli_cases/config.rs:59-89 — config ddl_path runs only when
+            # --run-ddl is passed, so a config file can carry DDL without
+            # every invocation replaying it.
             execute_ddl_file(spark, config.execution.ddl_path)
     if args.generate_tpch:
         from .tools.tpch_gen import generate
@@ -194,6 +218,13 @@ def main(argv: list[str] | None = None) -> int:
     for path in args.file:
         with open(path) as f:
             scripts.append(f.read())
+
+    # cli_cases/config.rs:92-118 — [execution] benchmark_iterations is
+    # the -n default; an explicit -n wins.
+    if args.iterations is None:
+        args.iterations = (
+            config.execution.benchmark_iterations if config else 10
+        )
 
     last_df: DataFrame | None = None
     bench_results = []

@@ -231,3 +231,51 @@ def test_parquet_metadata_column_parity_with_reference():
         "total_compressed_size", "total_uncompressed_size",
     ]
     assert [f.name for f in SCHEMA.fields] == reference_cols
+
+
+def test_cli_missing_file_exits_2(capsys):
+    """cli_cases/basic.rs:128-166 — missing -f file: exit 2, clean
+    message, nothing executed."""
+    from datafusion_dft_spark.cli import main
+
+    rc = main(["-f", "/no/such/file.sql"])
+    assert rc == 2
+    assert "File does not exist: '/no/such/file.sql'" in capsys.readouterr().err
+
+
+def test_cli_output_with_multiple_commands_rejected(capsys):
+    """cli_cases/basic.rs:399-414 — -o requires exactly one command."""
+    from datafusion_dft_spark.cli import main
+
+    rc = main(["-c", "SELECT 1", "-c", "SELECT 2", "-o", "/tmp/x.csv"])
+    assert rc == 2
+    assert "Output can only be saved for a single file or command" in capsys.readouterr().err
+
+
+def test_cli_config_ddl_gated_and_iterations_default(sf_dir, tmp_path, capsys):
+    """cli_cases/config.rs:59-118 — config ddl_path runs only under
+    --run-ddl; [execution] benchmark_iterations is the -n default."""
+    ddl = tmp_path / "my_ddl.sql"
+    ddl.write_text("CREATE OR REPLACE TEMPORARY VIEW x AS SELECT 1 AS a;\n"
+                   "CREATE OR REPLACE TEMPORARY VIEW y AS SELECT 2 AS b")
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(
+        f'[execution]\nddl_path = "{ddl}"\nbenchmark_iterations = 3\n'
+    )
+    from datafusion_dft_spark.cli import main
+
+    # without --run-ddl the views must not exist
+    rc = main(["--config", str(cfg), "-c", "SHOW VIEWS LIKE 'x'"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "x" not in out.splitlines()[-2] if out else True
+
+    rc = main(["--config", str(cfg), "--run-ddl",
+               "-c", "SELECT a FROM x CROSS JOIN y"])
+    assert rc == 0
+    assert "1" in capsys.readouterr().out
+
+    # benchmark_iterations flows into --bench when -n is omitted
+    rc = main(["--config", str(cfg), "--bench", "-c", "SELECT 1"])
+    assert rc == 0
+    assert "runs=3" in capsys.readouterr().out
