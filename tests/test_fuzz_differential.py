@@ -231,3 +231,34 @@ def views(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return True
+
+
+@st.composite
+def numeric_fn_query(draw):
+    """§2.8 math functions with exact cross-engine integer/decimal semantics."""
+    expr = draw(
+        st.sampled_from(
+            [
+                "abs(l_suppkey - 50)",
+                "ceil(l_quantity / 7.0)",
+                "floor(l_extendedprice / 1000.0)",
+                "mod(l_suppkey, {k})",
+                "sign(l_discount - 0.05)",
+                "greatest(l_suppkey % 13, l_partkey % 7)",
+                "least(l_linenumber, {k})",
+                "round(l_tax * 100)",
+            ]
+        )
+    ).format(k=draw(st.integers(min_value=2, max_value=9)))
+    qty = draw(st.integers(min_value=5, max_value=45))
+    return (
+        f"SELECT CAST({expr} AS BIGINT) AS g, count(*) AS m, "
+        f"min(l_orderkey) AS mn FROM lineitem "
+        f"WHERE l_quantity <= {qty} GROUP BY CAST({expr} AS BIGINT)"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=numeric_fn_query())
+def test_fuzz_numeric_functions(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
