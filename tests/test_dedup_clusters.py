@@ -57,3 +57,16 @@ def test_cluster_keep_semantics(spark):
     pairs = spark.createDataFrame([(5, 9), (9, 7), (20, 21)], "doc1 long, doc2 long")
     keep = {(r.member, r.keep) for r in dd.cluster_representatives(pairs).collect()}
     assert keep == {(5, 5), (9, 5), (7, 5), (20, 20), (21, 20)}
+
+
+def test_long_chain_exercises_checkpoint_rounds(spark):
+    """A diameter-15 path graph needs >5 propagation rounds, so the
+    periodic localCheckpoint branch (lineage truncation) runs; every
+    node must still resolve to component 0."""
+    from datafusion_dft_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc1 long, doc2 long"
+    )
+    labels = {r.member: r.component for r in connected_components(pairs).collect()}
+    assert labels == {i: 0 for i in range(16)}
