@@ -7,12 +7,13 @@ Scale design (the point of these implementations):
 - **N-gram Jaccard**: exact pairwise similarity via a shingle-inverted
   index join. Exhaustive and only viable when shingles are selective;
   kept as the *ground truth* the sketch methods are validated against.
-- **MinHash + LSH**: the 100 TB path. k=64 deterministic hash
-  permutations (xxhash64 with per-permutation seeds), banded into
-  16 bands x 4 rows; documents join only within equal (band, bandhash)
-  buckets, so the candidate join is output-bounded rather than
-  O(n^2). Signature agreement then estimates Jaccard without touching
-  the original text.
+- **MinHash + LSH**: the 100 TB path. 64 deterministic universal-hash
+  permutations over a per-shingle md5 base hash (engine-portable;
+  xxhash64 variant kept for recall tests), computed SHUFFLE-FREE per
+  document row, banded into 16 bands x 4 rows; documents join only
+  within equal (band, bandhash) buckets, so the candidate join is
+  output-bounded rather than O(n^2). Signature agreement then
+  estimates Jaccard without touching the original text.
 - **SimHash**: 64-bit weighted-bit fingerprint; close-Hamming pairs are
   found with the pigeonhole band trick (8 x 8-bit chunks — any pair
   within distance 7 shares at least one exact chunk), again avoiding
