@@ -164,7 +164,7 @@ def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "midpoints are exact in IEEE-754, so engines agree bit-for-bit) and "
     "the HLL++/percentile_approx sketches. Sketch outputs are "
     "implementation-specific, so their oracle contract is the tolerance "
-    "bound itself (approx within 5%% of exact -> literal true); raw sketch "
+    "bound itself (approx within 5% of exact -> literal true); raw sketch "
     "values are additionally asserted in tests/test_approx.py.",
 )
 def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,7 +37,7 @@ _STRATA = {"en": 0.5, "de": 1.0}
     """,
     tags=("sampling", "pipeline"),
     doc="Deterministic content-hash sampling (md5(key) mod M < p*M): a flat "
-    "20%% sample plus a stratified per-language training mix. Membership is "
+    "20% sample plus a stratified per-language training mix. Membership is "
     "stable under repartitioning, re-runs, and corpus growth — unlike "
     "seed-based df.sample — and the predicate is scan-level (zero "
     "exchanges, asserted in tests/test_sampling.py). "

@@ -83,7 +83,7 @@ def tune_runtime_conf(spark: SparkSession, sf_dir: str) -> SparkSession:
     The static default (shuffle partitions = cpus) is tuned for data
     that fills the machine; at small scale factors 32 reduce tasks per
     stage cost more in scheduling than they save in parallelism
-    (measured ~20-30%% of TPC-H wall at sf0.1). The rule is the same
+    (measured ~20-30% of TPC-H wall at sf0.1). The rule is the same
     one a 100 TB deployment uses, just evaluated from the data: target
     ~4 MB of input per shuffle partition, clamped to [8, 4096] (a real
     cluster raises the cap with executor count; AQE still coalesces or
