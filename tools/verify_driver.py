@@ -3,7 +3,8 @@
 verification driver does (plain un-configured SparkSession, queries vs
 oracle_sql through DuckDB at sf0.01 with order-insensitive value hashes).
 
-Usage: python tools/verify_driver.py [sf_dir]
+Usage: python tools/verify_driver.py [sf_dir] [query_name ...]
+(naming queries restricts the run to them — full sweep otherwise)
 """
 
 from __future__ import annotations
@@ -69,7 +70,9 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args)
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -91,7 +94,13 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
-    print(f"{len(qs)} queries, {len(oracles)} with oracle")
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        qs = {n: f for n, f in qs.items() if n in only}
+    print(f"{len(qs)} queries, {sum(1 for n in qs if n in oracles)} with oracle")
     fails = []
     for name, fn in sorted(qs.items()):
         sdf = fn(spark, sf)
