@@ -133,14 +133,18 @@ def jaccard_verify_candidates(
     # cache both small relations: cand feeds three consumers (docs_in
     # twice via the union + the pair join) and sub feeds two (each side
     # of the pair); uncached, the whole LSH candidate lineage would
-    # re-execute once per consumer — multiplicatively.
-    cand = candidates.select("doc1", "doc2").distinct().cache()
+    # re-execute once per consumer — multiplicatively. Both are tracked
+    # so long-lived server sessions can release them post-materialization
+    # (bench/driver runs clear the whole cache between executions).
+    from ..session import track_cache
+
+    cand = track_cache(candidates.select("doc1", "doc2").distinct().cache())
     docs_in = (
         cand.select(F.col("doc1").alias(id_col))
         .union(cand.select(F.col("doc2").alias(id_col)))
         .distinct()
     )
-    sub = (
+    sub = track_cache(
         df.join(docs_in, id_col, "leftsemi")
         .select(F.col(id_col), shingle_array(text_col, k).alias("sh"))
         .cache()

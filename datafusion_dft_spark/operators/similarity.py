@@ -183,8 +183,8 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = N_PLANES,
-    n_tables: int = 2 * N_TABLES,
+    n_planes: int = 12,
+    n_tables: int = 24,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine >= threshold).
 
@@ -193,10 +193,19 @@ def cosine_dup_pairs(
     (``lsh_topk``), a SELF-join needs no multi-probe: both members of
     a pair hash through the same planes, so recall is bought with more
     tables instead — at theta = acos(0.95) ~ 18deg a pair agrees with
-    a random plane w.p. ~0.9, same 6-plane bucket w.p. 0.52, and the
-    miss probability across 16 independent tables is 0.48^16 ~ 7e-6.
-    Dropping the radius-1 probe stage cut the pre-distinct candidate
-    stream 7x (3.5M -> 0.5M at sf0.1) for the same effective recall.
+    a random plane w.p. ~0.9, same 12-plane bucket w.p. 0.28, and the
+    miss probability across 24 independent tables is 0.72^24 ~ 4e-4
+    (pairs safely above the threshold do far better: at cosine 0.999
+    the per-table bucket probability is 0.93 and the miss probability
+    is ~1e-27). Deep buckets beat wide ones on clustered corpora:
+    mid-similarity neighbor mass (cosine 0.5-0.85) collides constantly
+    at 6 planes but almost never at 12 — measured 471k -> 17k distinct
+    candidates (28x) on the sf0.1 corpus for the same found-pair set,
+    which shrinks the distinct shuffle and the vector-rehydration
+    joins by the same factor. The extra tables add one linear factor
+    to the (cheap, vectorized) signature pass; candidate cost falls
+    exponentially in planes. Same trade at 10^9 vectors: planes grow
+    with log(n), tables buy back boundary recall.
     """
     sigs = signatures(F.col("v"), _dim_of(corpus, vec_col), n_planes, n_tables)
     base = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
@@ -212,7 +221,9 @@ def cosine_dup_pairs(
     # through the bucket join + distinct multiplies shuffle bytes ~30x
     # (measured 10.6s -> ~2s at sf0.1); vectors rejoin only for the
     # exact rerank of the (small) candidate set.
-    banded = (
+    from ..session import track_cache
+
+    banded = track_cache(
         _ensure_parallelism(base)
         .select("vid", F.posexplode(sigs).alias("table", "bucket"))
         .cache()

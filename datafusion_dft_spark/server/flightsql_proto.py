@@ -38,6 +38,11 @@ TYPE_URL_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
 
 
 def _encode_varint(n: int) -> bytes:
+    # Protobuf encodes negative int32/int64 as the 64-bit two's
+    # complement (ten bytes); Python's arbitrary-precision >> never
+    # reaches 0 for negatives, so mask first.
+    if n < 0:
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -185,7 +190,12 @@ def command_to_dict(buf: bytes) -> dict | None:
     if name == "CommandGetSqlInfo":
         return {"type": "sql_info"}
     if name == "CommandGetXdbcTypeInfo":
-        return {"type": "xdbc_type_info", "data_type": f[1][0] if 1 in f else None}
+        # int32 negatives arrive as 64-bit two's-complement varints
+        # (e.g. -1 -> 2^64-1); fold back to signed.
+        dt_ = f[1][0] if 1 in f else None
+        if dt_ is not None and dt_ >= 1 << 63:
+            dt_ -= 1 << 64
+        return {"type": "xdbc_type_info", "data_type": dt_}
     if name == "TicketStatementQuery":
         return {"type": "ticket", "handle": f[1][0].decode()}
     raise ValueError(f"unsupported FlightSQL command: {name}")

@@ -138,6 +138,13 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
             observe_latency(path, (time.perf_counter() - t0) * 1000)
             timer.cancel()
             sc.setJobGroup("", "")
+            # Operators that cached multi-consumer intermediates (LSH
+            # candidate sets etc.) register them for release; freeing
+            # them per-request keeps a long-lived server session from
+            # accumulating executor-memory cache entries.
+            from ..session import release_tracked_caches
+
+            release_tracked_caches()
 
     @app.post("/sql")
     def post_sql():

@@ -107,6 +107,37 @@ def tune_runtime_conf(spark: SparkSession, sf_dir: str) -> SparkSession:
     return spark
 
 
+_TRACKED_CACHES: list = []
+
+
+def track_cache(df):
+    """Register a persisted DataFrame for deferred release.
+
+    Operators that must ``.cache()`` an intermediate (multi-consumer
+    subtrees like LSH candidate sets) keep correct lazy semantics for
+    one-shot callers, but a long-lived server session would accumulate
+    cache entries across requests. Registering the relation here lets
+    request handlers call :func:`release_tracked_caches` after the
+    result is materialized — the materialize-then-unpersist lifecycle
+    from ``connected_components``, applied at the session boundary.
+    """
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every tracked relation; returns how many were released."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
+
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally built session.
 

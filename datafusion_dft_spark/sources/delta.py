@@ -15,11 +15,15 @@ tests/extension_cases/deltalake.rs:23-45). Two paths:
   JSON. The data files are plain parquet, so the result is an ordinary
   pruned/pushed-down parquet scan — the log parse touches only
   metadata on the driver, exactly like Delta's own snapshot
-  reconstruction. Supports time travel (``version=``) and partitioned
+  reconstruction. Supports time travel (``version=``), partitioned
   tables (``partitionValues`` rehydrated as literal columns, cast
-  through the declared schema). JSON-commit replay only: compacted
-  checkpoint parquet is not parsed, so tables whose early JSON commits
-  were vacuumed raise (the jar path handles those).
+  through the declared schema), URL-encoded file paths, and
+  checkpointed logs: replay starts from the newest checkpoint parquet
+  at or below the target version (single- or multi-part, located via
+  ``_last_checkpoint`` plus a directory listing) and applies the JSON
+  commits after it — so compacted/vacuumed histories read fine.
+  Unsupported advanced features (deletion vectors, column mapping)
+  still require the jars.
 """
 
 from __future__ import annotations
@@ -45,39 +49,126 @@ def delta_available(spark: SparkSession) -> bool:
         return False
 
 
+def _checkpoint_versions(log_dir: str) -> list[int]:
+    """Checkpoint versions present on disk (single- or multi-part).
+
+    ``_last_checkpoint`` is an optimization hint, not the source of
+    truth — it can lag after a failed write — so the file listing is
+    authoritative, with the hint folded in when readable.
+    """
+    versions: set[int] = set()
+    for p in glob.glob(os.path.join(log_dir, "*.checkpoint*.parquet")):
+        try:
+            versions.add(int(os.path.basename(p).split(".")[0]))
+        except ValueError:
+            continue
+    hint = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(hint):
+        try:
+            with open(hint) as f:
+                v = int(json.load(f)["version"])
+            if glob.glob(os.path.join(log_dir, f"{v:020d}.checkpoint*.parquet")):
+                versions.add(v)
+        except Exception:
+            pass
+    return sorted(versions)
+
+
+def _checkpoint_actions(log_dir: str, v: int):
+    """Yield the action dicts stored in checkpoint parquet at version v.
+
+    A checkpoint is the complete table state: one parquet row per live
+    action, with one non-null struct column among add / remove /
+    metaData / protocol / txn (delta protocol 'Checkpoints' section).
+    Multi-part checkpoints (``N.checkpoint.i.of.parquet``) concatenate.
+    Read driver-side with pyarrow — it is metadata, same as the JSON.
+    """
+    import pyarrow.parquet as pq
+
+    single = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    files = (
+        [single]
+        if os.path.exists(single)
+        else sorted(glob.glob(os.path.join(log_dir, f"{v:020d}.checkpoint.*.parquet")))
+    )
+    if not files:
+        raise DeltaNotAvailable(f"checkpoint parquet for version {v} missing under {log_dir}")
+    for fp in files:
+        for rec in pq.read_table(fp).to_pylist():
+            action = {k: val for k, val in rec.items() if val is not None}
+            if action:
+                yield action
+
+
+def _as_dict(pv) -> dict:
+    """partitionValues: dict from JSON, list of (k, v) from pyarrow maps."""
+    if isinstance(pv, dict):
+        return pv
+    if isinstance(pv, (list, tuple)):
+        return dict(pv)
+    return {}
+
+
 def _replay_log(path: str, version: int | None) -> tuple[T.StructType, list[str], list[dict]]:
-    """Replay JSON commits 0..version -> (schema, partition_cols, active adds)."""
+    """Reconstruct the snapshot at ``version`` (default: latest).
+
+    Starts from the newest checkpoint at or below the target version
+    when one exists (so vacuumed/compacted JSON history is fine — the
+    reference reads such tables via delta-rs snapshots,
+    extensions/deltalake.rs:34-51), then applies the JSON commits after
+    it. Without a usable checkpoint, replays JSON from version 0.
+    """
+    from urllib.parse import unquote
+
     log_dir = os.path.join(path, "_delta_log")
     commit_files = sorted(glob.glob(os.path.join(log_dir, "*.json")))
     commits = {int(os.path.basename(p).split(".")[0]): p for p in commit_files}
-    if not commits:
+    ckpts = _checkpoint_versions(log_dir)
+    if not commits and not ckpts:
         raise DeltaNotAvailable(f"no Delta commit log under {log_dir}")
-    last = max(commits) if version is None else version
-    required = range(0, last + 1)
-    missing = [v for v in required if v not in commits]
-    if missing:
-        raise DeltaNotAvailable(
-            f"Delta JSON commits {missing} absent under {log_dir} (vacuumed "
-            "into a checkpoint?) — the pure-Python reader replays JSON "
-            "commits only; install delta-spark jars for checkpointed tables"
-        )
+    last = max(list(commits) + ckpts) if version is None else version
+
     schema_json: str | None = None
     partition_cols: list[str] = []
     active: dict[str, dict] = {}
+
+    def apply(action: dict) -> None:
+        nonlocal schema_json, partition_cols
+        if "metaData" in action:
+            schema_json = action["metaData"]["schemaString"]
+            partition_cols = list(action["metaData"].get("partitionColumns") or [])
+        elif "add" in action:
+            add = dict(action["add"])
+            # Delta spec: add.path is URL-encoded relative to the root.
+            add["path"] = unquote(add["path"])
+            add["partitionValues"] = _as_dict(add.get("partitionValues"))
+            active[add["path"]] = add
+        elif "remove" in action:
+            active.pop(unquote(action["remove"]["path"]), None)
+
+    base = max((c for c in ckpts if c <= last), default=None)
+    if base is not None:
+        for action in _checkpoint_actions(log_dir, base):
+            apply(action)
+        start = base + 1
+    else:
+        start = 0
+    required = range(start, last + 1)
+    missing = [v for v in required if v not in commits]
+    if missing:
+        raise DeltaNotAvailable(
+            f"Delta JSON commits {missing} absent under {log_dir} and no "
+            "checkpoint covers them — history vacuumed beyond what the "
+            "pure-Python reader can reconstruct; install delta-spark jars "
+            "or deep-clone the table"
+        )
     for v in required:
         with open(commits[v]) as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    schema_json = action["metaData"]["schemaString"]
-                    partition_cols = list(action["metaData"].get("partitionColumns", []))
-                elif "add" in action:
-                    active[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    active.pop(action["remove"]["path"], None)
+                apply(json.loads(line))
     if schema_json is None:
         raise DeltaNotAvailable(f"no metaData action in {log_dir}")
     schema = T.StructType.fromJson(json.loads(schema_json))

@@ -135,3 +135,115 @@ def test_missing_commit_raises(spark, delta_table, tmp_path):
     os.remove(broken / "_delta_log" / f"{0:020d}.json")
     with pytest.raises(DeltaNotAvailable, match="absent"):
         read_delta(spark, str(broken))
+
+
+def _checkpoint_schema() -> pa.schema:
+    part_vals = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            pa.field("protocol", pa.struct(
+                [pa.field("minReaderVersion", pa.int32()),
+                 pa.field("minWriterVersion", pa.int32())])),
+            pa.field("metaData", pa.struct(
+                [pa.field("id", pa.string()),
+                 pa.field("schemaString", pa.string()),
+                 pa.field("partitionColumns", pa.list_(pa.string()))])),
+            pa.field("add", pa.struct(
+                [pa.field("path", pa.string()),
+                 pa.field("partitionValues", part_vals),
+                 pa.field("size", pa.int64()),
+                 pa.field("dataChange", pa.bool_())])),
+            pa.field("remove", pa.struct(
+                [pa.field("path", pa.string()),
+                 pa.field("dataChange", pa.bool_())])),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def checkpointed_table(tmp_path_factory) -> str:
+    """A table whose early JSON history is vacuumed: checkpoint parquet
+    at v2 (protocol+metaData+adds for files b, c), one JSON commit v3
+    (removes c, adds d with a URL-encoded path). JSON commits 0-2 are
+    GONE — exactly what a real >10-commit Delta table looks like."""
+    root = tmp_path_factory.mktemp("delta_ckpt") / "ckpt_table"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+
+    def write_file(rel: str, ids: list[int]) -> int:
+        dest = root / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "val": pa.array([f"v{i}" for i in ids], pa.string())}),
+            dest,
+        )
+        return os.path.getsize(dest)
+
+    sz_b = write_file("part=x/b.parquet", [10, 11])
+    sz_c = write_file("part=y/c.parquet", [20, 21])
+    # space in the file name => URL-encoded add.path in the commit
+    sz_d = write_file("part=y/d file.parquet", [30])
+
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "00000000-0000-0000-0000-000000000002",
+                      "schemaString": SCHEMA_JSON,
+                      "partitionColumns": ["part"]}},
+        {"add": {"path": "part=x/b.parquet", "partitionValues": [("part", "x")],
+                 "size": sz_b, "dataChange": True}},
+        {"add": {"path": "part=y/c.parquet", "partitionValues": [("part", "y")],
+                 "size": sz_c, "dataChange": True}},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_checkpoint_schema()),
+        log_dir / f"{2:020d}.checkpoint.parquet",
+    )
+    with open(log_dir / "_last_checkpoint", "w") as f:
+        json.dump({"version": 2, "size": len(rows)}, f)
+    _write_commit(
+        str(log_dir),
+        3,
+        [
+            {"remove": {"path": "part=y/c.parquet", "deletionTimestamp": 1700000002000,
+                        "dataChange": True}},
+            {"add": {"path": "part=y/d%20file.parquet", "partitionValues": {"part": "y"},
+                     "size": sz_d, "dataChange": True}},
+        ],
+    )
+    return str(root)
+
+
+def test_checkpoint_replay_latest(spark, checkpointed_table):
+    """Checkpoint state + post-checkpoint commit, URL-decoded paths."""
+    rows = {(r.id, r.val, r.part) for r in read_delta(spark, checkpointed_table).collect()}
+    assert rows == {(10, "v10", "x"), (11, "v11", "x"), (30, "v30", "y")}
+
+
+def test_checkpoint_time_travel_to_checkpoint_version(spark, checkpointed_table):
+    """version=2 is served straight from the checkpoint snapshot."""
+    rows = {(r.id, r.val, r.part) for r in read_delta(spark, checkpointed_table, version=2).collect()}
+    assert rows == {(10, "v10", "x"), (11, "v11", "x"), (20, "v20", "y"), (21, "v21", "y")}
+
+
+def test_checkpoint_time_travel_before_checkpoint_raises(spark, checkpointed_table):
+    """version=1 predates the checkpoint and its JSON is vacuumed —
+    must raise the actionable error, not a wrong answer."""
+    with pytest.raises(DeltaNotAvailable, match="absent"):
+        read_delta(spark, checkpointed_table, version=1)
+
+
+def test_multipart_checkpoint(spark, checkpointed_table, tmp_path):
+    """Multi-part checkpoints (N.checkpoint.i.of.parquet) concatenate."""
+    import shutil
+
+    root = tmp_path / "multipart"
+    shutil.copytree(checkpointed_table, root)
+    log_dir = root / "_delta_log"
+    single = log_dir / f"{2:020d}.checkpoint.parquet"
+    tbl = pq.read_table(single)
+    os.remove(single)
+    pq.write_table(tbl.slice(0, 2), log_dir / f"{2:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    pq.write_table(tbl.slice(2), log_dir / f"{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    rows = {(r.id, r.val, r.part) for r in read_delta(spark, str(root)).collect()}
+    assert rows == {(10, "v10", "x"), (11, "v11", "x"), (30, "v30", "y")}

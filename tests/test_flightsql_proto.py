@@ -171,3 +171,15 @@ try:
         assert out is None or isinstance(out, dict)
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
+
+
+def test_negative_data_type_round_trips():
+    """XdbcDataType is an int32; negatives ride the wire as 64-bit
+    two's-complement varints (ADVICE r5: _encode_varint used to
+    infinite-loop on them)."""
+    from datafusion_dft_spark.server import flightsql_proto as fsp
+
+    raw = fsp.encode_command({"type": "xdbc_type_info", "data_type": -7})
+    assert fsp.command_to_dict(raw) == {"type": "xdbc_type_info", "data_type": -7}
+    # encoded form is the canonical 10-byte varint
+    assert fsp.encode_command({"type": "xdbc_type_info", "data_type": -1}) != b""
