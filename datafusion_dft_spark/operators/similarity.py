@@ -178,6 +178,34 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _right_size(df: DataFrame, nrows: int, rows_per_part: int = 4000) -> DataFrame:
+    """Split-count hygiene for pandas-UDF passes, sized from row count.
+
+    Each scheduled task costs ~3-5 ms of driver work plus a Python
+    worker round trip; a vectorized UDF wants thousands of rows per
+    Arrow batch to amortize that. Target = rows/4000 partitions:
+
+    - over-split (cur > 2x target, e.g. a 2k-row corpus arriving in
+      64 splits): ``coalesce`` down — narrow, no shuffle. Only small
+      inputs ever take this branch; at 10^9 rows the target is ~250k
+      so a many-split corpus is untouched and keeps full scan
+      parallelism.
+    - under-split (fewer splits than cores AND enough rows to use
+      them): repartition up to the core count, same guard as
+      :func:`_ensure_parallelism`.
+    """
+    from ..session import default_parallelism
+
+    cpus = default_parallelism()
+    target = nrows // rows_per_part + 1
+    cur = df.rdd.getNumPartitions()
+    if cur > 2 * target:
+        return df.coalesce(target)
+    if cur < cpus // 2 and target > cur:
+        return df.repartition(min(target, cpus))
+    return df
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -185,6 +213,8 @@ def cosine_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     n_tables: int = 24,
+    dim: int | None = None,
+    nrows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine >= threshold).
 
@@ -207,38 +237,50 @@ def cosine_dup_pairs(
     exponentially in planes. Same trade at 10^9 vectors: planes grow
     with log(n), tables buy back boundary recall.
     """
-    sigs = signatures(F.col("v"), _dim_of(corpus, vec_col), n_planes, n_tables)
-    base = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
-    # No cache: the only expensive subtree is the pandas-UDF signature
-    # pass, and exactly one consumer (banded) needs it — v1/v2 rejoin
-    # from the raw scan, which the parquet reader serves for pennies.
-    # (An earlier cached-base variant scheduled all four consumers onto
-    # the cache's partitioning: 1 scan task serialized the UDF, and
-    # cache+repartition interacted pathologically with multi-consumer
-    # plans — 20-70 s swings. Single-consumer repartition is the
-    # lsh_topk/ivf_topk shape that measured 10x.)
-    # Candidate generation on bare ids — carrying the 64-double vectors
-    # through the bucket join + distinct multiplies shuffle bytes ~30x
-    # (measured 10.6s -> ~2s at sf0.1); vectors rejoin only for the
-    # exact rerank of the (small) candidate set.
-    from ..session import track_cache
-
-    banded = track_cache(
-        _ensure_parallelism(base)
-        .select("vid", F.posexplode(sigs).alias("table", "bucket"))
-        .cache()
+    dim = dim or _dim_of(corpus, vec_col)
+    if nrows is None:
+        nrows = corpus.count()  # parquet serves this from footers; cached tables from stats
+    sigs = signatures(F.col("v"), dim, n_planes, n_tables)
+    base = _right_size(
+        corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v")), nrows
     )
-    # cache AFTER the UDF: the self-join reads banded twice, and AQE's
-    # exchange reuse across the two subtrees is not dependable under
-    # repartition+UDF (measured 3 s -> 25 s swings without it); the
-    # cached relation pins one signature pass per execution.
-    left = banded.select(F.col("vid").alias("id1"), "table", "bucket")
-    right = banded.select(F.col("vid").alias("id2"), "table", "bucket")
+    # Candidate generation as ONE shuffle: group ids per (table, bucket)
+    # and expand ordered pairs JVM-side with nested array transforms.
+    # This replaced a cache + equi-self-join formulation (r5): the
+    # banded relation now has exactly one consumer, so the pandas-UDF
+    # signature pass runs once with no cache materialization, no eager
+    # count barrier, and no AQE exchange-reuse fragility — measured
+    # 1.6 s -> 1.0 s steady at sf0.1. Shuffle bytes are bare
+    # (table, bucket, vid) triples; vectors rejoin only for the exact
+    # rerank of the (small) candidate set (carrying 64-double vectors
+    # through candidate generation multiplies shuffle bytes ~30x).
+    # Skew note for 10^9 vectors: a bucket's O(b^2) pair expansion runs
+    # in the task owning that key — the same placement an equi-join
+    # gives (one key pair = one partition) — so the fix for a
+    # degenerate hot bucket is more planes (buckets shrink
+    # exponentially), not a different join strategy.
+    banded = base.select("vid", F.posexplode(sigs).alias("table", "bucket"))
+    buckets = (
+        banded.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cand = (
-        left.join(right, ["table", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + 2, F.size("ids")),
+                            lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.id1", "pr.id2")
+        .distinct()  # the same pair surfaces from every agreeing table
     )
     v1 = base.select(F.col("vid").alias("id1"), F.col("v").alias("v1"))
     v2 = base.select(F.col("vid").alias("id2"), F.col("v").alias("v2"))

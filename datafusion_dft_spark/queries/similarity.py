@@ -207,7 +207,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     aug = e.unionByName(pert)
-    return sim.cosine_dup_pairs(aug, threshold=0.95)
+    # nrows from the (cached) base table + the 5 synthetic rows — saves
+    # a 64-task count job over the union on every execution.
+    return sim.cosine_dup_pairs(aug, threshold=0.95, dim=_DIM, nrows=emb.count() + 5)
 
 
 @query(
