@@ -85,7 +85,9 @@ def jaccard_pairs(
 
     (doc1, doc2, jaccard) with doc1 < doc2; jaccard rounded to 4.
     """
-    sh = word_shingles(df, id_col, text_col, k).cache()
+    from ..session import track_cache
+
+    sh = track_cache(word_shingles(df, id_col, text_col, k).cache())
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc1"), "shingle")
     b = sh.select(F.col(id_col).alias("doc2"), "shingle")
@@ -250,8 +252,10 @@ def minhash_lsh_pairs(
     impossible. With method='md5' (default) every step is
     engine-portable and differentially verified against DuckDB.
     """
+    from ..session import track_cache
+
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_perm, method=method).cache()
+    sig = track_cache(minhash_signatures(df, id_col, text_col, k, num_perm, method=method).cache())
     if method == "md5":
         band_arr = F.array(
             *[
@@ -361,6 +365,12 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
         if changed == 0:
             break
     edges.unpersist()
+    # The surviving generation stays persisted for the caller's
+    # materialization; register it so session teardown can release it
+    # (every superseded generation was already dropped in-loop).
+    from ..session import track_cache
+
+    track_cache(labels)
     return labels.select("member", F.col("label").alias("component"))
 
 
@@ -437,7 +447,9 @@ def simhash_pairs(
     """
     if max_hamming >= SIMHASH_CHUNKS:
         raise ValueError("pigeonhole bands require max_hamming < number of chunks")
-    fp = simhash(df, id_col, text_col, method=method).cache()
+    from ..session import track_cache
+
+    fp = track_cache(simhash(df, id_col, text_col, method=method).cache())
     width = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = F.array(
         *[
