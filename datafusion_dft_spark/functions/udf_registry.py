@@ -46,6 +46,18 @@ def _resolve(function_path: str) -> Callable:
     return getattr(importlib.import_module(mod), name)
 
 
+# Signatures of config-registered UDFs, keyed by session id — the only
+# functions whose parameter types are knowable (Spark's catalog does not
+# expose builtin JVM signatures). information_schema.routines/parameters
+# read these (reference asserts both views: src/db.rs:195-196).
+_SESSION_UDFS: dict[int, dict[str, UdfConfig]] = {}
+
+
+def registered_udfs(spark: SparkSession) -> dict[str, UdfConfig]:
+    """Config-registered UDF signatures for this session (name -> cfg)."""
+    return dict(_SESSION_UDFS.get(id(spark), {}))
+
+
 def register_udf(spark: SparkSession, cfg: UdfConfig) -> None:
     for t in [*cfg.input_types, cfg.return_type]:
         if t not in ALLOWED_TYPES:
@@ -61,6 +73,7 @@ def register_udf(spark: SparkSession, cfg: UdfConfig) -> None:
         spark.udf.register(cfg.name, F.pandas_udf(fn, ret))
     else:
         raise ValueError(f"unknown UDF mode {cfg.mode!r} (expected 'row' or 'arrow')")
+    _SESSION_UDFS.setdefault(id(spark), {})[cfg.name] = cfg
 
 
 def register_udfs(spark: SparkSession, udfs: list[UdfConfig]) -> list[str]:

@@ -10,8 +10,9 @@ Reference analogs:
 - ``parquet_metadata('file')`` UDTF
   (crates/datafusion-functions-parquet/src/lib.rs:143-291) — rewritten
   to a pyarrow-backed temp view;
-- ``information_schema.{tables,columns,views,schemata}`` (src/db.rs:186-198)
-  — rewritten to temp views refreshed from spark.catalog;
+- ``information_schema.{tables,columns,views,schemata,routines,
+  parameters,df_settings}`` (src/db.rs:186-198) — rewritten to temp
+  views refreshed from spark.catalog / session conf / UDF registry;
 - JSON function names from datafusion-functions-json
   (tests/extension_cases/functions_json.rs) — ``json_get(col,'k')`` /
   ``json_contains(col,'k')`` / ``json_length`` mapped onto Spark
@@ -155,7 +156,9 @@ def _rewrite_json_length(sql: str) -> str:
 
 
 _PQ_META_RE = re.compile(r"(?i)\bparquet_metadata\s*\(\s*'([^']+)'\s*\)")
-_INFO_SCHEMA_RE = re.compile(r"(?i)\binformation_schema\.(tables|columns|views|schemata)\b")
+_INFO_SCHEMA_RE = re.compile(
+    r"(?i)\binformation_schema\.(tables|columns|views|schemata|routines|parameters|df_settings)\b"
+)
 
 
 def _rewrite_parquet_metadata(spark: SparkSession, sql: str) -> str:

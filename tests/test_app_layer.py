@@ -98,6 +98,67 @@ def test_information_schema(spark, sf_dir):
     assert {c.column_name for c in cols} == {"n_nationkey", "n_name", "n_regionkey"}
 
 
+def test_information_schema_advertises_own_views(spark):
+    """src/db.rs:186-198 — SHOW TABLES parity for the info-schema views."""
+    rows = execute_sql(
+        spark,
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_schema = 'information_schema'",
+    )[0].collect()
+    assert {(r.table_name, r.table_type) for r in rows} == {
+        (n, "VIEW")
+        for n in ("tables", "views", "columns", "df_settings", "schemata", "routines", "parameters")
+    }
+
+
+def test_information_schema_routines_and_parameters(spark):
+    """src/db.rs:195-196 — routines lists built-ins and registered UDFs;
+    parameters carries the declared signature of config-registered UDFs."""
+    from datafusion_dft_spark.config import UdfConfig
+    from datafusion_dft_spark.functions.udf_registry import register_udf
+
+    register_udf(
+        spark,
+        UdfConfig(
+            name="info_add",
+            mode="row",
+            input_types=["int64", "int64"],
+            return_type="int64",
+            function="tests.udf_fixtures:add",
+        ),
+    )
+    routines = execute_sql(
+        spark,
+        "SELECT routine_name, routine_type, is_deterministic, data_type, function_type "
+        "FROM information_schema.routines WHERE routine_name IN ('abs', 'sum', 'rank', 'info_add')",
+    )[0].collect()
+    by_name = {r.routine_name: r for r in routines}
+    assert by_name["abs"].function_type == "SCALAR"
+    assert by_name["sum"].function_type == "AGGREGATE"
+    assert by_name["rank"].function_type == "WINDOW"
+    udf = by_name["info_add"]
+    assert udf.routine_type == "FUNCTION" and udf.is_deterministic and udf.data_type == "BIGINT"
+    params = execute_sql(
+        spark,
+        "SELECT ordinal_position, parameter_mode, data_type, is_variadic "
+        "FROM information_schema.parameters WHERE specific_name = 'info_add' "
+        "ORDER BY ordinal_position",
+    )[0].collect()
+    assert [(p.ordinal_position, p.parameter_mode, p.data_type, p.is_variadic) for p in params] == [
+        (1, "IN", "BIGINT", False),
+        (2, "IN", "BIGINT", False),
+    ]
+
+
+def test_information_schema_df_settings(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT value FROM information_schema.df_settings "
+        "WHERE name = 'spark.sql.session.timeZone'",
+    )[0].collect()
+    assert rows and rows[0].value == "UTC"
+
+
 def test_show_tables(spark, sf_dir):
     register_views(spark, sf_dir)
     names = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
