@@ -81,7 +81,9 @@ def main() -> int:
     )
 
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
-    times: dict[str, float] = {}
+    times: dict[str, float] = {}  # per-query MEDIAN of the steady runs
+    mins: dict[str, float] = {}
+    maxs: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, spec in specs.items():
         try:
@@ -97,31 +99,48 @@ def main() -> int:
             df = spec.build(spark, sf_dir)
             df.collect()
             cold[name] = round(time.perf_counter() - t0, 4)
-            best = float("inf")
+            samples: list[float] = []
             for _ in range(runs - 1):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 df.collect()
-                best = min(best, time.perf_counter() - t0)
-            times[name] = round(best, 4)
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            # Median (lower of the middle pair), not min: builder-vs-
+            # driver runs of round 5 differed 1.5x on per-query minima
+            # from scheduler jitter alone; the median is what should be
+            # compared round-over-round.
+            times[name] = round(samples[(len(samples) - 1) // 2], 4)
+            mins[name] = round(samples[0], 4)
+            maxs[name] = round(samples[-1], 4)
         except Exception as e:  # a failing query shouldn't kill the whole bench
             times[name] = -1.0
+            mins[name] = -1.0
+            maxs[name] = -1.0
             cold[name] = -1.0
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
     total = round(sum(v for v in times.values() if v >= 0), 4)
+    total_min = round(sum(v for v in mins.values() if v >= 0), 4)
+    total_max = round(sum(v for v in maxs.values() if v >= 0), 4)
     total_cold = round(sum(v for v in cold.values() if v >= 0), 4)
     # The driver captures only a bounded tail of stdout, and round 3/4
     # lost the headline number twice to an oversized line. The final
-    # line stays compact (totals + per-query steady-state, no spaces);
-    # per-query cold times and metadata go to BENCH_DETAIL.json.
+    # line stays compact (totals + per-query steady-state medians, no
+    # spaces); per-query min/max/cold and metadata go to
+    # BENCH_DETAIL.json.
     detail = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
+        "stat": "median",
         "queries": times,
+        "queries_min": mins,
+        "queries_max": maxs,
         "sf": sf,
         "runs": runs,
+        "total_min_sec": total_min,
+        "total_max_sec": total_max,
         "cold_total_sec": total_cold,
         "queries_cold": cold,
     }
@@ -134,9 +153,12 @@ def main() -> int:
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
+        "stat": "median",
         "queries": times,
         "sf": sf,
         "runs": runs,
+        "total_min_sec": total_min,
+        "total_max_sec": total_max,
         "cold_total_sec": total_cold,
     }
     print(json.dumps(line, separators=(",", ":")))
