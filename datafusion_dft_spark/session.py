@@ -89,12 +89,7 @@ def tune_runtime_conf(spark: SparkSession, sf_dir: str) -> SparkSession:
     cluster raises the cap with executor count; AQE still coalesces or
     splits at runtime from there).
     """
-    import glob
-
-    try:
-        total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(sf_dir, "*.parquet")))
-    except OSError:
-        return spark
+    total = _input_bytes(spark, sf_dir)
     if not total:
         return spark
     parts = max(8, min(4096, total // (4 << 20)))
@@ -105,6 +100,35 @@ def tune_runtime_conf(spark: SparkSession, sf_dir: str) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+def _input_bytes(spark: SparkSession, sf_dir: str) -> int:
+    """Total bytes of ``*.parquet`` directly under ``sf_dir``.
+
+    Plain local paths use os.glob; any URI with a scheme (``s3a://``,
+    ``hdfs://``, ``file://`` — incl. the hf:// mapping from
+    sources.object_store) goes through the Hadoop FileSystem the scan
+    itself will use, so partition sizing works on object stores instead
+    of silently no-opping (the pre-round-6 behavior). Returns 0 when
+    the listing fails or matches nothing — caller keeps static defaults.
+    """
+    if "://" not in sf_dir:
+        import glob
+
+        try:
+            return sum(
+                os.path.getsize(p) for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+            )
+        except OSError:
+            return 0
+    try:
+        jvm = spark._jvm
+        pattern = jvm.org.apache.hadoop.fs.Path(sf_dir.rstrip("/") + "/*.parquet")
+        fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(pattern)
+        return sum(s.getLen() for s in statuses) if statuses else 0
+    except Exception:
+        return 0  # unreachable store / missing connector — keep defaults
 
 
 _TRACKED_CACHES: list = []

@@ -340,3 +340,30 @@ def test_cli_config_ddl_gated_and_iterations_default(sf_dir, tmp_path, capsys):
     rc = main(["--config", str(cfg), "--bench", "-c", "SELECT 1"])
     assert rc == 0
     assert "runs=3" in capsys.readouterr().out
+
+
+def test_tune_runtime_conf_hadoop_fs_uri(spark, sf_dir):
+    """Partition sizing must work on schemed URIs (object stores) via the
+    Hadoop FileSystem, not silently no-op as the local-glob did. file://
+    exercises the same listing code path as s3a:// without network."""
+    from datafusion_dft_spark.session import _input_bytes, tune_runtime_conf
+
+    local = _input_bytes(spark, sf_dir)
+    via_fs = _input_bytes(spark, f"file://{os.path.abspath(sf_dir)}")
+    assert local > 0 and via_fs == local
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        tune_runtime_conf(spark, f"file://{os.path.abspath(sf_dir)}")
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert parts == max(8, min(4096, local // (4 << 20)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_tune_runtime_conf_unreachable_store_keeps_defaults(spark):
+    from datafusion_dft_spark.session import _input_bytes
+
+    # No s3a connector conf for this bucket in the test session: the
+    # listing must fail soft (0), leaving static defaults in place.
+    assert _input_bytes(spark, "s3a://nonexistent-bucket-for-test/prefix") == 0
