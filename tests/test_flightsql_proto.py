@@ -183,3 +183,38 @@ def test_negative_data_type_round_trips():
     assert fsp.command_to_dict(raw) == {"type": "xdbc_type_info", "data_type": -7}
     # encoded form is the canonical 10-byte varint
     assert fsp.encode_command({"type": "xdbc_type_info", "data_type": -1}) != b""
+
+
+def test_e2e_stock_adbc_client(spark, sf_dir):
+    """Interop with a client this repo did NOT write.
+
+    The only thing that truly proves the hand-rolled
+    arrow.flight.protocol.sql envelope is a stock FlightSQL client;
+    none ships in this sandbox (no adbc_driver_flightsql, no protobuf
+    runtime, no flight-sql jar — and installs are disallowed), so this
+    test self-skips here and runs automatically in any environment
+    with the ADBC driver installed. Reference exercises the same via
+    tests/server_cases/flightsql.rs.
+    """
+    dbapi = pytest.importorskip("adbc_driver_flightsql.dbapi")
+
+    register_views(spark, sf_dir)
+    refresh_information_schema(spark)
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0")
+    try:
+        with dbapi.connect(f"grpc://127.0.0.1:{server.port}") as conn:
+            with conn.cursor() as cur:
+                # statement RPC end to end
+                cur.execute("SELECT count(*) AS n FROM nation")
+                assert cur.fetchall() == [(25,)]
+                # catalog RPC end to end
+                objects = conn.adbc_get_objects(depth="tables").read_all().to_pylist()
+                names = {
+                    t["table_name"]
+                    for cat in objects
+                    for sch in cat["catalog_db_schemas"] or []
+                    for t in sch["db_schema_tables"] or []
+                }
+                assert "nation" in names
+    finally:
+        server.shutdown()
