@@ -346,6 +346,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     refine_iters: int = 0,
+    nrows: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus, probe the nearest cells.
 
@@ -359,14 +360,16 @@ def ivf_topk(
     shape scales: assignment is one broadcast join + argmax, and the
     probe join shuffles on cluster id only.
     """
-    cd = _ensure_parallelism(
-        corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    if nrows is None:
+        nrows = corpus.count()
+    cd = _right_size(
+        corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")), nrows
     )
     # Deterministic distributed sample: hash-stride filter keeps ~n_centroids
     # candidates executor-side (collecting all corpus ids to the driver would
     # OOM at the scales this operator targets), then a tiny ordered limit
     # pins the exact set.
-    stride = max(1, corpus.count() // n_centroids)
+    stride = max(1, nrows // n_centroids)
     # md5-based stride (not xxhash64) keeps the sample engine-portable:
     # DuckDB reproduces ('0x'||substr(md5(id),1,8))::BIGINT % stride.
     stride_hash = F.conv(
@@ -433,6 +436,7 @@ def lsh_topk(
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
     multiprobe: bool = True,
+    nrows: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH + exact rerank.
 
@@ -442,12 +446,9 @@ def lsh_topk(
     with ``multiprobe``, every single-bit flip of it per table.
     """
     sigs = signatures(F.col("cv"), dim, n_planes, n_tables)
-    c = (
-        _ensure_parallelism(
-            corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-        )
-        .select("neighbor_id", "cv", F.posexplode(sigs).alias("table", "bucket"))
-    )
+    cbase = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    cbase = _right_size(cbase, nrows) if nrows is not None else _ensure_parallelism(cbase)
+    c = cbase.select("neighbor_id", "cv", F.posexplode(sigs).alias("table", "bucket"))
     qsigs = signatures(F.col("qv"), dim, n_planes, n_tables)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")

@@ -158,10 +158,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    lsh = sim.lsh_topk(emb, queries, dim=_DIM, k=5).select(
+    n = emb.count()  # cached-table stats; shared by both index builds
+    lsh = sim.lsh_topk(emb, queries, dim=_DIM, k=5, nrows=n).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    ivf = sim.ivf_topk(emb, queries, k=5).select(
+    ivf = sim.ivf_topk(emb, queries, k=5, nrows=n).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
     return lsh.unionByName(ivf)
