@@ -84,6 +84,17 @@ def test_sketch_queries_never_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin BuildRight, Inner\n" not in plan, name
 
 
+def test_embedding_dedup_two_shuffles_broadcast_rerank(spark, sf_dir):
+    """Round-6 shape: candidate generation is the (table, bucket) groupBy
+    shuffle plus the pair distinct — exactly two full-data exchanges; the
+    vector-rehydration joins must broadcast the (small) candidate side,
+    never shuffle the corpus again."""
+    df = _build("dedup_embedding_cosine", spark, sf_dir)
+    assert ex.exchange_count(df) <= 2, ex.simple_plan(df)
+    plan = ex.formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_minhash_bucket_join_is_equi(spark, sf_dir):
     """The LSH band join must be a hash/sort-merge equi-join on the
     (band, bandhash) key — bucketed candidate generation, not a filter
