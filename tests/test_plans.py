@@ -84,15 +84,15 @@ def test_sketch_queries_never_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin BuildRight, Inner\n" not in plan, name
 
 
-def test_embedding_dedup_two_shuffles_broadcast_rerank(spark, sf_dir):
+def test_embedding_dedup_two_shuffles_no_joins(spark, sf_dir):
     """Round-6 shape: candidate generation is the (table, bucket) groupBy
-    shuffle plus the pair distinct — exactly two full-data exchanges; the
-    vector-rehydration joins must broadcast the (small) candidate side,
-    never shuffle the corpus again."""
+    shuffle plus the survivor distinct — exactly two full-data exchanges
+    and ZERO joins (the bounded-corpus path verifies cosine inline via a
+    broadcast vector matrix, so the threshold filter runs before the
+    distinct and nothing rehydrates vectors through a join)."""
     df = _build("dedup_embedding_cosine", spark, sf_dir)
     assert ex.exchange_count(df) <= 2, ex.simple_plan(df)
-    plan = ex.formatted_plan(df)
-    assert "BroadcastExchange" in plan, plan
+    assert "Join" not in ex.simple_plan(df), ex.simple_plan(df)
 
 
 def test_minhash_bucket_join_is_equi(spark, sf_dir):
