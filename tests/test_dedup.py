@@ -75,3 +75,39 @@ def test_pipeline_lsh_equals_exact_composition(spark, sf_dir):
     lsh = {tuple(r) for r in clean_corpus(spark, sf_dir, near_dup="lsh").collect()}
     exact = {tuple(r) for r in clean_corpus(spark, sf_dir, near_dup="exact").collect()}
     assert lsh == exact
+
+
+def test_chunk_pair_banding_is_exact_for_hamming_6():
+    """Pigeonhole proof-by-enumeration for the round-6 simhash banding:
+    any pair of 64-bit fingerprints within Hamming distance 6 must share
+    at least one of the 28 chunk-pair band keys (<=6 differing bits
+    touch <=6 of 8 chunks, so >=2 chunks agree fully). Pure-python
+    mirror of the Spark key expressions, driven by hypothesis."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_dft_spark.operators.dedup import SIMHASH_BITS, SIMHASH_CHUNKS
+
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+
+    def keys(fp: int) -> set:
+        chunks = [(fp >> (i * width)) & ((1 << width) - 1) for i in range(SIMHASH_CHUNKS)]
+        return {
+            (n, (chunks[i] << width) | chunks[j])
+            for n, (i, j) in enumerate(combinations(range(SIMHASH_CHUNKS), 2))
+        }
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        fp=st.integers(min_value=0, max_value=(1 << 64) - 1),
+        flips=st.lists(st.integers(min_value=0, max_value=63), min_size=0, max_size=6, unique=True),
+    )
+    def check(fp, flips):
+        other = fp
+        for b in flips:
+            other ^= 1 << b
+        assert keys(fp) & keys(other), (hex(fp), flips)
+
+    check()
