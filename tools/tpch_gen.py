@@ -1,12 +1,21 @@
 #!/usr/bin/env python
-"""Deterministic corpus generator for scale rehearsals beyond sf0.1.
+"""Adversarial corpus generator for scale rehearsals beyond sf0.1.
+
+Distinct from ``datafusion_dft_spark/tools/tpch_gen.py`` (the product
+surface: dft generate-tpch parity, fully distributed, hash-uniform
+values). THIS generator deliberately plants the structure that
+stresses the sketch operators — embedding clusters whose intra-cosine
+(~0.89) sits just under the dedup threshold (the LSH worst case),
+planted exact/near document duplicates, a small vocabulary that
+collides SimHash chunks — because hash-uniform data exercises only the
+happy path. The round-6 sf1 rehearsal with this corpus caught two
+real quadratic cliffs (BENCH_SF1.json, SCALE.md) that uniform data
+would have hidden.
 
 Mirrors the driver corpus's schemas and value distributions
-(TESTDATA.md; sampled from /root/testdata/sf0.1): TPC-H-ish star
-schema + events/documents/embeddings. NOT byte-identical to the
-driver's data (its RNG is private) — correctness runs against the
-driver's own sf0.01; this exists so bench/scale sweeps can run at sf1+
-where no driver fixture exists.
+(TESTDATA.md; sampled from /root/testdata/sf0.1). NOT byte-identical
+to the driver's data (its RNG is private) — correctness runs against
+the driver's own sf0.01.
 
 Usage: python tools/tpch_gen.py SF OUTDIR  (e.g. 1 /tmp/sf1)
 
