@@ -209,12 +209,19 @@ def minhash_signatures(
 
         @F.pandas_udf("array<long>")
         def sig_udf(hss: "pd.Series") -> "pd.Series":
-            return pd.Series(
-                [
-                    ((a * np.asarray(h, dtype=np.int64)[None, :] + b) % MINHASH_P).min(axis=1)
-                    for h in hss
-                ]
-            )
+            # One flattened pass per Arrow batch (same reduceat pattern
+            # as simhash's sim_udf): a per-document comprehension
+            # re-enters numpy len(batch) times and dominated the
+            # signature stage on 50k-doc corpora.
+            if len(hss) == 0:
+                return pd.Series([], dtype=object)
+            lens = np.fromiter((len(h) for h in hss), dtype=np.int64, count=len(hss))
+            h_flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hss])
+            vals = (a * h_flat[None, :] + b) % MINHASH_P  # num_perm x total
+            offsets = np.zeros(len(hss), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(vals, offsets, axis=1)  # num_perm x docs
+            return pd.Series(list(mins.T))
 
         from .similarity import _ensure_parallelism
 
