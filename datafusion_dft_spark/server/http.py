@@ -225,7 +225,13 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
 
         return guarded(f"/tpch/{n}", name, run)
 
+    @app.get("/")
+    def root():
+        # router.rs:62-65 greeting, adapted.
+        return "Hello, from datafusion-dft-spark!"
+
     @app.get("/health")
+    @app.get("/health-check")  # router.rs:66-69 path parity
     def health():
         return jsonify({"status": "ok", "spark_version": spark.version})
 
