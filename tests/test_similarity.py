@@ -100,3 +100,20 @@ def test_lsh_rank1_is_true_nearest_for_most_queries(emb):
     }
     hits = sum(1 for q, n in exact1.items() if lsh1.get(q) == n)
     assert hits / len(exact1) >= 0.6, f"rank-1 agreement {hits}/{len(exact1)}"
+
+
+def test_right_size_three_regimes(spark):
+    from datafusion_dft_spark.operators.similarity import _right_size
+    from datafusion_dft_spark.session import default_parallelism
+
+    cpus = default_parallelism()
+    # over-split tiny input coalesces down (narrow)
+    tiny = spark.range(0, 100, 1, 64)
+    assert _right_size(tiny, 100).rdd.getNumPartitions() == 1
+    # under-split input with enough rows repartitions up to <= cpus
+    fat = spark.range(0, 1_000_000, 1, 1)
+    sized = _right_size(fat, 1_000_000)
+    assert 1 < sized.rdd.getNumPartitions() <= cpus
+    # well-split big input is untouched (keeps scan parallelism)
+    big = spark.range(0, 1_000_000, 1, 200)
+    assert _right_size(big, 1_000_000).rdd.getNumPartitions() == 200
