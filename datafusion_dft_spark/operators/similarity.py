@@ -37,8 +37,11 @@ N_TABLES = 8
 
 # Corpus-size cap for the broadcast-verify rerank in cosine_dup_pairs:
 # 250k x 64 float64 = 128 MB broadcast. Beyond it, the unbounded
-# join-rehydration path runs instead.
-_BROADCAST_VERIFY_MAX = int(250_000)
+# join-rehydration path runs instead. Env-tunable for deployments with
+# bigger executors (or narrower vectors).
+import os as _os
+
+_BROADCAST_VERIFY_MAX = int(_os.environ.get("SPARK_GRAFT_BROADCAST_VERIFY_MAX", "250000"))
 def as_double(vec: Column | str) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
