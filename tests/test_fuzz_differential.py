@@ -262,3 +262,36 @@ def numeric_fn_query(draw):
 @given(sql=numeric_fn_query())
 def test_fuzz_numeric_functions(spark, duckcon, views, sql):
     _compare(spark, duckcon, sql)
+
+
+@st.composite
+def date_fn_query(draw):
+    """§2.8 date/time functions whose semantics match across engines.
+
+    date_trunc (incl. ISO-Monday weeks), last_day, and quarter/week
+    extraction; dow/doy are EXCLUDED (Spark counts Sunday=1, DuckDB
+    Sunday=0 — a real dialect difference, not a bug)."""
+    unit = draw(st.sampled_from(["year", "quarter", "month", "week", "day"]))
+    expr = draw(
+        st.sampled_from(
+            [
+                # CAST to DATE: Spark's date_trunc yields timestamp,
+                # DuckDB's yields date — same instant, different type.
+                "CAST(date_trunc('{u}', l_shipdate) AS DATE)",
+                "last_day(l_shipdate)",
+                "extract(quarter FROM l_shipdate)",
+                "extract(week FROM l_shipdate)",
+            ]
+        )
+    ).format(u=unit)
+    qty = draw(st.integers(min_value=5, max_value=45))
+    return (
+        f"SELECT {expr} AS g, count(*) AS m, round(sum(l_discount), 4) AS s "
+        f"FROM lineitem WHERE l_quantity <= {qty} GROUP BY {expr}"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=date_fn_query())
+def test_fuzz_date_functions(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
