@@ -158,10 +158,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 6
     """,
     tags=("dedup", "simhash"),
-    doc="64-bit SimHash fingerprints; Hamming<=6 pairs via 8x8-bit pigeonhole "
-    "bands (no quadratic self-join). Word-hash bits come from md5 hex, so the "
-    "full sketch is differentially verified against DuckDB per-bit — the "
-    "doc_min_k_sketch pattern applied to SimHash.",
+    doc="64-bit SimHash fingerprints; Hamming<=6 pairs via chunk-PAIR "
+    "pigeonhole bands (28 bands x 16-bit keys, Manku WWW'07 — exact: <=6 "
+    "differing bits leave >=2 of 8 chunks agreeing; single 8-bit chunks "
+    "flood at >10k docs). The oracle's wider single-chunk candidate set "
+    "converges to the same Hamming<=6 result. Word-hash bits come from md5 "
+    "hex, so the full sketch is differentially verified against DuckDB "
+    "per-bit — the doc_min_k_sketch pattern applied to SimHash.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
