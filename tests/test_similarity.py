@@ -117,3 +117,31 @@ def test_right_size_three_regimes(spark):
     # well-split big input is untouched (keeps scan parallelism)
     big = spark.range(0, 1_000_000, 1, 200)
     assert _right_size(big, 1_000_000).rdd.getNumPartitions() == 200
+
+
+def test_cosine_dup_pairs_join_path_matches_broadcast_path(spark, emb, monkeypatch):
+    """The unbounded join-rehydration path (the 100 TB shape) must produce
+    the identical pair set as the bounded broadcast bucket-verify path —
+    fixtures always fit the broadcast budget, so force the cap down to
+    exercise the join path explicitly."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dft_spark.operators import similarity as sim
+    from datafusion_dft_spark.session import release_tracked_caches
+
+    e = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    pert = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    df = e.unionByName(pert)
+    via_broadcast = {
+        tuple(r) for r in sim.cosine_dup_pairs(df, threshold=0.9).collect()
+    }
+    monkeypatch.setattr(sim, "_BROADCAST_VERIFY_MAX", 0)
+    via_join = {tuple(r) for r in sim.cosine_dup_pairs(df, threshold=0.9).collect()}
+    release_tracked_caches()
+    assert via_broadcast == via_join and via_join
