@@ -104,6 +104,17 @@ def _function_type(name: str, class_name: str) -> str:
     return "SCALAR"
 
 
+# Sessions whose routines/parameters views are current. listFunctions()
+# walks ~400 builtins through py4j (~2 s); the builtin set is static per
+# session and the only function-registration path this engine exposes is
+# udf_registry.register_udf, which invalidates below.
+_ROUTINES_FRESH: set[int] = set()
+
+
+def invalidate_routines(spark: SparkSession) -> None:
+    _ROUTINES_FRESH.discard(id(spark))
+
+
 def _refresh_routines(spark: SparkSession, catalog: str) -> None:
     """Build routines + parameters over spark.catalog.listFunctions().
 
@@ -112,6 +123,8 @@ def _refresh_routines(spark: SparkSession, catalog: str) -> None:
     while Spark's catalog does not expose builtin JVM signatures — an
     honest gap, documented here rather than fabricated.
     """
+    if id(spark) in _ROUTINES_FRESH:
+        return
     from .udf_registry import ALLOWED_TYPES, registered_udfs
 
     udfs = registered_udfs(spark)
@@ -154,6 +167,7 @@ def _refresh_routines(spark: SparkSession, catalog: str) -> None:
     spark.createDataFrame(parameters or [], _PARAMETERS_SCHEMA).createOrReplaceTempView(
         "__info_parameters"
     )
+    _ROUTINES_FRESH.add(id(spark))
 
 
 def refresh_information_schema(spark: SparkSession) -> None:

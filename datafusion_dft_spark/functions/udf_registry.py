@@ -74,6 +74,9 @@ def register_udf(spark: SparkSession, cfg: UdfConfig) -> None:
     else:
         raise ValueError(f"unknown UDF mode {cfg.mode!r} (expected 'row' or 'arrow')")
     _SESSION_UDFS.setdefault(id(spark), {})[cfg.name] = cfg
+    from .info_schema import invalidate_routines
+
+    invalidate_routines(spark)
 
 
 def register_udfs(spark: SparkSession, udfs: list[UdfConfig]) -> list[str]:
