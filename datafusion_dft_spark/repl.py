@@ -1,0 +1,176 @@
+"""Interactive SQL REPL — the reference TUI's engine-facing core.
+
+The reference ships a full ratatui SQL IDE (``src/tui/``); its
+presentation layer (panes, syntax highlight, mouse) is out of scope
+here, but the *engine-facing* behaviors its e2e cases assert
+(``tests/tui_cases/{sql_execution,ddl,pagination}.rs``) are carried:
+
+- interactive statement entry, executed on ``;`` through the same
+  multi-statement SQL layer as the CLI (shared session state, so DDL
+  in one statement is visible to the next — tui_cases/ddl.rs);
+- results buffered as Arrow record batches and *paged* with the exact
+  pagination math of ``src/tui/pagination.rs:24-70`` (PAGE_SIZE=100,
+  page extraction across batch boundaries, empty-page semantics);
+- ``\\timing`` toggle (the TUI's execution-elapsed display),
+  ``\\d`` table listing, ``\\q`` quit.
+
+The loop is I/O-injectable so tests drive it exactly like the
+reference's simulated-keystroke TUI cases.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+PAGE_SIZE = 100
+
+
+def page_row_range(page: int, page_size: int = PAGE_SIZE) -> tuple[int, int]:
+    """pagination.rs:9-13 — [start, end) row range of a page."""
+    start = page * page_size
+    return start, start + page_size
+
+
+def has_sufficient_rows(loaded_rows: int, page: int, page_size: int = PAGE_SIZE) -> bool:
+    """pagination.rs:16-19 — page fully materialized in the buffer?"""
+    _, end = page_row_range(page, page_size)
+    return loaded_rows >= end
+
+
+def extract_page(
+    batches: list[pa.RecordBatch], page: int, page_size: int = PAGE_SIZE
+) -> pa.RecordBatch:
+    """pagination.rs:22-50 — slice one page across batch boundaries.
+
+    Same edge semantics: no batches → empty batch with empty schema;
+    page beyond data → empty batch with the result schema; end clamped
+    to available rows.
+    """
+    if not batches:
+        return pa.RecordBatch.from_pylist([], schema=pa.schema([]))
+    total = sum(b.num_rows for b in batches)
+    start, end = page_row_range(page, page_size)
+    end = min(end, total)
+    if start >= total:
+        return batches[0].slice(0, 0)
+    table = pa.Table.from_batches(batches).slice(start, end - start).combine_chunks()
+    return table.to_batches()[0]
+
+
+@dataclass
+class Repl:
+    """Line-at-a-time REPL core, I/O-injected for tests."""
+
+    spark: object
+    echo: object = print
+    timing: bool = False
+    _pending: list[str] = field(default_factory=list)
+    _batches: list[pa.RecordBatch] = field(default_factory=list)
+    _page: int = 0
+
+    # ------------------------------------------------------------- commands
+
+    def feed(self, line: str) -> bool:
+        """Process one input line; returns False when the session ends."""
+        stripped = line.strip()
+        if not self._pending and stripped.startswith("\\"):
+            return self._meta(stripped)
+        if not self._pending and stripped in ("n", "p") and self._batches:
+            self._turn_page(1 if stripped == "n" else -1)
+            return True
+        self._pending.append(line)
+        if stripped.endswith(";"):
+            sql = "\n".join(self._pending)
+            self._pending.clear()
+            self._run(sql)
+        return True
+
+    def _meta(self, cmd: str) -> bool:
+        if cmd in ("\\q", "\\quit"):
+            return False
+        if cmd == "\\timing":
+            self.timing = not self.timing
+            self.echo(f"timing {'on' if self.timing else 'off'}")
+        elif cmd == "\\d":
+            self._run("SHOW TABLES;")
+        else:
+            self.echo(f"unknown command: {cmd} (try \\d, \\timing, \\q)")
+        return True
+
+    def _run(self, sql: str) -> None:
+        from .sql import execute_sql
+
+        t0 = time.perf_counter()
+        try:
+            dfs = execute_sql(self.spark, sql.rstrip(";"))
+        except Exception as e:
+            self.echo(f"error: {str(e).splitlines()[0]}")
+            return
+        if not dfs:
+            return
+        try:
+            table = dfs[-1].toArrow()
+        except Exception as e:
+            self.echo(f"error: {str(e).splitlines()[0]}")
+            return
+        self._batches = table.to_batches() or []
+        self._page = 0
+        self._show_page()
+        if self.timing:
+            self.echo(f"elapsed: {time.perf_counter() - t0:.3f}s")
+
+    def _turn_page(self, delta: int) -> None:
+        total = sum(b.num_rows for b in self._batches)
+        new = max(0, self._page + delta)
+        start, _ = page_row_range(new)
+        if start < max(total, 1):
+            self._page = new
+        self._show_page()
+
+    def _show_page(self) -> None:
+        page = extract_page(self._batches, self._page)
+        total = sum(b.num_rows for b in self._batches)
+        if page.num_rows:
+            self.echo(page.to_pandas().to_string(index=False))
+        start, end = page_row_range(self._page)
+        self.echo(
+            f"-- rows {min(start, total)}-{min(end, total)} of {total} "
+            f"(page {self._page}; 'n' next, 'p' prev)"
+            if total > PAGE_SIZE
+            else f"-- {total} row(s)"
+        )
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    from .catalog import register_views
+    from .config import AppConfig, load_config
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(prog="datafusion-dft-spark-repl")
+    p.add_argument("--config", help="TOML config file")
+    p.add_argument("--register", help="corpus directory to register as views")
+    args = p.parse_args(argv)
+    config = load_config(args.config) if args.config else AppConfig()
+    spark = get_spark(app_name="datafusion-dft-spark-repl", conf=config.execution.settings)
+    if args.register:
+        register_views(spark, args.register)
+    repl = Repl(spark)
+    print("datafusion-dft-spark interactive shell (\\q to quit, \\d tables, \\timing)")
+    while True:
+        try:
+            line = input("dft> " if not repl._pending else "...> ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not repl.feed(line):
+            return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
