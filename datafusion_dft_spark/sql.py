@@ -211,6 +211,12 @@ def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
         from .sources.delta import read_delta
 
         read_delta(spark, path).createOrReplaceTempView(name)
+    elif fmt == "vortex":
+        # extensions/vortex.rs:36-44 — VortexFormatFactory. Honest gate:
+        # reads via vortex-python's Arrow surface when available.
+        from .sources.io import read_vortex
+
+        read_vortex(spark, path).createOrReplaceTempView(name)
     elif fmt in ("parquet", "csv", "json", "ndjson"):
         reader = spark.read
         if fmt == "csv":

@@ -367,3 +367,27 @@ def test_tune_runtime_conf_unreachable_store_keeps_defaults(spark):
     # No s3a connector conf for this bucket in the test session: the
     # listing must fail soft (0), leaving static defaults in place.
     assert _input_bytes(spark, "s3a://nonexistent-bucket-for-test/prefix") == 0
+
+
+def test_vortex_gate_raises_actionable_error(spark, tmp_path):
+    """Vortex rides vortex-python's Arrow surface when installed
+    (extensions/vortex.rs:36-44 analog); absent the package, every entry
+    point must fail with an actionable NotImplementedError, not a crash."""
+    from datafusion_dft_spark.sources.io import read_any, write_any
+
+    try:
+        import vortex  # noqa: F401
+
+        pytest.skip("vortex-python installed — gate not exercisable")
+    except ImportError:
+        pass
+
+    with pytest.raises(NotImplementedError, match="vortex-data"):
+        read_any(spark, str(tmp_path / "t.vortex"))
+    with pytest.raises(NotImplementedError, match="vortex-data"):
+        write_any(spark.range(3), str(tmp_path / "o.vortex"))
+    with pytest.raises(NotImplementedError, match="vortex-data"):
+        prepare_statement(
+            spark,
+            f"CREATE EXTERNAL TABLE vtx STORED AS VORTEX LOCATION '{tmp_path}/t.vortex'",
+        )
