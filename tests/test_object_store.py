@@ -149,5 +149,8 @@ def test_external_table_deltatable_activation(spark, tmp_path):
 
 
 def test_external_table_bad_format(spark):
+    # VORTEX moved from "unsupported" to the gated vortex-python path
+    # (sources/io.py::read_vortex) in round 6 — use a genuinely unknown
+    # format to exercise the rejection branch.
     with pytest.raises(ValueError, match="unsupported STORED AS"):
-        prepare_statement(spark, "CREATE EXTERNAL TABLE x STORED AS VORTEX LOCATION '/tmp/x'")
+        prepare_statement(spark, "CREATE EXTERNAL TABLE x STORED AS ORCZ LOCATION '/tmp/x'")
