@@ -39,3 +39,26 @@ def test_concurrent_bench(spark, sf_dir):
     res = run_bench_concurrent(spark, "SELECT count(*) FROM orders", iterations=4)
     assert res.rows_consistent and len(res.phase_times["total"]) == 4
     assert res.concurrency_mode.startswith("concurrent[")
+
+
+def test_rehearsal_generator_schema_parity(spark, sf_dir, tmp_path):
+    """The adversarial rehearsal generator (repo-root tools/tpch_gen.py)
+    must emit the driver corpus's schemas exactly, or sf1 bench numbers
+    measure a different workload than the driver's own fixtures."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from tpch_gen import generate as gen_rehearsal
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "mini")
+    gen_rehearsal(0.001, out)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        got = spark.read.parquet(f"{out}/{t}.parquet").schema
+        want = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        assert [(f.name, f.dataType.simpleString()) for f in got] == [
+            (f.name, f.dataType.simpleString()) for f in want
+        ], t
