@@ -108,11 +108,27 @@ def approx_aggregates_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
-    pctl = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50_qty"),
+    # Exact medians, split by value-domain cardinality (the choice
+    # operators/percentiles.py exists to make): l_quantity has a
+    # bounded ~50-value domain, so the builtin's per-group value map
+    # IS a tiny histogram; l_extendedprice's domain scales with the
+    # data (~1M distinct at sf1), where the builtin concentrates the
+    # whole map merge in one final task per l_returnflag group —
+    # measured 8.2 s steady at sf1, the last >12x cliff in SCALE.md's
+    # rehearsal. The approx-prune + exact-refine formulation keeps
+    # every heavy step distributed and the final walk constant-size
+    # (measured 0.09 s at sf1 for the same exact values).
+    from ..operators.percentiles import percentile_exact_refine
+
+    pctl = percentile_exact_refine(
+        li, ["l_returnflag"], "l_extendedprice", 0.5, "exact_p50"
     )
+    # percentile(l_quantity) rides with the sketches: all three are
+    # typed-buffer ObjectHashAggregates (no Expand), and the quantity
+    # map is bounded by the ~50-value domain — one lineitem pass
+    # instead of two.
     approx = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50_qty"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
     )

@@ -1,0 +1,126 @@
+"""Differential tests for the distributed exact-percentile operators.
+
+Both formulations must reproduce Spark's builtin ``percentile(col, p)``
+bit-for-bit (linear interpolation at rank ``(N-1)*p``) — the builtin
+is itself oracle-checked against DuckDB ``median`` in
+``distinct_aggregates``, so agreement here chains the whole path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_dft_spark.operators.percentiles import (
+    percentile_exact_hist,
+    percentile_exact_refine,
+)
+
+
+def _builtin(df, p):
+    return {
+        r.g: r.p
+        for r in df.groupBy("g").agg(F.expr(f"percentile(v, {p})").alias("p")).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 7 groups, heavy duplication (13-value domain) — exercises ties,
+    # interpolation between equal values, and uneven group sizes.
+    return (
+        spark.range(0, 40000)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            ((F.col("id") * F.col("id")) % 13).cast("double").alias("v"),
+        )
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def continuous(spark):
+    # Near-unique value domain: md5-derived doubles, the case where the
+    # builtin's per-group value map scales with the rows.
+    return (
+        spark.range(0, 20000)
+        .select(
+            (F.col("id") % 3).alias("g"),
+            (
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                .cast("double")
+                / 4294967296.0
+            ).alias("v"),
+        )
+        .cache()
+    )
+
+
+@pytest.mark.parametrize("p", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_hist_matches_builtin(skewed, p):
+    got = {
+        r.g: r.p for r in percentile_exact_hist(skewed, ["g"], "v", p, "p").collect()
+    }
+    assert got == _builtin(skewed, p)
+
+
+@pytest.mark.parametrize("p", [0.0, 0.001, 0.25, 0.5, 0.999, 1.0])
+def test_refine_matches_builtin(skewed, p):
+    got = {
+        r.g: r.p for r in percentile_exact_refine(skewed, ["g"], "v", p, "p").collect()
+    }
+    assert got == _builtin(skewed, p)
+
+
+@pytest.mark.parametrize("p", [0.25, 0.5, 0.75])
+def test_refine_continuous_domain(continuous, p):
+    got = {
+        r.g: r.p
+        for r in percentile_exact_refine(continuous, ["g"], "v", p, "p").collect()
+    }
+    assert got == _builtin(continuous, p)
+
+
+def test_refine_coarse_sketch_still_exact(skewed):
+    """accuracy=10 widens the pruning band enormously — the refine
+    step must stay exact regardless of how loose the sketch is."""
+    got = {
+        r.g: r.p
+        for r in percentile_exact_refine(
+            skewed, ["g"], "v", 0.5, "p", accuracy=10
+        ).collect()
+    }
+    assert got == _builtin(skewed, 0.5)
+
+
+def test_null_and_all_null_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", None), ("c", 5.0)],
+        "g string, v double",
+    )
+    expect = _builtin(df, 0.5)  # a -> 1.5, b -> None, c -> 5.0
+    for fn in (percentile_exact_hist, percentile_exact_refine):
+        got = {r.g: r.p for r in fn(df, ["g"], "v", 0.5, "p").collect()}
+        assert got == expect, fn.__name__
+
+
+def test_singleton_groups(spark):
+    df = spark.createDataFrame([("a", 3.0), ("b", 7.0)], "g string, v double")
+    for fn in (percentile_exact_hist, percentile_exact_refine):
+        got = {r.g: r.p for r in fn(df, ["g"], "v", 0.5, "p").collect()}
+        assert got == {"a": 3.0, "b": 7.0}, fn.__name__
+
+
+def test_multi_group_columns(skewed):
+    df = skewed.withColumn("g2", (F.col("v") > 6).cast("int"))
+    ref = {
+        (r.g, r.g2): r.p
+        for r in df.groupBy("g", "g2")
+        .agg(F.expr("percentile(v, 0.5)").alias("p"))
+        .collect()
+    }
+    got = {
+        (r.g, r.g2): r.p
+        for r in percentile_exact_refine(df, ["g", "g2"], "v", 0.5, "p").collect()
+    }
+    assert got == ref
