@@ -117,3 +117,41 @@ def unigram_logprob_scores(
         )
     )
     return scored
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (emails / phone numbers / IPv4), pure JVM regex.
+# --------------------------------------------------------------------------
+# Patterns restricted to the Java-regex / RE2 common subset (no
+# lookarounds, no backrefs) so DuckDB replays them verbatim and the
+# scrub is differentially testable (tests/test_pii.py). Order matters
+# in redact_pii: emails contain dots/digits that the looser patterns
+# could half-match, so they are removed first, then IPs, then phones.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d() -]{6,}\d"
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_emails, n_phones, n_ips) — per-document PII census.
+
+    The audit half of the scrub: production pipelines log match counts
+    per shard before destructive redaction ships.
+    """
+    return F.struct(
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).alias("n_ips"),
+    )
+
+
+def redact_pii(text: Column | str, token: str = "[PII]") -> Column:
+    """Replace every email / IPv4 / phone match with ``token``.
+
+    Scan-speed (three chained JVM regexp_replace, whole-stage
+    codegen'd); at 100 TB this is a projection, not a job.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    step = F.regexp_replace(col, PII_EMAIL, token)
+    step = F.regexp_replace(step, PII_IPV4, token)
+    return F.regexp_replace(step, PII_PHONE, token)

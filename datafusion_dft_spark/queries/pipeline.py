@@ -1,10 +1,11 @@
 """Composed training-data pipeline: the operators working together.
 
-One query chaining quality scoring -> exact-dup removal -> near-dup
-removal (keep the lowest doc_id of each Jaccard>=0.8 pair) -> corpus
-statistics. This is the end-to-end shape a 100 TB data-prep job takes;
-every stage is the oracle-checked operator from its own module, so the
-composition is oracle-checked too.
+One query chaining benchmark decontamination (drop training docs
+sharing an 8-gram with the held-out eval split) -> quality scoring ->
+near-dup removal (keep the lowest doc_id of each Jaccard>=0.8 pair)
+-> corpus statistics. This is the end-to-end shape a 100 TB data-prep
+job takes; every stage is the oracle-checked operator from its own
+module, so the composition is oracle-checked too.
 """
 
 from __future__ import annotations
@@ -13,29 +14,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..operators import decontam as dc
 from ..operators import dedup as dd
+from ..operators import sampling as sp
 from ..operators import text as tx
 from ..registry import query
 
 _QUALITY_MIN = 0.3
+# Held-out eval split: a 5% deterministic md5 stride stands in for the
+# benchmark corpus (same content-hash membership rule as sampling.py,
+# so DuckDB reproduces the split exactly).
+_EVAL_FRACTION = 0.05
+_EVAL_CUT = int(_EVAL_FRACTION * sp._M)
+_DECONTAM_N = 8
 
 
 @query(
     "pipeline_clean_corpus",
     oracle=f"""
-        WITH scored AS (
+        WITH eval_docs AS (
+            SELECT * FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % {sp._M} < {_EVAL_CUT}
+        ), train_docs AS (
+            SELECT * FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % {sp._M} >= {_EVAL_CUT}
+        ), {dc.decontam_oracle_cte(_DECONTAM_N)}, scored AS (
             SELECT doc_id, lang,
                    len(string_split(text, ' ')) AS n_words,
                    least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
                    + (len(list_filter(string_split(text, ' '),
                           w -> list_contains(['the','a','of','to','and'], w)))
                       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5 AS q
-            FROM documents
+            FROM train_docs
         ), sh AS (
             SELECT doc_id,
                    unnest(list_distinct([array_to_string(words[i:i+4], ' ')
                                          for i in range(1, greatest(len(words) - 3, 2))])) AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM train_docs) w
         ), cnt AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
         ), dup_pairs AS (
@@ -46,22 +63,35 @@ _QUALITY_MIN = 0.3
             SELECT DISTINCT d2 AS doc_id FROM dup_pairs
             JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
             WHERE n_inter / CAST(c1.n_sh + c2.n_sh - n_inter AS DOUBLE) + 1e-9 >= 0.8
+        ), clang AS (
+            SELECT lang, count(*) AS n_contaminated
+            FROM train_docs JOIN contam USING (doc_id)
+            GROUP BY lang
+        ), base AS (
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS total_tokens,
+                   round(avg(q) + 1e-9, 4) AS avg_quality
+            FROM scored
+            WHERE q >= {_QUALITY_MIN}
+              AND doc_id NOT IN (SELECT doc_id FROM drops)
+              AND doc_id NOT IN (SELECT doc_id FROM contam)
+            GROUP BY lang
         )
-        SELECT lang,
-               count(*) AS n_docs,
-               CAST(sum(n_words) AS BIGINT) AS total_tokens,
-               round(avg(q) + 1e-9, 4) AS avg_quality
-        FROM scored
-        WHERE q >= {_QUALITY_MIN}
-          AND doc_id NOT IN (SELECT doc_id FROM drops)
-        GROUP BY lang
+        SELECT base.lang, n_docs, total_tokens, avg_quality,
+               COALESCE(clang.n_contaminated, 0) AS n_contaminated
+        FROM base LEFT JOIN clang USING (lang)
     """,
-    tags=("pipeline", "dedup", "quality"),
-    doc="End-to-end corpus cleaning: quality gate (score >= 0.3) + near-dup "
-    "removal (keep min doc_id of each Jaccard>=0.8 pair) -> per-language "
-    "statistics of the surviving corpus. The registered hot path finds "
-    "near-dups via MinHash-LSH candidates + exact verify (sub-linear, the "
-    "100 TB path); the oracle is the exhaustive all-pairs Jaccard, and "
+    tags=("pipeline", "dedup", "quality", "decontam"),
+    doc="End-to-end corpus cleaning: benchmark decontamination (training "
+    "docs sharing an 8-gram with the held-out 5% md5-stride eval split are "
+    "dropped) + quality gate (score >= 0.3) + near-dup removal (keep min "
+    "doc_id of each Jaccard>=0.8 pair) -> per-language statistics of the "
+    "surviving corpus, with the per-language contaminated-doc count "
+    "surfaced. The registered hot path finds near-dups via MinHash-LSH "
+    "candidates + exact verify and probes contamination via a broadcast "
+    "eval-gram join (both sub-linear, the 100 TB path); the oracle is the "
+    "exhaustive all-pairs Jaccard + the same gram join, and "
     "tests/test_dedup.py asserts the exact-composed variant produces the "
     "identical corpus at the test SFs.",
 )
@@ -78,8 +108,21 @@ def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> Dat
     bounded join: the only strategy that survives 100 TB.
     near_dup='exact': exhaustive all-pairs inverted-index Jaccard — the
     ground-truth/oracle formulation, viable only at small SF.
+
+    Decontamination runs first (the contaminated docs must not leak
+    into the cleaned corpus however the later stages rule): the 5%
+    md5-stride split stands in for a benchmark corpus, and any train
+    doc sharing a distinct 8-gram with it is dropped and counted.
     """
-    docs = load_tables(spark, sf_dir)["documents"]
+    all_docs = load_tables(spark, sf_dir)["documents"]
+    eval_docs = sp.deterministic_sample(all_docs, "doc_id", _EVAL_FRACTION)
+    docs = all_docs.filter(sp.hash_bucket("doc_id") >= _EVAL_CUT)
+    contam = dc.contamination_hits(docs, eval_docs, n=_DECONTAM_N)
+    contam_by_lang = (
+        docs.join(contam, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
     scored = docs.select(
         "doc_id",
         "lang",
@@ -103,11 +146,16 @@ def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> Dat
     else:
         raise ValueError(f"unknown near_dup strategy {near_dup!r}")
     drops = pairs.select(F.col("doc2").alias("doc_id")).distinct()
-    kept = scored.filter(F.col("q") >= _QUALITY_MIN).join(
-        F.broadcast(drops), "doc_id", "left_anti"
+    kept = (
+        scored.filter(F.col("q") >= _QUALITY_MIN)
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .join(F.broadcast(contam.select("doc_id")), "doc_id", "left_anti")
     )
-    return kept.groupBy("lang").agg(
+    stats = kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_tokens"),
         F.round(F.avg("q") + 1e-9, 4).alias("avg_quality"),
+    )
+    return stats.join(F.broadcast(contam_by_lang), "lang", "left").withColumn(
+        "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
     )
