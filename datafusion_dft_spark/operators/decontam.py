@@ -44,6 +44,16 @@ def contamination_hits(
     contribute their whole text as a single gram (shingle_array's
     clamp), so exact short-document copies still collide.
     """
+    from ..session import default_parallelism
+
+    # Single-row-group test parquet scans as 1-2 tasks, serializing the
+    # gram explode + probe join; repartition up to the core count when
+    # the source is under-split (same guard as the similarity
+    # operators — a real corpus arrives in thousands of splits and
+    # skips this narrow-input-only exchange).
+    cpus = default_parallelism()
+    if train.rdd.getNumPartitions() < cpus // 2:
+        train = train.repartition(cpus)
     tg = train.select(
         F.col(id_col), F.explode(shingle_array(text_col, n)).alias("gram")
     )
