@@ -124,3 +124,40 @@ def test_multi_group_columns(skewed):
         for r in percentile_exact_refine(df, ["g", "g2"], "v", 0.5, "p").collect()
     }
     assert got == ref
+
+
+# --------------------------------------------------------------------------
+# Property fuzz: random value distributions / group counts / p values.
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    p=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    n_groups=st.integers(min_value=1, max_value=5),
+    domain=st.integers(min_value=1, max_value=50),
+    rows=st.integers(min_value=1, max_value=3000),
+    accuracy=st.sampled_from([20, 1000, 10000]),
+)
+def test_fuzz_refine_vs_builtin(spark, p, n_groups, domain, rows, accuracy):
+    """Any (distribution, p, accuracy) triple must reproduce the builtin
+    exactly — including coarse sketches, single-row groups, and p at
+    the extremes. Values are a deterministic quadratic-residue scatter
+    so runs are reproducible without RNG."""
+    df = (
+        spark.range(0, rows)
+        .selectExpr(
+            f"id % {n_groups} AS g",
+            f"CAST((id * id + 7 * id) % {domain} AS DOUBLE) / 3.0 AS v",
+        )
+    )
+    want = _builtin(df, p)
+    got = {
+        r.g: r.p
+        for r in percentile_exact_refine(
+            df, ["g"], "v", p, "p", accuracy=accuracy
+        ).collect()
+    }
+    assert got == want
