@@ -166,9 +166,25 @@ def write_any(
     fmt: str | None = None,
     mode: str = "overwrite",
     single_file: bool = False,
+    partition_by: list[str] | None = None,
 ) -> str:
-    """Write ``df`` to ``path`` in the suffix-inferred format."""
+    """Write ``df`` to ``path`` in the suffix-inferred format.
+
+    ``partition_by`` produces a hive-layout directory tree
+    (``col=value/``) — the COPY ... PARTITIONED BY path; incompatible
+    with ``single_file`` and the driver-side arrow/vortex writers.
+    """
     fmt = fmt or infer_format(path)
+    if partition_by:
+        if single_file:
+            raise ValueError("partition_by and single_file are mutually exclusive")
+        if fmt in ("arrow", "vortex"):
+            raise ValueError(f"partitioned writes are not supported for {fmt}")
+        writer = df.write.mode(mode).partitionBy(*partition_by)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.format(fmt).save(path)
+        return path
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode)
     if fmt == "csv":
@@ -199,12 +215,20 @@ def write_any(
     return path
 
 
-def copy_to(spark: SparkSession, query: str, path: str, fmt: str | None = None) -> int:
+def copy_to(
+    spark: SparkSession,
+    query: str,
+    path: str,
+    fmt: str | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
     """SQL-level export: ``COPY (query) TO 'file'`` equivalent.
 
-    Returns the number of rows exported.
+    Returns the number of rows exported (DataFusion's COPY result).
+    Partitioned exports write a directory tree; unpartitioned ones a
+    single file, matching the reference's file-target semantics.
     """
     df = spark.sql(query)
     n = df.count()
-    write_any(df, path, fmt=fmt, single_file=True)
+    write_any(df, path, fmt=fmt, single_file=not partition_by, partition_by=partition_by)
     return n

@@ -13,6 +13,10 @@ Reference analogs:
 - ``information_schema.{tables,columns,views,schemata,routines,
   parameters,df_settings}`` (src/db.rs:186-198) — rewritten to temp
   views refreshed from spark.catalog / session conf / UDF registry;
+- ``COPY {table | (query)} TO 'path' [STORED AS fmt] [PARTITIONED BY
+  (cols)]`` (DataFusion statement surface the reference inherits) —
+  executed eagerly via the suffix/format-aware writers, yielding the
+  one-row ``count`` result;
 - JSON function names from datafusion-functions-json
   (tests/extension_cases/functions_json.rs) — ``json_get(col,'k')`` /
   ``json_contains(col,'k')`` / ``json_length`` mapped onto Spark
@@ -229,11 +233,89 @@ def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
     return f"SELECT '{name}' AS table_name WHERE 1=0"
 
 
+_COPY_RE = re.compile(r"(?is)^\s*COPY\s+(.*)$")
+_COPY_TAIL_RE = re.compile(
+    r"(?is)^\s*TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+STORED\s+AS\s+(?P<fmt>\w+))?"
+    r"(?:\s+PARTITIONED\s+BY\s+\(\s*(?P<cols>[^)]+?)\s*\))?"
+    r"(?:\s+OPTIONS\s*\((?P<opts>.*)\))?\s*$"
+)
+
+
+def _rewrite_copy(spark: SparkSession, stmt: str) -> str | None:
+    """DataFusion's ``COPY {table | (query)} TO 'path' [STORED AS fmt]
+    [PARTITIONED BY (cols)] [OPTIONS (...)]`` statement.
+
+    Executes the export eagerly (like the reference, which runs COPY as
+    a DataFusion statement) and substitutes the statement with the
+    one-row ``count`` result DataFusion's COPY returns. Unknown OPTIONS
+    keys raise — silently dropping a compression/header request would
+    corrupt the contract.
+    """
+    m = _COPY_RE.match(stmt)
+    if not m:
+        return None
+    rest = m.group(1).lstrip()
+    if rest.startswith("("):
+        # balanced-paren scan: the source query may itself contain parens
+        depth, j, n = 0, 0, len(rest)
+        in_s: str | None = None
+        while j < n:
+            ch = rest[j]
+            if in_s:
+                if ch == in_s:
+                    in_s = None
+            elif ch in ("'", '"', "`"):
+                in_s = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError("COPY: unbalanced parentheses in source query")
+        query, tail = rest[1:j], rest[j + 1 :]
+    else:
+        tm = re.match(r"(?s)^([A-Za-z_][\w.]*)(.*)$", rest)
+        if not tm:
+            return None
+        query, tail = f"SELECT * FROM {tm.group(1)}", tm.group(2)
+    tmatch = _COPY_TAIL_RE.match(tail)
+    if not tmatch:
+        raise ValueError(f"COPY: unrecognized clause tail: {tail.strip()[:80]!r}")
+    path, fmt = tmatch.group("path"), tmatch.group("fmt")
+    fmt = fmt.lower() if fmt else None
+    if fmt == "ndjson":
+        fmt = "json"
+    cols = tmatch.group("cols")
+    partition_by = [c.strip().strip("`\"") for c in cols.split(",")] if cols else None
+    if tmatch.group("opts") and tmatch.group("opts").strip():
+        raise ValueError(
+            "COPY OPTIONS are not supported; use STORED AS for the format "
+            f"(got: {tmatch.group('opts').strip()[:80]!r})"
+        )
+    from .sources.io import copy_to
+
+    n = copy_to(
+        spark,
+        prepare_statement(spark, query),
+        path,
+        fmt=fmt,
+        partition_by=partition_by,
+    )
+    return f"SELECT CAST({n} AS BIGINT) AS count"
+
+
 def prepare_statement(spark: SparkSession, stmt: str) -> str:
     """Apply all app-level rewrites to one statement."""
     ext = _rewrite_external_table(spark, stmt)
     if ext is not None:
         return ext
+    cp = _rewrite_copy(spark, stmt)
+    if cp is not None:
+        return cp
     stmt = _rewrite_url_tables(stmt)
     stmt = _rewrite_json_functions(stmt)
     stmt = _rewrite_parquet_metadata(spark, stmt)

@@ -391,3 +391,77 @@ def test_vortex_gate_raises_actionable_error(spark, tmp_path):
             spark,
             f"CREATE EXTERNAL TABLE vtx STORED AS VORTEX LOCATION '{tmp_path}/t.vortex'",
         )
+
+
+def test_copy_statement_query_form(spark, sf_dir, tmp_path):
+    from datafusion_dft_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    out = str(tmp_path / "copied.parquet")
+    dfs = execute_sql(
+        spark, f"COPY (SELECT r_regionkey, upper(r_name) AS rn FROM region) TO '{out}'"
+    )
+    rows = dfs[0].collect()
+    assert [r.asDict() for r in rows] == [{"count": 5}]
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert set(back.columns) == {"r_regionkey", "rn"}
+
+
+def test_copy_statement_table_form_stored_as(spark, sf_dir, tmp_path):
+    from datafusion_dft_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    out = str(tmp_path / "nation_export")  # no suffix: STORED AS decides
+    dfs = execute_sql(spark, f"COPY nation TO '{out}' STORED AS CSV")
+    assert dfs[0].collect()[0]["count"] == 25
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 25
+
+
+def test_copy_statement_partitioned_by(spark, sf_dir, tmp_path):
+    import os
+
+    from datafusion_dft_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    out = str(tmp_path / "orders_by_status")
+    dfs = execute_sql(
+        spark,
+        f"COPY (SELECT o_orderkey, o_orderstatus FROM orders) TO '{out}' "
+        "STORED AS PARQUET PARTITIONED BY (o_orderstatus)",
+    )
+    n = dfs[0].collect()[0]["count"]
+    assert n == spark.table("orders").count()
+    # hive-style layout, partition column prunable on read-back
+    subdirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+    assert len(subdirs) >= 2
+    back = spark.read.parquet(out)
+    assert back.filter("o_orderstatus = 'O'").count() > 0
+    assert back.count() == n
+
+
+def test_copy_statement_rejects_options(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from datafusion_dft_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    with _pytest.raises(ValueError, match="OPTIONS"):
+        execute_sql(
+            spark,
+            f"COPY region TO '{tmp_path / 'x.parquet'}' OPTIONS (compression 'zstd')",
+        )
+
+
+def test_copy_statement_nested_parens_and_url_table(spark, sf_dir, tmp_path):
+    """The source query may contain nested parens AND its own rewrites."""
+    from datafusion_dft_spark.sql import execute_sql
+
+    src = table_path(sf_dir, "region")
+    out = str(tmp_path / "r2.parquet")
+    dfs = execute_sql(
+        spark,
+        f"COPY (SELECT r_regionkey FROM '{src}' WHERE r_regionkey IN (1, (2))) TO '{out}'",
+    )
+    assert dfs[0].collect()[0]["count"] == 2
