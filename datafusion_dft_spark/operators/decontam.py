@@ -81,7 +81,13 @@ def decontaminate(
     flagged = contamination_hits(train, eval_df, id_col, text_col, n).filter(
         F.col("contam_hits") >= min_hits
     )
-    return train.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")
+    # No broadcast hint here: the flagged set scales with the TRAINING
+    # corpus and its contamination rate, not with the small eval corpus
+    # — at 100 TB it can be hundreds of millions of ids. AQE promotes
+    # the anti-join to broadcast at runtime when the set turns out
+    # small; hinting would pin a driver-side collect of an unbounded
+    # relation.
+    return train.join(flagged.select(id_col), id_col, "left_anti")
 
 
 def decontam_oracle_cte(n: int = 8, eval_cte: str = "eval_docs", train_cte: str = "train_docs") -> str:

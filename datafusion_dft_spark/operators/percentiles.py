@@ -18,10 +18,10 @@ The histogram formulation keeps every heavy step distributed:
    the two interpolation bounds. This window does sort each group's
    distinct values in one task, but on (value, count) pairs — the
    compressed domain, not the rows. For a truly unbounded continuous
-   domain at extreme scale, the escape hatch is range-partitioned
-   selection (repartitionByRange + partition-offset prefix sums) or
-   the sketch path (``percentile_approx``), which is the production
-   answer the reference's approx aggregates exist for.
+   domain at extreme scale, the escape hatch is
+   :func:`percentile_exact_refine` below or the sketch path
+   (``percentile_approx``), which is the production answer the
+   reference's approx aggregates exist for.
 3. Group totals are one row per group; the join back to the bounds is
    broadcast.
 
@@ -42,6 +42,67 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+# Internal plan columns are namespaced so user group columns named
+# "n"/"val"/"cnt"/... cannot collide or become ambiguous in the joins.
+_N = "__pct_n"
+_RN = "__pct_rn"
+_LO = "__pct_lo"
+_HI = "__pct_hi"
+_VAL = "__pct_val"
+_CNT = "__pct_cnt"
+_CUM = "__pct_cum"
+_VLO = "__pct_vlo"
+_VHI = "__pct_vhi"
+_APS = "__pct_aps"
+_APLO = "__pct_ap_lo"
+_APHI = "__pct_ap_hi"
+
+NEG, POS = float("-inf"), float("inf")
+
+
+def _interpolate(out_col: str) -> Column:
+    """Linear interpolation at rank rn, in the builtin's exact IEEE
+    shape: Spark's Percentile evaluates
+    ``(higherIndex - position) * lower + (position - lowerIndex) *
+    higher`` (two-sided weights, Percentile.scala), which differs from
+    ``lower + frac * (higher - lower)`` by one ULP on some inputs —
+    the differential tests compare at full precision, so the form
+    matters. The integer-position case short-circuits to the lower
+    value (matching the builtin's lowerIndex == higherIndex branch)
+    so an exact-ordinal hit never multiplies a sentinel (inf * 0 =
+    NaN)."""
+    frac = F.col(_RN) - F.col(_LO)
+    hi_ceil = F.ceil(_RN)
+    return (
+        F.when(frac == 0, F.col(_VLO))
+        .otherwise(
+            (hi_ceil - F.col(_RN)) * F.col(_VLO) + frac * F.col(_VHI)
+        )
+        .alias(out_col)
+    )
+
+
+def _walk_bounds(hist: DataFrame, group_cols: list[str], out_col: str) -> DataFrame:
+    """Shared exact cumulative-count walk: pick the lo/hi ordinal
+    covers from a (group..., rn, lo, hi, val, cnt) histogram and
+    interpolate."""
+    gcols = [F.col(c) for c in group_cols]
+    w = W.partitionBy(*group_cols).orderBy(_VAL)
+    cum = hist.withColumn(_CUM, F.sum(_CNT).over(w))
+    covers_lo = (F.col(_CUM) > F.col(_LO)) & (F.col(_CUM) - F.col(_CNT) <= F.col(_LO))
+    covers_hi = (F.col(_CUM) > F.col(_HI)) & (F.col(_CUM) - F.col(_CNT) <= F.col(_HI))
+    return (
+        cum.filter(covers_lo | covers_hi)
+        .groupBy(*gcols)
+        .agg(
+            F.min(F.when(covers_lo, F.col(_VAL))).alias(_VLO),
+            F.min(F.when(covers_hi, F.col(_VAL))).alias(_VHI),
+            F.max(_RN).alias(_RN),
+            F.max(_LO).alias(_LO),
+        )
+        .select(*gcols, _interpolate(out_col))
+    )
 
 
 def percentile_exact_hist(
@@ -65,42 +126,19 @@ def percentile_exact_hist(
 
     # Every group that exists in the input, so all-null groups survive
     # to the final left join (count(value) counts non-nulls only).
-    groups = df.groupBy(*gcols).agg(F.count(v).alias("n"))
+    groups = df.groupBy(*gcols).agg(F.count(v).alias(_N))
+    tot = groups.filter(F.col(_N) > 0).select(
+        *gcols,
+        ((F.col(_N) - F.lit(1)) * F.lit(float(p))).alias(_RN),
+    )
+    tot = tot.withColumn(_LO, F.floor(_RN)).withColumn(_HI, F.ceil(_RN))
     hist = (
         df.filter(v.isNotNull())
-        .groupBy(*gcols, v.alias("val"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(*gcols, v.alias(_VAL))
+        .agg(F.count(F.lit(1)).alias(_CNT))
+        .join(F.broadcast(tot), group_cols)
     )
-    w = W.partitionBy(*group_cols).orderBy("val")
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
-
-    # Target ordinals (0-based): rank rn = (N-1)*p, bounds floor/ceil.
-    tot = groups.filter(F.col("n") > 0).select(
-        *gcols,
-        ((F.col("n") - F.lit(1)) * F.lit(float(p))).alias("rn"),
-    )
-    tot = tot.withColumn("lo", F.floor("rn")).withColumn("hi", F.ceil("rn"))
-
-    j = cum.join(F.broadcast(tot), group_cols)
-    covers_lo = (F.col("cum") > F.col("lo")) & (F.col("cum") - F.col("cnt") <= F.col("lo"))
-    covers_hi = (F.col("cum") > F.col("hi")) & (F.col("cum") - F.col("cnt") <= F.col("hi"))
-    bounds = (
-        j.filter(covers_lo | covers_hi)
-        .groupBy(*gcols)
-        .agg(
-            F.min(F.when(covers_lo, F.col("val"))).alias("vlo"),
-            F.min(F.when(covers_hi, F.col("val"))).alias("vhi"),
-            F.max("rn").alias("rn"),
-            F.max("lo").alias("lo"),
-        )
-        .select(
-            *gcols,
-            (
-                F.col("vlo")
-                + (F.col("rn") - F.col("lo")) * (F.col("vhi") - F.col("vlo"))
-            ).alias(out_col),
-        )
-    )
+    bounds = _walk_bounds(hist, group_cols, out_col)
     return groups.select(*gcols).join(bounds, group_cols, "left")
 
 
@@ -115,103 +153,96 @@ def percentile_exact_refine(
     """Exact percentile via approx-prune + exact-refine; constant-size tail.
 
     ``percentile_exact_hist`` still sorts each group's full distinct-
-    value domain in one task. This variant bounds that step to a
-    CONSTANT independent of cardinality:
+    value domain in one task. This variant bounds that step for LARGE
+    groups to a constant independent of cardinality:
 
     1. One pass computes per-group N and a Greenwald-Khanna
-       ``percentile_approx`` at ``p -/+ 3/accuracy`` — the sketch's
-       rank error is ``<= N/accuracy``, so the true ordinal
-       ``(N-1)*p`` is guaranteed to fall between the two returned
-       values with a 2N/accuracy rank margin on each side.
-    2. The second pass clamps every value outside ``[ap_lo, ap_hi]``
-       to a ±infinity sentinel BEFORE the histogram ``groupBy(group,
-       value)``. Clamping preserves ranks (everything below the band
-       collapses into one ordered bucket, likewise above), so the
-       exact cumulative-count walk is unchanged — but the histogram
-       now holds ~6N/accuracy in-band values + 2 sentinels per group
-       (~3.6k rows per group at sf1 defaults), and the per-group sort
-       is O(band), not O(distinct values).
-    3. An in-plan ``assert_true`` guards the sketch contract: if the
-       target ordinal ever landed in a sentinel bucket the result
-       would be non-finite, and the query FAILS rather than silently
-       returning an approximation.
+       ``percentile_approx`` at ``p -/+ 3/accuracy``.
+    2. For groups with ``N > 2*accuracy``, values outside the
+       ``[ap_lo, ap_hi]`` sketch band clamp to a ±infinity sentinel
+       BEFORE the histogram ``groupBy(group, value)``. Clamping
+       preserves ranks (everything below the band collapses into one
+       ordered bucket, likewise above), so the exact cumulative-count
+       walk is unchanged — but the histogram holds ~6N/accuracy
+       in-band values + 2 sentinels per group (~4k rows per group at
+       sf1 defaults), and the per-group sort is O(band), not
+       O(distinct values). The margin calculus needs N large: the
+       sketch's rank error is <= N/accuracy, the quantile offset buys
+       3N/accuracy, so the band overshoots each target ordinal by
+       >= 2N/accuracy > 4 ranks — but ONLY once N > 2*accuracy.
+    3. Groups at or below ``2*accuracy`` rows skip clamping entirely
+       (band = whole domain): their full distinct-value set is at most
+       2*accuracy rows — exactly the regime where the plain histogram
+       walk is already cheap. Without this cutoff the fixed 3/accuracy
+       quantile margin is smaller than one ordinal (1/N) for small
+       groups and the band can exclude the interpolation's upper
+       value (a silent-inf bug caught by review; regression-tested in
+       tests/test_percentiles.py::test_small_near_unique_groups).
+    4. The sketch contract is guarded INSIDE the output expression:
+       a non-finite interpolation routes to ``raise_error`` in the
+       same CASE that produces the column, so the optimizer cannot
+       prune the check away (a bare assert_true projection would be
+       eliminated by column pruning) and the query fails loudly
+       rather than approximating.
 
     Both passes are single scans with map-side partial aggregation;
     nothing grows with distinct-value cardinality except the (tiny)
-    shuffled band. This is the 100 TB-correct exact path; see the
-    module docstring for why the builtin and the plain histogram fall
-    over. Used for ``distinct_aggregates``'s ``exact_p50`` column
-    (l_extendedprice, ~1M distinct values at sf1: builtin 8.2 s →
-    hist 5.5 s → refine, with the whole walk on ~4k rows).
+    shuffled band plus the bounded small-group histograms. Used for
+    ``distinct_aggregates``'s ``exact_p50`` column (l_extendedprice,
+    ~1M distinct values at sf1: builtin 8.2 s → hist 5.5 s → refine
+    0.1 s, identical values).
     """
     out_col = out_col or f"p{int(p * 100)}_{value_col}"
     gcols = [F.col(c) for c in group_cols]
     v = F.col(value_col).cast("double")
     q_lo = max(0.0, p - 3.0 / accuracy)
     q_hi = min(1.0, p + 3.0 / accuracy)
+    small_cutoff = 2 * accuracy
 
     probe = df.groupBy(*gcols).agg(
-        F.count(v).alias("n"),
+        F.count(v).alias(_N),
         F.percentile_approx(v, F.array(F.lit(q_lo), F.lit(q_hi)), F.lit(accuracy)).alias(
-            "aps"
+            _APS
         ),
     )
-    thresholds = probe.filter(F.col("n") > 0).select(
+    small = F.col(_N) <= small_cutoff
+    thresholds = probe.filter(F.col(_N) > 0).select(
         *gcols,
-        ((F.col("n") - F.lit(1)) * F.lit(float(p))).alias("rn"),
-        F.col("aps")[0].alias("ap_lo"),
-        F.col("aps")[1].alias("ap_hi"),
+        ((F.col(_N) - F.lit(1)) * F.lit(float(p))).alias(_RN),
+        F.when(small, F.lit(NEG)).otherwise(F.col(_APS)[0]).alias(_APLO),
+        F.when(small, F.lit(POS)).otherwise(F.col(_APS)[1]).alias(_APHI),
     )
-    thresholds = thresholds.withColumn("lo", F.floor("rn")).withColumn("hi", F.ceil("rn"))
+    thresholds = thresholds.withColumn(_LO, F.floor(_RN)).withColumn(_HI, F.ceil(_RN))
 
-    NEG, POS = float("-inf"), float("inf")
     clamped = (
         df.filter(v.isNotNull())
         .join(F.broadcast(thresholds), group_cols)
         .select(
             *gcols,
-            "rn",
-            "lo",
-            "hi",
-            F.when(v < F.col("ap_lo"), F.lit(NEG))
-            .when(v > F.col("ap_hi"), F.lit(POS))
+            _RN,
+            _LO,
+            _HI,
+            F.when(v < F.col(_APLO), F.lit(NEG))
+            .when(v > F.col(_APHI), F.lit(POS))
             .otherwise(v)
-            .alias("val"),
+            .alias(_VAL),
         )
     )
-    hist = clamped.groupBy(*gcols, "rn", "lo", "hi", "val").agg(
-        F.count(F.lit(1)).alias("cnt")
+    hist = clamped.groupBy(*gcols, _RN, _LO, _HI, _VAL).agg(
+        F.count(F.lit(1)).alias(_CNT)
     )
-    w = W.partitionBy(*group_cols).orderBy("val")
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    covers_lo = (F.col("cum") > F.col("lo")) & (F.col("cum") - F.col("cnt") <= F.col("lo"))
-    covers_hi = (F.col("cum") > F.col("hi")) & (F.col("cum") - F.col("cnt") <= F.col("hi"))
-    bounds = (
-        cum.filter(covers_lo | covers_hi)
-        .groupBy(*gcols)
-        .agg(
-            F.min(F.when(covers_lo, F.col("val"))).alias("vlo"),
-            F.min(F.when(covers_hi, F.col("val"))).alias("vhi"),
-            F.max("rn").alias("rn"),
-            F.max("lo").alias("lo"),
-        )
-        .select(
-            *gcols,
-            (
-                F.col("vlo")
-                + (F.col("rn") - F.col("lo")) * (F.col("vhi") - F.col("vlo"))
-            ).alias(out_col),
+    bounds = _walk_bounds(hist, group_cols, f"__raw_{out_col}")
+    # Sketch-contract guard fused into the output column itself (cannot
+    # be pruned): a target ordinal inside a sentinel bucket yields ±inf
+    # or NaN and the query fails loudly instead of approximating.
+    raw = F.col(f"__raw_{out_col}")
+    ok = raw.isNull() | (~F.isnan(raw) & (raw > F.lit(NEG)) & (raw < F.lit(POS)))
+    guarded = F.when(ok, raw).otherwise(
+        F.raise_error(F.lit("percentile_exact_refine: sketch band missed the target ordinal")).cast(
+            "double"
         )
     )
-    # Sketch-contract guard: a target ordinal inside a sentinel bucket
-    # yields ±inf or NaN here — fail loudly, never approximate silently.
-    finite = (
-        F.col(out_col).isNull()
-        | (~F.isnan(out_col) & (F.col(out_col) > F.lit(NEG)) & (F.col(out_col) < F.lit(POS)))
-    )
-    bounds = bounds.withColumn(
-        "_refine_ok", F.assert_true(finite, F.lit("percentile_exact_refine: band missed ordinal"))
-    ).drop("_refine_ok")
+    bounds = bounds.select(*gcols, guarded.alias(out_col))
     return probe.select(*gcols).join(bounds, group_cols, "left")
 
 

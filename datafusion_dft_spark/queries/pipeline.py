@@ -114,10 +114,15 @@ def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> Dat
     md5-stride split stands in for a benchmark corpus, and any train
     doc sharing a distinct 8-gram with it is dropped and counted.
     """
+    from ..session import track_cache
+
     all_docs = load_tables(spark, sf_dir)["documents"]
     eval_docs = sp.deterministic_sample(all_docs, "doc_id", _EVAL_FRACTION)
     docs = all_docs.filter(sp.hash_bucket("doc_id") >= _EVAL_CUT)
-    contam = dc.contamination_hits(docs, eval_docs, n=_DECONTAM_N)
+    # The contam relation feeds two consumers (the per-lang count and
+    # the anti-join filter); cache it so the gram explode + probe join
+    # — the pipeline's most expensive stage — runs once per execution.
+    contam = track_cache(dc.contamination_hits(docs, eval_docs, n=_DECONTAM_N).cache())
     contam_by_lang = (
         docs.join(contam, "doc_id")
         .groupBy("lang")
@@ -149,7 +154,9 @@ def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> Dat
     kept = (
         scored.filter(F.col("q") >= _QUALITY_MIN)
         .join(F.broadcast(drops), "doc_id", "left_anti")
-        .join(F.broadcast(contam.select("doc_id")), "doc_id", "left_anti")
+        # contam scales with corpus x contamination rate — no broadcast
+        # hint (see operators/decontam.decontaminate); AQE decides.
+        .join(contam.select("doc_id"), "doc_id", "left_anti")
     )
     stats = kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

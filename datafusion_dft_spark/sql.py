@@ -263,6 +263,11 @@ def _rewrite_copy(spark: SparkSession, stmt: str) -> str | None:
         while j < n:
             ch = rest[j]
             if in_s:
+                if ch == "\\" and j + 1 < n:
+                    # same backslash-escape handling as split_statements:
+                    # \' inside a literal must not terminate the string
+                    j += 2
+                    continue
                 if ch == in_s:
                     in_s = None
             elif ch in ("'", '"', "`"):

@@ -465,3 +465,18 @@ def test_copy_statement_nested_parens_and_url_table(spark, sf_dir, tmp_path):
         f"COPY (SELECT r_regionkey FROM '{src}' WHERE r_regionkey IN (1, (2))) TO '{out}'",
     )
     assert dfs[0].collect()[0]["count"] == 2
+
+
+def test_copy_statement_escaped_quote_in_literal(spark, sf_dir, tmp_path):
+    """Backslash-escaped quotes inside the source query's literals must
+    not terminate the paren scan (review round 6)."""
+    from datafusion_dft_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    out = str(tmp_path / "esc.parquet")
+    dfs = execute_sql(
+        spark,
+        f"COPY (SELECT 'it\\'s (fine)' AS x FROM region) TO '{out}'",
+    )
+    assert dfs[0].collect()[0]["count"] == 5
+    assert spark.read.parquet(out).first().x == "it's (fine)"

@@ -126,6 +126,54 @@ def test_multi_group_columns(skewed):
     assert got == ref
 
 
+@pytest.mark.parametrize(
+    ("n", "p"),
+    [(83, 0.6), (211, 0.31), (70, 0.71), (999, 0.5), (13, 0.9), (2, 0.5)],
+)
+def test_small_near_unique_groups(spark, n, p):
+    """Regression (review round 6): small groups of near-unique values.
+
+    The fixed 3/accuracy quantile margin is below one ordinal (1/N)
+    when N << accuracy, so without the small-group cutoff the sketch
+    band excluded the interpolation's upper value and the operator
+    silently returned inf/NaN."""
+    df = spark.range(0, n).selectExpr(
+        "0 AS g",
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0 AS v",
+    )
+    want = _builtin(df, p)
+    got = {r.g: r.p for r in percentile_exact_refine(df, ["g"], "v", p, "p").collect()}
+    assert got == want
+    assert all(x is not None and x == x and abs(x) != float("inf") for x in got.values())
+
+
+def test_mixed_group_sizes_cross_cutoff(spark):
+    """One frame holding groups on both sides of the 2*accuracy cutoff
+    exercises the clamp path and the no-clamp path in a single plan."""
+    df = spark.range(0, 5080).selectExpr(
+        "CASE WHEN id < 80 THEN 0 ELSE 1 END AS g",
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0 AS v",
+    )
+    want = _builtin(df, 0.37)
+    got = {
+        r.g: r.p
+        for r in percentile_exact_refine(df, ["g"], "v", 0.37, "p", accuracy=50).collect()
+    }
+    assert got == want
+
+
+def test_internal_names_do_not_collide(spark):
+    """Group columns named like internal plan columns must still work."""
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0), ("b", 2, 5.0)], "n string, val int, v double"
+    )
+    for fn in (percentile_exact_hist, percentile_exact_refine):
+        got = {
+            (r.n, r.val): r.p for r in fn(df, ["n", "val"], "v", 0.5, "p").collect()
+        }
+        assert got == {("a", 1): 1.5, ("b", 2): 5.0}, fn.__name__
+
+
 # --------------------------------------------------------------------------
 # Property fuzz: random value distributions / group counts / p values.
 # --------------------------------------------------------------------------
@@ -140,19 +188,20 @@ from hypothesis import strategies as st
     domain=st.integers(min_value=1, max_value=50),
     rows=st.integers(min_value=1, max_value=3000),
     accuracy=st.sampled_from([20, 1000, 10000]),
+    near_unique=st.booleans(),
 )
-def test_fuzz_refine_vs_builtin(spark, p, n_groups, domain, rows, accuracy):
+def test_fuzz_refine_vs_builtin(spark, p, n_groups, domain, rows, accuracy, near_unique):
     """Any (distribution, p, accuracy) triple must reproduce the builtin
-    exactly — including coarse sketches, single-row groups, and p at
-    the extremes. Values are a deterministic quadratic-residue scatter
-    so runs are reproducible without RNG."""
-    df = (
-        spark.range(0, rows)
-        .selectExpr(
-            f"id % {n_groups} AS g",
-            f"CAST((id * id + 7 * id) % {domain} AS DOUBLE) / 3.0 AS v",
-        )
+    exactly — including coarse sketches, single-row groups, p at the
+    extremes, and near-unique value domains (the regime the round-6
+    review caught). Values are a deterministic scatter so runs are
+    reproducible without RNG."""
+    val = (
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"
+        if near_unique
+        else f"CAST((id * id + 7 * id) % {domain} AS DOUBLE) / 3.0"
     )
+    df = spark.range(0, rows).selectExpr(f"id % {n_groups} AS g", f"{val} AS v")
     want = _builtin(df, p)
     got = {
         r.g: r.p

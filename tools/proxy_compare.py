@@ -73,7 +73,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    # `runs` = number of TIMED steady-state samples per side (a warm-up
+    # execution precedes them and is never timed).
+    runs = max(1, int(sys.argv[2]) if len(sys.argv) > 2 else 4)
 
     from datafusion_dft_spark.registry import all_queries
     from datafusion_dft_spark.session import get_spark, tune_runtime_conf
@@ -96,7 +98,7 @@ def main() -> int:
         df = spec.build(spark, sf_dir)
         df.collect()
         s_samples = []
-        for _ in range(runs - 1):
+        for _ in range(runs):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
@@ -109,7 +111,7 @@ def main() -> int:
             try:
                 con.sql(spec.oracle).fetchall()
                 d_samples = []
-                for _ in range(runs - 1):
+                for _ in range(runs):
                     t0 = time.perf_counter()
                     con.sql(spec.oracle).fetchall()
                     d_samples.append(time.perf_counter() - t0)
@@ -125,7 +127,7 @@ def main() -> int:
     lines = [
         "# PROXY — per-query Spark steady-state vs DuckDB oracle",
         "",
-        f"Protocol: sf{sf}, median of {runs - 1} steady runs per side"
+        f"Protocol: sf{sf}, median of {runs} steady runs per side"
         " (Spark: re-collect of a once-built plan with clearCache+GC between"
         " runs; DuckDB: same statement on views over the same parquet,"
         " one warm-up). Generated by tools/proxy_compare.py — re-run it"
