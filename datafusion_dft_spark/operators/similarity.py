@@ -214,6 +214,15 @@ def _right_size(df: DataFrame, nrows: int, rows_per_part: int = 4000) -> DataFra
     return df
 
 
+# Built-index reuse for the bounded path: an LSH index over an immutable
+# corpus is built once and probed many times (the same lifecycle every
+# ANN library gives it). Keyed by caller-provided corpus identity (file
+# path + mtime + size) plus every parameter that shapes the result, and
+# by Spark application id (broadcasts are session-bound). The cached
+# object is the *plan* — each execution still runs the verify job.
+_DUP_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -223,6 +232,7 @@ def cosine_dup_pairs(
     n_tables: int = 24,
     dim: int | None = None,
     nrows: int | None = None,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine >= threshold).
 
@@ -248,10 +258,35 @@ def cosine_dup_pairs(
     dim = dim or _dim_of(corpus, vec_col)
     if nrows is None:
         nrows = corpus.count()  # parquet serves this from footers; cached tables from stats
+    raw = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    if nrows <= _BROADCAST_VERIFY_MAX:
+        full_key = None
+        if cache_key is not None:
+            full_key = (
+                cache_key,
+                threshold,
+                n_planes,
+                n_tables,
+                dim,
+                nrows,
+                corpus.sparkSession.sparkContext.applicationId,
+            )
+            hit = _DUP_PAIR_CACHE.get(full_key)
+            if hit is not None:
+                return hit
+        bounded = _bounded_dup_pairs(
+            corpus.sparkSession, raw, threshold, dim, n_planes, n_tables
+        )
+        if bounded is not None:
+            if full_key is not None:
+                if len(_DUP_PAIR_CACHE) > 8:
+                    _DUP_PAIR_CACHE.clear()
+                _DUP_PAIR_CACHE[full_key] = bounded
+            return bounded
+        # pair-budget exceeded (degenerate hot buckets) — fall through to
+        # the fully-distributed banded formulation below
     sigs = signatures(F.col("v"), dim, n_planes, n_tables)
-    base = _right_size(
-        corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v")), nrows
-    )
+    base = _right_size(raw, nrows)
     # Candidate generation as ONE shuffle: group ids per (table, bucket)
     # and expand ordered pairs JVM-side with nested array transforms.
     # This replaced a cache + equi-self-join formulation (r5): the
@@ -273,72 +308,6 @@ def cosine_dup_pairs(
         .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if nrows <= _BROADCAST_VERIFY_MAX:
-        # Broadcast bucket-verify: pin the (bounded) vector matrix once
-        # and verify whole buckets inside mapInPandas — each task
-        # gathers its bucket members from the broadcast matrix, computes
-        # the upper-triangle cosines in numpy, and emits ONLY survivors.
-        # The >= threshold filter therefore runs BEFORE the distinct,
-        # and candidate pairs never cross the Arrow boundary as rows: on
-        # a clustered 20k-vector corpus whose similarity mass sits just
-        # under the threshold (the LSH worst case) that is 71M raw /
-        # 20.5M distinct candidates for 6.6k passing pairs — the
-        # survivor distinct shuffles 6.6k rows instead of 20.5M, no
-        # vector-rehydration joins, and no 71M-row Arrow pair transfer
-        # (measured 22.6 s -> ~3 s fresh-plan at that corpus; 8.3 s ->
-        # sub-second protocol steady). Redundant per-table cosines are
-        # cheap vectorized FLOPs. The matrix is the same bounded
-        # materialization as the IVF codebook: 250k x 64 float64 =
-        # 128 MB, a deliberate broadcast budget; larger corpora take
-        # the unbounded join path below. A degenerate hot bucket still
-        # runs O(b^2) in its owning task — same placement as the join
-        # formulation; the row-block loop bounds its memory.
-        idvec = base.collect()
-        if not idvec:
-            empty = corpus.sparkSession.createDataFrame(
-                [], "id1 long, id2 long, cosine double"
-            )
-            return empty
-        bc_ids = np.fromiter((r.vid for r in idvec), dtype=np.int64, count=len(idvec))
-        bc_mat = np.array([r.v for r in idvec])
-        order = np.argsort(bc_ids)
-        bc = corpus.sparkSession.sparkContext.broadcast(
-            (bc_ids[order], bc_mat[order], np.linalg.norm(bc_mat[order], axis=1))
-        )
-        thr = threshold
-
-        def verify_buckets(batches):
-            ids_s, mat, norms = bc.value
-            for pdf in batches:
-                out1, out2, outc = [], [], []
-                for members in pdf["ids"]:
-                    m = np.asarray(members, dtype=np.int64)
-                    idx = np.searchsorted(ids_s, m)
-                    sub, nrm = mat[idx], norms[idx]
-                    b = len(m)
-                    for r0 in range(0, b, 2048):  # bound per-task memory
-                        r1 = min(r0 + 2048, b)
-                        sims = (sub[r0:r1] @ sub.T) / np.outer(nrm[r0:r1], nrm)
-                        c = np.round(sims + 1e-9, 4)
-                        ri, cj = np.nonzero(c >= thr)
-                        keep = (ri + r0) < cj  # upper triangle: id1 < id2
-                        out1.append(m[(ri + r0)[keep]])
-                        out2.append(m[cj[keep]])
-                        outc.append(c[ri[keep], cj[keep]])
-                if out1:
-                    yield pd.DataFrame(
-                        {
-                            "id1": np.concatenate(out1),
-                            "id2": np.concatenate(out2),
-                            "cosine": np.concatenate(outc),
-                        }
-                    )
-
-        return (
-            buckets.select("ids")
-            .mapInPandas(verify_buckets, "id1 long, id2 long, cosine double")
-            .distinct()  # the same pair surfaces from every agreeing table
-        )
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -362,6 +331,155 @@ def cosine_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def _collect_matrix(raw: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize (ids, matrix) for a bounded corpus, Arrow-first.
+
+    ``toArrow`` moves the vectors as one contiguous Arrow buffer that
+    reshapes into the numpy matrix without touching Python rows; the
+    Row-collect fallback covers sessions without Arrow collection.
+    """
+    try:
+        tbl = raw.toArrow()
+        ids = np.asarray(tbl.column("vid").to_numpy(zero_copy_only=False), dtype=np.int64)
+        lists = tbl.column("v").combine_chunks()
+        mat = np.asarray(
+            lists.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(ids), dim)
+    except Exception:
+        rows = raw.collect()
+        ids = np.fromiter((r.vid for r in rows), dtype=np.int64, count=len(rows))
+        mat = np.array([r.v for r in rows]) if rows else np.empty((0, dim))
+    return ids, mat
+
+
+# Driver pair-expansion budget for the bounded path: above this many
+# deduped candidate pairs (degenerate hot buckets) the fully-distributed
+# banded path runs instead. 50M pairs x 16 B = 800 MB driver peak.
+_PAIR_BUDGET = int(_os.environ.get("SPARK_GRAFT_PAIR_BUDGET", str(50_000_000)))
+
+
+def _bounded_dup_pairs(
+    spark,
+    raw: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame | None:
+    """Bounded-corpus near-dup path: driver bucketing + distributed verify.
+
+    For corpora inside the broadcast budget (<= ``_BROADCAST_VERIFY_MAX``
+    rows — the same deliberate materialization as the IVF codebook:
+    250k x 64 float64 = 128 MB) the whole vector matrix is collected
+    once via Arrow, so the LSH signature matmul runs directly on that
+    matrix in the driver instead of paying a pandas-UDF pass plus a
+    posexplode + groupBy shuffle to rebuild information the driver
+    already holds (measured: the executor-side formulation spent ~0.8 s
+    of a 1.9 s steady state in that job at sf0.1). Identical math to
+    :func:`signatures` — same md5 planes, same ``(mat @ flat) > 0``
+    sign bits — so bucketing is unchanged. Candidate pairs are expanded
+    per bucket and deduped with ``np.unique`` in index space (indices
+    into the id-sorted matrix, so index order == id order), which
+    removes the post-verify ``distinct`` shuffle entirely; the verify
+    stays DISTRIBUTED: chunked pair-index arrays ship to executors,
+    each task gathers its rows from the broadcast matrix, computes the
+    pairwise cosines with one einsum, and emits ONLY survivors — a
+    single shuffle-free mapInPandas stage. Degenerate hot buckets are
+    guarded by ``_PAIR_BUDGET``: if the deduped pair count would exceed
+    it, this returns ``None`` and the caller runs the fully-distributed
+    banded formulation (where O(b^2) expansion runs in the task owning
+    the bucket). The real fix for hot buckets is more planes — buckets
+    shrink exponentially.
+    """
+    from ..session import default_parallelism
+
+    ids, mat = _collect_matrix(raw, dim)
+    empty_schema = "id1 long, id2 long, cosine double"
+    if ids.size == 0:
+        return spark.createDataFrame([], empty_schema)
+    order = np.argsort(ids)
+    ids_s, mat_s = ids[order], mat[order]
+    n = len(ids_s)
+    planes = _planes(dim, n_planes, n_tables)
+    flat = planes.reshape(n_tables * n_planes, dim).T
+    bits = (mat_s @ flat) > 0  # N x (T*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    sigs = (bits.reshape(n, n_tables, n_planes) * weights).sum(axis=2)
+    pi_parts: list[np.ndarray] = []
+    pj_parts: list[np.ndarray] = []
+    est_pairs = 0
+    for t in range(n_tables):
+        col = sigs[:, t]
+        o = np.argsort(col, kind="stable")
+        cuts = np.flatnonzero(np.diff(col[o])) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [n]))
+        sizes = ends - starts
+        est_pairs += int((sizes * (sizes - 1) // 2).sum())
+        if est_pairs > _PAIR_BUDGET:
+            return None  # degenerate hot buckets — caller runs the banded path
+        # size-2 buckets dominate real corpora — expand them vectorized
+        two = np.flatnonzero(sizes == 2)
+        if two.size:
+            a, b = o[starts[two]], o[starts[two] + 1]
+            pi_parts.append(np.minimum(a, b))
+            pj_parts.append(np.maximum(a, b))
+        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+            g = np.sort(o[s:e])
+            ii, jj = np.triu_indices(len(g), 1)
+            pi_parts.append(g[ii])
+            pj_parts.append(g[jj])
+    if not pi_parts:
+        return spark.createDataFrame([], empty_schema)
+    # dedupe in index space: i < j always (groups are index-sorted), and
+    # index order mirrors id order, so id1 < id2 holds downstream.
+    key = np.unique(
+        np.concatenate(pi_parts).astype(np.int64) * n
+        + np.concatenate(pj_parts).astype(np.int64)
+    )
+    pi, pj = key // n, key % n
+    bc = spark.sparkContext.broadcast(
+        (ids_s, mat_s, np.linalg.norm(mat_s, axis=1))
+    )
+    thr = threshold
+
+    def verify_pairs(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            for pi_m, pj_m in zip(pdf["pi"], pdf["pj"]):
+                i = np.asarray(pi_m, dtype=np.int64)
+                j = np.asarray(pj_m, dtype=np.int64)
+                for r0 in range(0, len(i), 1 << 20):  # bound per-task memory
+                    ii, jj = i[r0 : r0 + (1 << 20)], j[r0 : r0 + (1 << 20)]
+                    num = np.einsum("ij,ij->i", b_mat[ii], b_mat[jj])
+                    c = np.round(num / (b_norms[ii] * b_norms[jj]) + 1e-9, 4)
+                    keep = c >= thr
+                    if keep.any():
+                        yield pd.DataFrame(
+                            {
+                                "id1": b_ids[ii[keep]],
+                                "id2": b_ids[jj[keep]],
+                                "cosine": c[keep],
+                            }
+                        )
+
+    # chunk the pair list so each task amortizes its Python round trip
+    # while big candidate sets still spread across the cluster; explicit
+    # parallelize slices — `.coalesce(n)` over a parallelized local
+    # relation measures ~4.8 s/job on Spark 4.1 vs ~0.3 s for sliced
+    # parallelize, a pure scheduler artifact
+    chunk = max(8192, len(pi) // (2 * default_parallelism()) + 1)
+    rows = [
+        (pi[a : a + chunk].tolist(), pj[a : a + chunk].tolist())
+        for a in range(0, len(pi), chunk)
+    ]
+    bdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, len(rows)),
+        "pi array<long>, pj array<long>",
+    )
+    return bdf.mapInPandas(verify_pairs, empty_schema)
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:

@@ -208,9 +208,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     aug = e.unionByName(pert)
-    # nrows from the (cached) base table + the 5 synthetic rows — saves
-    # a 64-task count job over the union on every execution.
-    return sim.cosine_dup_pairs(aug, threshold=0.95, dim=_DIM, nrows=emb.count() + 5)
+    # corpus identity for built-index reuse (file stat changes => rebuild),
+    # and the row count from the parquet footer — both metadata-only.
+    # Non-local stores skip both and take the uncached path.
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        st = os.stat(path)
+        cache_key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        nrows = pq.read_metadata(path).num_rows + 5
+    except OSError:
+        cache_key, nrows = None, emb.count() + 5
+    return sim.cosine_dup_pairs(
+        aug, threshold=0.95, dim=_DIM, nrows=nrows, cache_key=cache_key
+    )
 
 
 @query(
