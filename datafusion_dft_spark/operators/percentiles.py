@@ -71,11 +71,14 @@ def _interpolate(out_col: str) -> Column:
     matters. The integer-position case short-circuits to the lower
     value (matching the builtin's lowerIndex == higherIndex branch)
     so an exact-ordinal hit never multiplies a sentinel (inf * 0 =
-    NaN)."""
+    NaN), and equal bracketing values short-circuit too (the
+    builtin's higherKey == lowerKey branch — interpolating
+    ``(1-f)*v + f*v`` re-rounds and can drift one ULP off v)."""
     frac = F.col(_RN) - F.col(_LO)
     hi_ceil = F.ceil(_RN)
     return (
         F.when(frac == 0, F.col(_VLO))
+        .when(F.col(_VLO) == F.col(_VHI), F.col(_VLO))
         .otherwise(
             (hi_ceil - F.col(_RN)) * F.col(_VLO) + frac * F.col(_VHI)
         )

@@ -277,14 +277,11 @@ def cosine_dup_pairs(
         bounded = _bounded_dup_pairs(
             corpus.sparkSession, raw, threshold, dim, n_planes, n_tables
         )
-        if bounded is not None:
-            if full_key is not None:
-                if len(_DUP_PAIR_CACHE) > 8:
-                    _DUP_PAIR_CACHE.clear()
-                _DUP_PAIR_CACHE[full_key] = bounded
-            return bounded
-        # pair-budget exceeded (degenerate hot buckets) — fall through to
-        # the fully-distributed banded formulation below
+        if full_key is not None:
+            if len(_DUP_PAIR_CACHE) > 8:
+                _DUP_PAIR_CACHE.clear()
+            _DUP_PAIR_CACHE[full_key] = bounded
+        return bounded
     sigs = signatures(F.col("v"), dim, n_planes, n_tables)
     base = _right_size(raw, nrows)
     # Candidate generation as ONE shuffle: group ids per (table, bucket)
@@ -354,10 +351,11 @@ def _collect_matrix(raw: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
-# Driver pair-expansion budget for the bounded path: above this many
-# deduped candidate pairs (degenerate hot buckets) the fully-distributed
-# banded path runs instead. 50M pairs x 16 B = 800 MB driver peak.
-_PAIR_BUDGET = int(_os.environ.get("SPARK_GRAFT_PAIR_BUDGET", str(50_000_000)))
+# Candidate-count threshold between the two bounded verify strategies:
+# at or below it, pairs are expanded + deduped in the driver (kills the
+# post-verify distinct); above it, bucket member lists ship instead and
+# the distinct runs on survivors only. 2M pairs x 16 B = 32 MB driver.
+_PAIR_EXPAND_MAX = int(_os.environ.get("SPARK_GRAFT_PAIR_EXPAND_MAX", str(2_000_000)))
 
 
 def _bounded_dup_pairs(
@@ -367,7 +365,7 @@ def _bounded_dup_pairs(
     dim: int,
     n_planes: int,
     n_tables: int,
-) -> DataFrame | None:
+) -> DataFrame:
     """Bounded-corpus near-dup path: driver bucketing + distributed verify.
 
     For corpora inside the broadcast budget (<= ``_BROADCAST_VERIFY_MAX``
@@ -379,19 +377,26 @@ def _bounded_dup_pairs(
     already holds (measured: the executor-side formulation spent ~0.8 s
     of a 1.9 s steady state in that job at sf0.1). Identical math to
     :func:`signatures` — same md5 planes, same ``(mat @ flat) > 0``
-    sign bits — so bucketing is unchanged. Candidate pairs are expanded
-    per bucket and deduped with ``np.unique`` in index space (indices
-    into the id-sorted matrix, so index order == id order), which
-    removes the post-verify ``distinct`` shuffle entirely; the verify
-    stays DISTRIBUTED: chunked pair-index arrays ship to executors,
-    each task gathers its rows from the broadcast matrix, computes the
-    pairwise cosines with one einsum, and emits ONLY survivors — a
-    single shuffle-free mapInPandas stage. Degenerate hot buckets are
-    guarded by ``_PAIR_BUDGET``: if the deduped pair count would exceed
-    it, this returns ``None`` and the caller runs the fully-distributed
-    banded formulation (where O(b^2) expansion runs in the task owning
-    the bucket). The real fix for hot buckets is more planes — buckets
-    shrink exponentially.
+    sign bits — so bucketing is unchanged. Verification is DISTRIBUTED
+    either way, via two strategies picked by candidate count:
+
+    - **pair expansion** (<= ``_PAIR_EXPAND_MAX`` raw candidates, the
+      common case): pairs expand per bucket and dedupe with
+      ``np.unique`` in index space (indices into the id-sorted matrix,
+      so index order == id order), removing the post-verify
+      ``distinct`` shuffle entirely; chunked pair-index arrays ship to
+      executors, each task gathers its rows from the broadcast matrix
+      and computes pairwise cosines with one einsum, emitting only
+      survivors — a single shuffle-free mapInPandas stage.
+    - **bucket verify** (clustered/adversarial corpora — e.g. the sf1
+      rehearsal's 71M raw candidates for 6.6k survivors): deduped
+      bucket member-index lists ship instead (bounded by
+      n_tables x n ids, never by the quadratic pair count), each task
+      verifies its buckets blockwise against the broadcast matrix, and
+      the >= threshold filter runs BEFORE a distinct over survivors
+      only. A degenerate hot bucket runs O(b^2) in its owning task —
+      the same placement an equi-join gives; the real fix is more
+      planes (buckets shrink exponentially).
     """
     from ..session import default_parallelism
 
@@ -407,8 +412,7 @@ def _bounded_dup_pairs(
     bits = (mat_s @ flat) > 0  # N x (T*P)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     sigs = (bits.reshape(n, n_tables, n_planes) * weights).sum(axis=2)
-    pi_parts: list[np.ndarray] = []
-    pj_parts: list[np.ndarray] = []
+    groups: list[np.ndarray] = []  # sorted index arrays, >= 2 members
     est_pairs = 0
     for t in range(n_tables):
         col = sigs[:, t]
@@ -418,21 +422,26 @@ def _bounded_dup_pairs(
         ends = np.concatenate((cuts, [n]))
         sizes = ends - starts
         est_pairs += int((sizes * (sizes - 1) // 2).sum())
-        if est_pairs > _PAIR_BUDGET:
-            return None  # degenerate hot buckets — caller runs the banded path
-        # size-2 buckets dominate real corpora — expand them vectorized
-        two = np.flatnonzero(sizes == 2)
-        if two.size:
-            a, b = o[starts[two]], o[starts[two] + 1]
-            pi_parts.append(np.minimum(a, b))
-            pj_parts.append(np.maximum(a, b))
-        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
-            g = np.sort(o[s:e])
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            groups.append(np.sort(o[s:e]))
+    if not groups:
+        return spark.createDataFrame([], empty_schema)
+    bc = spark.sparkContext.broadcast(
+        (ids_s, mat_s, np.linalg.norm(mat_s, axis=1))
+    )
+    thr = threshold
+    if est_pairs > _PAIR_EXPAND_MAX:
+        return _bucket_verify(spark, bc, groups, thr, empty_schema)
+    pi_parts: list[np.ndarray] = []
+    pj_parts: list[np.ndarray] = []
+    for g in groups:
+        if len(g) == 2:  # size-2 buckets dominate real corpora
+            pi_parts.append(g[:1])
+            pj_parts.append(g[1:])
+        else:
             ii, jj = np.triu_indices(len(g), 1)
             pi_parts.append(g[ii])
             pj_parts.append(g[jj])
-    if not pi_parts:
-        return spark.createDataFrame([], empty_schema)
     # dedupe in index space: i < j always (groups are index-sorted), and
     # index order mirrors id order, so id1 < id2 holds downstream.
     key = np.unique(
@@ -440,10 +449,6 @@ def _bounded_dup_pairs(
         + np.concatenate(pj_parts).astype(np.int64)
     )
     pi, pj = key // n, key % n
-    bc = spark.sparkContext.broadcast(
-        (ids_s, mat_s, np.linalg.norm(mat_s, axis=1))
-    )
-    thr = threshold
 
     def verify_pairs(batches):
         b_ids, b_mat, b_norms = bc.value
@@ -480,6 +485,56 @@ def _bounded_dup_pairs(
         "pi array<long>, pj array<long>",
     )
     return bdf.mapInPandas(verify_pairs, empty_schema)
+
+
+def _bucket_verify(spark, bc, groups: list, thr: float, empty_schema: str) -> DataFrame:
+    """High-candidate bounded verify: ship deduped bucket member lists.
+
+    Shipped bytes are bounded by n_tables x n member indices — never by
+    the quadratic candidate count — and each task verifies its buckets
+    blockwise against the broadcast matrix, emitting only >= threshold
+    survivors, so the trailing distinct shuffles survivors (thousands)
+    instead of candidates (tens of millions on the sf1 rehearsal
+    corpus). Buckets are size-sorted and round-robined across slices so
+    one slice doesn't own every hot bucket.
+    """
+    from ..session import default_parallelism
+
+    uniq = {g.tobytes(): g for g in groups}
+    bylen = sorted(uniq.values(), key=len, reverse=True)
+    n_slices = max(1, min(default_parallelism(), len(bylen)))
+    arranged = [g for s in range(n_slices) for g in bylen[s::n_slices]]
+
+    def verify_buckets(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            for members in pdf["idx"]:
+                g = np.asarray(members, dtype=np.int64)
+                sub, nrm = b_mat[g], b_norms[g]
+                b = len(g)
+                for r0 in range(0, b, 2048):  # bound per-task memory
+                    r1 = min(r0 + 2048, b)
+                    sims = (sub[r0:r1] @ sub.T) / np.outer(nrm[r0:r1], nrm)
+                    c = np.round(sims + 1e-9, 4)
+                    ri, cj = np.nonzero(c >= thr)
+                    keep = (ri + r0) < cj  # upper triangle: id1 < id2 (index order == id order)
+                    if keep.any():
+                        yield pd.DataFrame(
+                            {
+                                "id1": b_ids[g[(ri + r0)[keep]]],
+                                "id2": b_ids[g[cj[keep]]],
+                                "cosine": c[ri[keep], cj[keep]],
+                            }
+                        )
+
+    bdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(g.tolist(),) for g in arranged], n_slices),
+        "idx array<long>",
+    )
+    return (
+        bdf.mapInPandas(verify_buckets, empty_schema)
+        .distinct()  # the same pair can surface from overlapping buckets
+    )
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
