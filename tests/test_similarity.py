@@ -145,3 +145,40 @@ def test_cosine_dup_pairs_join_path_matches_broadcast_path(spark, emb, monkeypat
     via_join = {tuple(r) for r in sim.cosine_dup_pairs(df, threshold=0.9).collect()}
     release_tracked_caches()
     assert via_broadcast == via_join and via_join
+
+
+def test_dup_pair_cache_keyed_by_corpus_identity(spark, emb):
+    """Built-index reuse: the same cache key returns the identical plan
+    object; a changed key (file mtime/size in production) rebuilds; no
+    key bypasses the cache entirely."""
+    df = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    sim._DUP_PAIR_CACHE.clear()
+    k1 = ("corpus.parquet", 111, 222)
+    a = sim.cosine_dup_pairs(df, threshold=0.95, dim=64, nrows=500, cache_key=k1)
+    b = sim.cosine_dup_pairs(df, threshold=0.95, dim=64, nrows=500, cache_key=k1)
+    assert a is b  # hit: same corpus identity + parameters
+    c = sim.cosine_dup_pairs(df, threshold=0.95, dim=64, nrows=500, cache_key=("corpus.parquet", 999, 222))
+    assert c is not a  # changed file stat -> rebuild
+    d = sim.cosine_dup_pairs(df, threshold=0.9, dim=64, nrows=500, cache_key=k1)
+    assert d is not a  # changed threshold -> different entry
+    e = sim.cosine_dup_pairs(df, threshold=0.95, dim=64, nrows=500)
+    assert e is not a  # no key -> uncached build
+    sim._DUP_PAIR_CACHE.clear()
+
+
+def test_bucket_verify_tier_matches_pair_expansion_tier(spark, emb, monkeypatch):
+    """Forcing the high-candidate bucket-verify strategy must produce the
+    identical pair set as the default pair-expansion strategy."""
+    df = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    pert = df.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = df.unionByName(pert)
+    via_pairs = {tuple(r) for r in sim.cosine_dup_pairs(aug, threshold=0.9).collect()}
+    monkeypatch.setattr(sim, "_PAIR_EXPAND_MAX", 0)
+    via_buckets = {tuple(r) for r in sim.cosine_dup_pairs(aug, threshold=0.9).collect()}
+    assert via_pairs == via_buckets and via_buckets
