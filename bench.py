@@ -8,10 +8,17 @@ N iterations. Prints ONE JSON line:
 
 Methodology (round-3 overhead work):
 
-- **collect() materialization** — matches the verification driver's
-  usage and avoids the noop-v2 writer's ~75 ms fixed commit cost per
-  query. collect() fully materializes every column, so it is immune to
-  the count()-pruning hazard the noop sink was guarding against.
+- **Arrow materialization** (round 6; collect() in rounds 3-5) — every
+  result fully materializes to the driver as Arrow batches
+  (``df.toArrow()``, the same engine-native delivery path the
+  FlightSQL server streams), falling back to ``collect()`` for plans
+  Arrow can't carry. Like collect(), this is immune to the
+  count()-pruning hazard the earlier noop sink guarded against; unlike
+  collect(), it doesn't bill per-row Python ``Row`` construction to
+  the query — the DuckDB proxy's ``fetchall()`` materializes at the C
+  level, so row-loop materialization made every high-output query
+  (events_sessionization returns ~1M rows at sf1) look ~3x slower
+  than the engine actually ran it.
 - **Plan once, execute n times** — each query's DataFrame is built
   once; run 1 pays Catalyst analysis/optimization/codegen (reported in
   ``queries_cold``), runs 2..n measure steady-state execution
@@ -80,6 +87,13 @@ def main() -> int:
         .collect()
     )
 
+    def materialize(df) -> None:
+        """Fully materialize a result to the driver, Arrow-first."""
+        try:
+            df.toArrow()
+        except Exception:
+            df.collect()
+
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     times: dict[str, float] = {}  # per-query MEDIAN of the steady runs
     mins: dict[str, float] = {}
@@ -97,13 +111,13 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
-            df.collect()
+            materialize(df)
             cold[name] = round(time.perf_counter() - t0, 4)
             samples: list[float] = []
             for _ in range(runs - 1):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                df.collect()
+                materialize(df)
                 samples.append(time.perf_counter() - t0)
             samples.sort()
             # Median (lower of the middle pair), not min: builder-vs-

@@ -93,16 +93,25 @@ def main() -> int:
     # Warm Spark codegen + Python workers once (bench.py protocol).
     next(iter(specs.values())).build(spark, sf_dir).collect()
 
+    def materialize(df) -> None:
+        # Arrow-first, like bench.py: DuckDB's fetchall() materializes at
+        # the C level, so per-row python Row construction would bill a
+        # result-delivery overhead to the engine on high-output queries.
+        try:
+            df.toArrow()
+        except Exception:
+            df.collect()
+
     rows = []
     for name, spec in sorted(specs.items()):
         df = spec.build(spark, sf_dir)
-        df.collect()
+        materialize(df)
         s_samples = []
         for _ in range(runs):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
-            df.collect()
+            materialize(df)
             s_samples.append(time.perf_counter() - t0)
         s_med = statistics.median(s_samples)
 
