@@ -56,6 +56,76 @@ def quality_score(text: Column | str) -> Column:
     return F.round(F.least(n / 100.0, F.lit(1.0)) * 0.5 + stop_ratio * 0.5 + 1e-9, 4)
 
 
+def ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams as an array<string> (space-joined), shuffle-free.
+
+    Empty array when the document has fewer than ``n`` words (guarded
+    explicitly: ``sequence(1, 0)`` would DESCEND, not return empty).
+    """
+    w = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_word_frac(text: Column | str) -> Column:
+    """Repetition filter (Gopher/C4 family): fraction of word occurrences
+    that repeat an earlier word — ``1 - distinct/total``. Pure array
+    expressions, runs at scan speed."""
+    w = words(text)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w).cast("double") + 1e-9, 4
+    )
+
+
+def dup_ngram_frac(text: Column | str, n: int = 3) -> Column:
+    """Fraction of n-gram occurrences that are duplicates (0.0 when the
+    document is shorter than n words)."""
+    g = ngrams(text, n)
+    return F.round(
+        F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g).cast("double")
+        )
+        + 1e-9,
+        4,
+    )
+
+
+def top_ngram_frac(text: Column | str, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (Gopher's top-n-gram filter: boilerplate/spam pushes it up).
+
+    The mode count is a max-run-length fold over the SORTED gram array —
+    one ``aggregate`` with a (prev, run, best) struct accumulator, so
+    the whole statistic stays inside whole-stage codegen with zero
+    shuffles (the relational formulation would need an explode +
+    two-level groupBy per document).
+    """
+    g = F.sort_array(ngrams(text, n))
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        ).alias("best"),
+    )
+    best = F.aggregate(
+        g,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        step,
+        lambda acc: acc.best,
+    )
+    return F.round(
+        F.when(F.size(g) == 0, F.lit(0.0)).otherwise(best / F.size(g).cast("double"))
+        + 1e-9,
+        4,
+    )
+
+
 # Marker vocabularies for the n-gram/function-word language heuristic.
 # With a real multilingual corpus these would be per-language function
 # words; the driver corpus is ASCII word salad, so the heuristic's

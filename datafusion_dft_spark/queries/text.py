@@ -45,8 +45,27 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
         ), sk AS (
             SELECT doc_id, array_to_string(list_sort(list(md5(s)))[1:5], '|') AS sketch
             FROM sh GROUP BY doc_id
+        ), rep AS (
+            -- Gopher/C4 repetition filters on the same word split.
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(w)) / len(w)::DOUBLE + 1e-9, 4) AS dup_word_frac,
+                   round(CASE WHEN len(w) < 3 THEN 0.0
+                              ELSE 1.0 - len(list_distinct([array_to_string(w[i:i+2], ' ')
+                                                            for i in range(1, len(w) - 1)]))
+                                    / (len(w) - 2)::DOUBLE END + 1e-9, 4) AS dup_3gram_frac
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) rw
+        ), g2 AS (
+            SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) s2,
+                 LATERAL (SELECT unnest(range(1, len(w))) AS i) ix
+        ), topg AS (
+            SELECT doc_id, max(c) / sum(c)::DOUBLE AS r
+            FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) gc
+            GROUP BY doc_id
         )
-        SELECT f.*, uni.avg_neg_logprob, sk.sketch
+        SELECT f.*, uni.avg_neg_logprob, sk.sketch,
+               rep.dup_word_frac, rep.dup_3gram_frac,
+               round(coalesce(topg.r, 0.0) + 1e-9, 4) AS top_2gram_frac
         FROM (
         SELECT doc_id, lang, pred_lang, n_words, stop_count,
                round(nospace_len / CAST(n_words AS DOUBLE) + 1e-9, 4) AS avg_word_len,
@@ -82,6 +101,8 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
         ) f
         JOIN uni USING (doc_id)
         JOIN sk USING (doc_id)
+        JOIN rep USING (doc_id)
+        LEFT JOIN topg USING (doc_id)
     """,
     tags=("text", "quality", "langid", "language-model", "sketch"),
     doc="The per-document feature relation: quality features (word count, avg "
@@ -89,7 +110,10 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
     "prediction (argmax with fixed tie order) next to the labeled lang "
     "column, unigram-LM pseudo-perplexity (avg_neg_logprob — corpus model "
     "as a relation, one shuffle join on word; the cheap pre-model quality "
-    "filter), and the engine-portable min-k md5 shingle sketch. One doc_id-"
+    "filter), Gopher/C4-style repetition filters (dup-word fraction, "
+    "dup-3-gram fraction, top-2-gram fraction — shuffle-free array folds; "
+    "the top-gram mode is a max-run-length aggregate over the sorted gram "
+    "array), and the engine-portable min-k md5 shingle sketch. One doc_id-"
     "grain query consolidating the text-analysis surface under the "
     "driver's 50-query cap (operators/text.py, operators/dedup.py).",
 )
@@ -108,6 +132,11 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tx.nospace_len("text") / n.cast("double") + 1e-9, 4).alias("avg_word_len"),
         F.round(stop / n.cast("double") + 1e-9, 4).alias("stop_ratio"),
         tx.quality_score("text").alias("quality_score"),
+        # Gopher/C4-style repetition filters — pure array expressions on
+        # the same word split, zero extra shuffles.
+        tx.dup_word_frac("text").alias("dup_word_frac"),
+        tx.dup_ngram_frac("text", 3).alias("dup_3gram_frac"),
+        tx.top_ngram_frac("text", 2).alias("top_2gram_frac"),
     )
     uni = tx.unigram_logprob_scores(docs).select("doc_id", "avg_neg_logprob")
     sketch = (

@@ -44,3 +44,48 @@ def test_rare_token_doc_scores_higher(spark, sf_dir):
     scores = tx.unigram_logprob_scores(aug)
     top = scores.orderBy(F.desc("avg_neg_logprob")).first()
     assert top.doc_id == 999999
+
+
+def test_repetition_filters_hand_computed(spark):
+    """Gopher/C4 repetition stats on hand-computable documents."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # 6 words, 3 distinct -> dup_word 0.5; 2-grams: "a b","b a","a b",
+        # "b c","c c" -> top 2/5 = 0.4; 3-grams: 4 total, all distinct -> 0.0
+        (1, "a b a b c c"),
+        # all same word: dup_word 1 - 1/4 = 0.75; 2-grams "x x" x3 -> 1.0;
+        # 3-grams "x x x" x2 -> dup 0.5
+        (2, "x x x x"),
+        # single word: no 2-grams/3-grams -> 0.0, dup_word 0.0
+        (3, "solo"),
+        (4, "p q"),  # one 2-gram -> top 1.0; no 3-grams -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dw, r.d3, r.t2)
+        for r in df.select(
+            "doc_id",
+            tx.dup_word_frac("text").alias("dw"),
+            tx.dup_ngram_frac("text", 3).alias("d3"),
+            tx.top_ngram_frac("text", 2).alias("t2"),
+        ).collect()
+    }
+    assert got[1] == (0.5, 0.0, 0.4)
+    assert got[2] == (0.75, 0.5, 1.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.0, 1.0)
+
+
+def test_repetition_filters_are_shuffle_free(spark):
+    """The per-doc repetition stats must not add exchanges: one
+    projection over the scan."""
+    from datafusion_dft_spark.plans import explain as ex
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string").select(
+        "doc_id",
+        tx.dup_word_frac("text").alias("dw"),
+        tx.dup_ngram_frac("text", 3).alias("d3"),
+        tx.top_ngram_frac("text", 2).alias("t2"),
+    )
+    assert ex.exchange_count(df) == 0, ex.simple_plan(df)
