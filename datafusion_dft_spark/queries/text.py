@@ -151,25 +151,70 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(uni, "doc_id").join(sketch, "doc_id")
 
 
+# Deterministic PII-bearing seed docs (the corpus itself contains no
+# PII): both engines union the SAME rows under a dedicated group so the
+# census/redaction columns are non-vacuous. The oracle VALUES are
+# generated from this list, so the two sides cannot drift.
+PII_SEED_ROWS = [
+    (9000000, "reach me at alice@example.com or 192.168.0.1 thanks", "xx", "seeded_pii"),
+    (9000001, "call +1 (555) 010-4477 or mail bob.smith+spam@mail.example.org now", "xx", "seeded_pii"),
+    (9000002, "no pii here just plain words", "xx", "seeded_pii"),
+    (9000003, "ips 10.0.0.7 and 172.16.254.3 email c@d.io", "xx", "seeded_pii"),
+    (9000004, "phones 555 010 9999 and 555-010-9998", "xx", "seeded_pii"),
+]
+_PII_SEED_VALUES = ", ".join(
+    f"({i}, '{t}', '{lg}', '{s}')" for i, t, lg, s in PII_SEED_ROWS
+)
+
+
 @query(
     "text_token_fingerprints",
-    oracle="""
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text, lang, source FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES {_PII_SEED_VALUES}) v(doc_id, text, lang, source)
+        )
         SELECT lang, source,
                count(*) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                round(sum(len(string_split(text, ' '))) / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS avg_tokens,
                CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_lex_tokens,
                count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_unique,
-               min(md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS min_fp
-        FROM documents
+               min(md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS min_fp,
+               CAST(sum(len(regexp_extract_all(text, '{tx.PII_EMAIL}'))) AS BIGINT) AS pii_emails,
+               CAST(sum(len(regexp_extract_all(text, '{tx.PII_PHONE}'))) AS BIGINT) AS pii_phones,
+               CAST(sum(len(regexp_extract_all(text, '{tx.PII_IPV4}'))) AS BIGINT) AS pii_ips,
+               CAST(sum(CASE WHEN regexp_replace(regexp_replace(regexp_replace(text,
+                             '{tx.PII_EMAIL}', '[PII]', 'g'),
+                             '{tx.PII_IPV4}', '[PII]', 'g'),
+                             '{tx.PII_PHONE}', '[PII]', 'g') <> text
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted
+        FROM docs
         GROUP BY lang, source
     """,
-    tags=("text", "tokens", "fingerprint"),
+    tags=("text", "tokens", "fingerprint", "pii"),
     doc="Corpus statistics by lang/source: token counting (whitespace + "
-    "lexer-regex) plus normalized-content md5 fingerprint distinct counts.",
+    "lexer-regex), normalized-content md5 fingerprint distinct counts, and "
+    "the PII census + redaction change-detection (email/IPv4/phone regex "
+    "family from operators/text.py, Java-regex ∩ RE2 subset so DuckDB "
+    "replays it verbatim) over five seeded PII-bearing docs in their own "
+    "(lang, source) group — the corpus itself contains none, which would "
+    "leave the columns vacuously zero.",
 )
 def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "lang", "source"
+    )
+    # The synthetic corpus contains no PII, which would leave the census/
+    # redaction columns vacuously zero; both engines therefore seed the
+    # same five deterministic PII-bearing docs under a dedicated
+    # (lang='xx', source='seeded_pii') group, so the check proves the
+    # regex census and the redaction change-detection actually fire —
+    # the dedup_embedding_cosine planted-fixture pattern applied to PII.
+    seeds = spark.createDataFrame(PII_SEED_ROWS, "doc_id long, text string, lang string, source string")
+    docs = docs.unionByName(seeds)
+    pii = tx.pii_counts("text")
     # Two-level aggregate instead of COUNT(DISTINCT expr): the Expand-based
     # distinct plan re-evaluates the regexp+md5 expression per expanded row
     # (measured ~7x slower), and a pre-projection gets collapsed back into
@@ -180,6 +225,12 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(tx.token_count("text")).alias("tok"),
         F.sum(tx.regex_token_count("text")).alias("lex"),
+        F.sum(pii["n_emails"]).alias("pe"),
+        F.sum(pii["n_phones"]).alias("pp"),
+        F.sum(pii["n_ips"]).alias("pi"),
+        F.sum(
+            F.when(tx.redact_pii("text") != F.col("text"), 1).otherwise(0)
+        ).alias("red"),
     )
     return per_fp.groupBy("lang", "source").agg(
         F.sum("n").alias("n_docs"),
@@ -188,4 +239,8 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lex").alias("total_lex_tokens"),
         F.count(F.lit(1)).alias("n_unique"),
         F.min("fp").alias("min_fp"),
+        F.sum("pe").alias("pii_emails"),
+        F.sum("pp").alias("pii_phones"),
+        F.sum("pi").alias("pii_ips"),
+        F.sum("red").alias("n_docs_redacted"),
     )
