@@ -89,3 +89,54 @@ def test_repetition_filters_are_shuffle_free(spark):
         tx.top_ngram_frac("text", 2).alias("t2"),
     )
     assert ex.exchange_count(df) == 0, ex.simple_plan(df)
+
+
+# --------------------------------------------------------------------------
+# Property fuzz: repetition filters vs a direct Python reference.
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _rep_ref(text: str, n: int) -> tuple[float, float, float]:
+    """Reference semantics: dup_word_frac, dup_ngram_frac(n), top_2gram_frac."""
+    w = text.split(" ")
+    dup_w = 1.0 - len(set(w)) / len(w)
+    grams_n = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)] if len(w) >= n else []
+    dup_n = (1.0 - len(set(grams_n)) / len(grams_n)) if grams_n else 0.0
+    g2 = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)] if len(w) >= 2 else []
+    top2 = (max(g2.count(g) for g in set(g2)) / len(g2)) if g2 else 0.0
+
+    def r4(x: float) -> float:
+        import math
+
+        return math.floor((x + 1e-9) * 10000 + 0.5) / 10000  # HALF_UP like Spark
+
+    return (r4(dup_w), r4(dup_n), r4(top2))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "x"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fuzz_repetition_filters(spark, docs):
+    """Random small-alphabet word lists (duplicates guaranteed) must match
+    the direct Python formulation — including empty docs (split('') ==
+    ['']) and docs shorter than the gram width."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dw, r.d3, r.t2)
+        for r in df.select(
+            "doc_id",
+            tx.dup_word_frac("text").alias("dw"),
+            tx.dup_ngram_frac("text", 3).alias("d3"),
+            tx.top_ngram_frac("text", 2).alias("t2"),
+        ).collect()
+    }
+    want = {i: _rep_ref(t, 3) for i, t in rows}
+    assert got == want
