@@ -53,6 +53,29 @@ import time
 import pandas as pd  # noqa: F401  (module-level: pandas_udf hints resolve here)
 
 
+def make_materializer(name: str, df):
+    """Pick the result-materialization method ONCE per plan.
+
+    The cold run probes ``df.toArrow()`` (the engine-native delivery
+    path); only if the plan's schema can't ride Arrow does the query
+    fall back to ``collect()`` for every run — noted on stderr so the
+    fallback is visible. Steady-state samples never catch: a genuine
+    execution error surfaces instead of silently double-executing the
+    query inside a timed window.
+    """
+    try:
+        df.toArrow()
+        return df.toArrow
+    except Exception as e:
+        print(
+            f"bench: {name}: arrow materialization unavailable "
+            f"({type(e).__name__}); timing collect()",
+            file=sys.stderr,
+        )
+        df.collect()
+        return df.collect
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -87,13 +110,6 @@ def main() -> int:
         .collect()
     )
 
-    def materialize(df) -> None:
-        """Fully materialize a result to the driver, Arrow-first."""
-        try:
-            df.toArrow()
-        except Exception:
-            df.collect()
-
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     times: dict[str, float] = {}  # per-query MEDIAN of the steady runs
     mins: dict[str, float] = {}
@@ -111,13 +127,13 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
-            materialize(df)
+            run = make_materializer(name, df)  # probe executes once = the cold run
             cold[name] = round(time.perf_counter() - t0, 4)
             samples: list[float] = []
             for _ in range(runs - 1):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                materialize(df)
+                run()
                 samples.append(time.perf_counter() - t0)
             samples.sort()
             # Median (lower of the middle pair), not min: builder-vs-

@@ -217,10 +217,12 @@ def _right_size(df: DataFrame, nrows: int, rows_per_part: int = 4000) -> DataFra
 # Built-index reuse for the bounded path: an LSH index over an immutable
 # corpus is built once and probed many times (the same lifecycle every
 # ANN library gives it). Keyed by caller-provided corpus identity (file
-# path + mtime + size) plus every parameter that shapes the result, and
-# by Spark application id (broadcasts are session-bound). The cached
-# object is the *plan* — each execution still runs the verify job.
-_DUP_PAIR_CACHE: dict[tuple, DataFrame] = {}
+# path + mtime + size) plus every parameter that shapes the result
+# (id/vec columns, threshold, planes, tables, dim, nrows), and by Spark
+# application id (broadcasts are session-bound). Values are (plan,
+# broadcast) so eviction can free the broadcast blocks; each execution
+# of the cached plan still runs the verify job.
+_DUP_PAIR_CACHE: dict[tuple, tuple[DataFrame, object]] = {}
 
 
 def cosine_dup_pairs(
@@ -264,6 +266,8 @@ def cosine_dup_pairs(
         if cache_key is not None:
             full_key = (
                 cache_key,
+                id_col,
+                vec_col,
                 threshold,
                 n_planes,
                 n_tables,
@@ -273,14 +277,23 @@ def cosine_dup_pairs(
             )
             hit = _DUP_PAIR_CACHE.get(full_key)
             if hit is not None:
-                return hit
-        bounded = _bounded_dup_pairs(
+                return hit[0]
+        bounded, bc = _bounded_dup_pairs(
             corpus.sparkSession, raw, threshold, dim, n_planes, n_tables
         )
         if full_key is not None:
-            if len(_DUP_PAIR_CACHE) > 8:
-                _DUP_PAIR_CACHE.clear()
-            _DUP_PAIR_CACHE[full_key] = bounded
+            while len(_DUP_PAIR_CACHE) > 8:
+                # evict the oldest entry only (dict preserves insertion
+                # order) and free its broadcast blocks explicitly — a
+                # full flush would rebuild every hot index, and dropped
+                # references alone leave the JVM blocks pinned until GC
+                _, old_bc = _DUP_PAIR_CACHE.pop(next(iter(_DUP_PAIR_CACHE)))
+                if old_bc is not None:
+                    try:
+                        old_bc.unpersist()
+                    except Exception:
+                        pass  # session gone — nothing to free
+            _DUP_PAIR_CACHE[full_key] = (bounded, bc)
         return bounded
     sigs = signatures(F.col("v"), dim, n_planes, n_tables)
     base = _right_size(raw, nrows)
@@ -341,13 +354,18 @@ def _collect_matrix(raw: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray]:
         tbl = raw.toArrow()
         ids = np.asarray(tbl.column("vid").to_numpy(zero_copy_only=False), dtype=np.int64)
         lists = tbl.column("v").combine_chunks()
-        mat = np.asarray(
-            lists.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
-        ).reshape(len(ids), dim)
     except Exception:
+        # only the Arrow COLLECTION may fall back (capability gap /
+        # transient session state); reshape failures below are data bugs
+        # (ragged or wrong-dim vectors) and must surface, not silently
+        # re-execute the scan through the row path
         rows = raw.collect()
         ids = np.fromiter((r.vid for r in rows), dtype=np.int64, count=len(rows))
         mat = np.array([r.v for r in rows]) if rows else np.empty((0, dim))
+        return ids, mat
+    mat = np.asarray(
+        lists.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+    ).reshape(len(ids), dim)
     return ids, mat
 
 
@@ -365,8 +383,11 @@ def _bounded_dup_pairs(
     dim: int,
     n_planes: int,
     n_tables: int,
-) -> DataFrame:
+) -> tuple[DataFrame, object]:
     """Bounded-corpus near-dup path: driver bucketing + distributed verify.
+
+    Returns ``(result_plan, broadcast_or_None)`` so callers that cache
+    the plan can free the broadcast blocks on eviction.
 
     For corpora inside the broadcast budget (<= ``_BROADCAST_VERIFY_MAX``
     rows — the same deliberate materialization as the IVF codebook:
@@ -403,7 +424,7 @@ def _bounded_dup_pairs(
     ids, mat = _collect_matrix(raw, dim)
     empty_schema = "id1 long, id2 long, cosine double"
     if ids.size == 0:
-        return spark.createDataFrame([], empty_schema)
+        return spark.createDataFrame([], empty_schema), None
     order = np.argsort(ids)
     ids_s, mat_s = ids[order], mat[order]
     n = len(ids_s)
@@ -425,13 +446,13 @@ def _bounded_dup_pairs(
         for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
             groups.append(np.sort(o[s:e]))
     if not groups:
-        return spark.createDataFrame([], empty_schema)
+        return spark.createDataFrame([], empty_schema), None
     bc = spark.sparkContext.broadcast(
         (ids_s, mat_s, np.linalg.norm(mat_s, axis=1))
     )
     thr = threshold
     if est_pairs > _PAIR_EXPAND_MAX:
-        return _bucket_verify(spark, bc, groups, thr, empty_schema)
+        return _bucket_verify(spark, bc, groups, thr, empty_schema), bc
     pi_parts: list[np.ndarray] = []
     pj_parts: list[np.ndarray] = []
     for g in groups:
@@ -459,6 +480,11 @@ def _bounded_dup_pairs(
                 for r0 in range(0, len(i), 1 << 20):  # bound per-task memory
                     ii, jj = i[r0 : r0 + (1 << 20)], j[r0 : r0 + (1 << 20)]
                     num = np.einsum("ij,ij->i", b_mat[ii], b_mat[jj])
+                    # np.round is half-even vs Spark/DuckDB's HALF_UP,
+                    # but the +1e-9 nudge (applied identically on every
+                    # engine) pushes values off exact .xxxx5 ties, so
+                    # the modes can't disagree on reachable inputs —
+                    # verified by the differential oracles.
                     c = np.round(num / (b_norms[ii] * b_norms[jj]) + 1e-9, 4)
                     keep = c >= thr
                     if keep.any():
@@ -484,7 +510,7 @@ def _bounded_dup_pairs(
         spark.sparkContext.parallelize(rows, len(rows)),
         "pi array<long>, pj array<long>",
     )
-    return bdf.mapInPandas(verify_pairs, empty_schema)
+    return bdf.mapInPandas(verify_pairs, empty_schema), bc
 
 
 def _bucket_verify(spark, bc, groups: list, thr: float, empty_schema: str) -> DataFrame:

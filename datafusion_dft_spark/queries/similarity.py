@@ -220,7 +220,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = os.stat(path)
         cache_key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
         nrows = pq.read_metadata(path).num_rows + 5
-    except OSError:
+    except Exception:
+        # missing/remote path (OSError) or an unreadable footer
+        # (pyarrow ArrowInvalid on a truncated/mid-rewrite file) — both
+        # take the uncached path with a Spark-side count
         cache_key, nrows = None, emb.count() + 5
     return sim.cosine_dup_pairs(
         aug, threshold=0.95, dim=_DIM, nrows=nrows, cache_key=cache_key

@@ -93,25 +93,22 @@ def main() -> int:
     # Warm Spark codegen + Python workers once (bench.py protocol).
     next(iter(specs.values())).build(spark, sf_dir).collect()
 
-    def materialize(df) -> None:
-        # Arrow-first, like bench.py: DuckDB's fetchall() materializes at
-        # the C level, so per-row python Row construction would bill a
-        # result-delivery overhead to the engine on high-output queries.
-        try:
-            df.toArrow()
-        except Exception:
-            df.collect()
+    # Arrow-first materialization, shared with bench.py so both
+    # harnesses measure result delivery identically (DuckDB's fetchall()
+    # materializes at the C level; per-row python Row construction would
+    # bill a delivery overhead to the engine on high-output queries).
+    from bench import make_materializer
 
     rows = []
     for name, spec in sorted(specs.items()):
         df = spec.build(spark, sf_dir)
-        materialize(df)
+        run = make_materializer(name, df)  # probe executes once (warm-up)
         s_samples = []
         for _ in range(runs):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
-            materialize(df)
+            run()
             s_samples.append(time.perf_counter() - t0)
         s_med = statistics.median(s_samples)
 
