@@ -182,3 +182,19 @@ def test_bucket_verify_tier_matches_pair_expansion_tier(spark, emb, monkeypatch)
     monkeypatch.setattr(sim, "_PAIR_EXPAND_MAX", 0)
     via_buckets = {tuple(r) for r in sim.cosine_dup_pairs(aug, threshold=0.9).collect()}
     assert via_pairs == via_buckets and via_buckets
+
+
+def test_dup_pair_cache_eviction_is_bounded_and_frees_broadcasts(spark, emb):
+    """A server session cycling through many corpora must keep the index
+    cache bounded, evict oldest-first, and unpersist evicted broadcasts."""
+    df = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    sim._DUP_PAIR_CACHE.clear()
+    for i in range(12):
+        sim.cosine_dup_pairs(
+            df, threshold=0.95, dim=64, nrows=500, cache_key=("corpus", i, i)
+        )
+    assert len(sim._DUP_PAIR_CACHE) <= 9
+    keys = [k[0] for k in sim._DUP_PAIR_CACHE]  # cache_key component
+    assert ("corpus", 11, 11) in keys  # newest survives
+    assert ("corpus", 0, 0) not in keys  # oldest evicted
+    sim._DUP_PAIR_CACHE.clear()
