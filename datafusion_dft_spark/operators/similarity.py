@@ -223,6 +223,7 @@ def _right_size(df: DataFrame, nrows: int, rows_per_part: int = 4000) -> DataFra
 # broadcast) so eviction can free the broadcast blocks; each execution
 # of the cached plan still runs the verify job.
 _DUP_PAIR_CACHE: dict[tuple, tuple[DataFrame, object]] = {}
+_DUP_PAIR_CACHE_LOCK = __import__("threading").Lock()
 
 
 def cosine_dup_pairs(
@@ -275,25 +276,29 @@ def cosine_dup_pairs(
                 nrows,
                 corpus.sparkSession.sparkContext.applicationId,
             )
-            hit = _DUP_PAIR_CACHE.get(full_key)
+            with _DUP_PAIR_CACHE_LOCK:
+                hit = _DUP_PAIR_CACHE.get(full_key)
             if hit is not None:
                 return hit[0]
         bounded, bc = _bounded_dup_pairs(
             corpus.sparkSession, raw, threshold, dim, n_planes, n_tables
         )
         if full_key is not None:
-            while len(_DUP_PAIR_CACHE) > 8:
-                # evict the oldest entry only (dict preserves insertion
-                # order) and free its broadcast blocks explicitly — a
-                # full flush would rebuild every hot index, and dropped
-                # references alone leave the JVM blocks pinned until GC
-                _, old_bc = _DUP_PAIR_CACHE.pop(next(iter(_DUP_PAIR_CACHE)))
-                if old_bc is not None:
-                    try:
-                        old_bc.unpersist()
-                    except Exception:
-                        pass  # session gone — nothing to free
-            _DUP_PAIR_CACHE[full_key] = (bounded, bc)
+            # lock: the FlightSQL/HTTP servers are threaded — eviction
+            # iterating the dict must not race concurrent inserts
+            with _DUP_PAIR_CACHE_LOCK:
+                while len(_DUP_PAIR_CACHE) > 8:
+                    # evict the oldest entry only (dict preserves insertion
+                    # order) and free its broadcast blocks explicitly — a
+                    # full flush would rebuild every hot index, and dropped
+                    # references alone leave the JVM blocks pinned until GC
+                    _, old_bc = _DUP_PAIR_CACHE.pop(next(iter(_DUP_PAIR_CACHE)))
+                    if old_bc is not None:
+                        try:
+                            old_bc.unpersist()
+                        except Exception:
+                            pass  # session gone — nothing to free
+                _DUP_PAIR_CACHE[full_key] = (bounded, bc)
         return bounded
     sigs = signatures(F.col("v"), dim, n_planes, n_tables)
     base = _right_size(raw, nrows)
