@@ -59,17 +59,22 @@ def quality_score(text: Column | str) -> Column:
 def ngrams(text: Column | str, n: int) -> Column:
     """Word n-grams as an array<string> (space-joined), shuffle-free.
 
-    Empty array when the document has fewer than ``n`` words (guarded
-    explicitly: ``sequence(1, 0)`` would DESCEND, not return empty).
+    Built by zipping ``n`` shifted slices of the word array — each
+    slice evaluates the split ONCE per row. (The obvious
+    ``transform(sequence, i -> element_at(w, i+j))`` formulation embeds
+    a copy of the split inside the per-element lambda, and higher-order
+    lambdas are interpreted, so it re-splits the text per gram element:
+    O(words^2) per document — measured 18.7 s of cold planning+first-run
+    on the 50k-word-total corpus vs ~3 s for this shape.) Empty array
+    when the document has fewer than ``n`` words.
     """
     w = words(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    cnt = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    parts = [F.slice(w, j + 1, cnt) for j in range(n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return g
 
 
 def dup_word_frac(text: Column | str) -> Column:
