@@ -55,13 +55,25 @@ SIMHASH_CHUNKS = 8
 
 
 def shingle_array(text_col: str, k: int = 5):
-    """Column of distinct k-word shingles for one document row."""
+    """Column of distinct k-word shingles for one document row.
+
+    Built by zipping k shifted slices of the word array — each slice
+    evaluates the split ONCE per row. (The previous
+    ``transform(sequence, i -> slice(w, i, k))`` embedded a copy of the
+    split inside the per-element lambda; higher-order lambdas are
+    interpreted, so it re-split the text per shingle: O(words^2) per
+    document, dominating the cold time of every shingle consumer.)
+    Documents shorter than k words keep the original semantics: one
+    shingle holding the whole document.
+    """
     w = F.split(F.col(text_col), " ")
-    n = F.greatest(F.size(w) - (k - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(w, i, k), " ")
+    cnt = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    g = F.slice(w, 1, cnt)
+    for j in range(1, k):
+        g = F.zip_with(g, F.slice(w, j + 1, cnt), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(
+        F.when(F.size(w) >= k, g).otherwise(F.array(F.array_join(w, " ")))
     )
-    return F.array_distinct(shingles)
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
