@@ -140,3 +140,21 @@ def test_fuzz_repetition_filters(spark, docs):
     }
     want = {i: _rep_ref(t, 3) for i, t in rows}
     assert got == want
+
+
+def test_repetition_filters_consecutive_spaces(spark):
+    """split('a  b') yields an empty-string word; gram joins must agree
+    with the Python reference on that shape too."""
+    rows = [(1, "a  b"), (2, "  "), (3, "a  a  a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dw, r.d3, r.t2)
+        for r in df.select(
+            "doc_id",
+            tx.dup_word_frac("text").alias("dw"),
+            tx.dup_ngram_frac("text", 3).alias("d3"),
+            tx.top_ngram_frac("text", 2).alias("t2"),
+        ).collect()
+    }
+    want = {i: _rep_ref(t, 3) for i, t in rows}
+    assert got == want
