@@ -134,11 +134,41 @@ def _replay_log(path: str, version: int | None) -> tuple[T.StructType, list[str]
 
     def apply(action: dict) -> None:
         nonlocal schema_json, partition_cols
-        if "metaData" in action:
+        if "protocol" in action:
+            # Delta spec ("Protocol Evolution"): a reader MUST refuse tables
+            # whose minReaderVersion it does not implement. This replay
+            # implements reader version 1 only — version 2 adds column
+            # mapping (add.path no longer names the logical columns) and
+            # version 3 adds readerFeatures (e.g. deletionVectors, where
+            # replaying `add` as a plain parquet scan resurrects deleted
+            # rows). Refusing loudly here is mandated; silently wrong
+            # answers are not. The delta-spark jars path handles these
+            # (reference enforces the same via delta-rs,
+            # extensions/deltalake.rs:34-51).
+            proto = action["protocol"]
+            ver = proto.get("minReaderVersion") or 1
+            feats = [f for f in (proto.get("readerFeatures") or []) if f is not None]
+            if ver > 1 or feats:
+                raise DeltaNotAvailable(
+                    f"Delta table requires minReaderVersion={ver}"
+                    + (f" with readerFeatures={feats}" if feats else "")
+                    + " — the pure-Python log replay implements reader "
+                    "protocol 1 only (no column mapping / deletion "
+                    "vectors); install delta-spark jars to read this table"
+                )
+        elif "metaData" in action:
             schema_json = action["metaData"]["schemaString"]
             partition_cols = list(action["metaData"].get("partitionColumns") or [])
         elif "add" in action:
             add = dict(action["add"])
+            # Belt-and-braces: a DV-carrying add must never scan as plain
+            # parquet even if the protocol action was somehow not seen.
+            if add.get("deletionVector") is not None:
+                raise DeltaNotAvailable(
+                    "Delta add action carries a deletionVector — rows were "
+                    "logically deleted; the pure-Python reader cannot apply "
+                    "DVs, install delta-spark jars"
+                )
             # Delta spec: add.path is URL-encoded relative to the root.
             add["path"] = unquote(add["path"])
             add["partitionValues"] = _as_dict(add.get("partitionValues"))

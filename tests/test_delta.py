@@ -247,3 +247,101 @@ def test_multipart_checkpoint(spark, checkpointed_table, tmp_path):
     pq.write_table(tbl.slice(2), log_dir / f"{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
     rows = {(r.id, r.val, r.part) for r in read_delta(spark, str(root)).collect()}
     assert rows == {(10, "v10", "x"), (11, "v11", "x"), (30, "v30", "y")}
+
+
+@pytest.fixture()
+def v3_table(tmp_path) -> str:
+    """A table whose protocol demands reader version 3 with
+    deletionVectors — the pure-Python replay must refuse it (Delta spec
+    'Protocol Evolution'; the reference refuses via delta-rs,
+    extensions/deltalake.rs:34-51)."""
+    root = tmp_path / "dv_table"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+    dest = root / "f.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "val": pa.array(["a", "b"], pa.string()),
+                  "part": pa.array(["x", "x"], pa.string())}),
+        dest,
+    )
+    _write_commit(
+        str(log_dir),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": {"id": "00000000-0000-0000-0000-000000000003",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": SCHEMA_JSON,
+                          "partitionColumns": [],
+                          "configuration": {}}},
+            {"add": {"path": "f.parquet", "partitionValues": {},
+                     "size": os.path.getsize(dest), "dataChange": True}},
+        ],
+    )
+    return str(root)
+
+
+def test_unsupported_reader_protocol_raises(spark, v3_table):
+    """deletion vectors / column mapping must refuse, never replay adds
+    as plain parquet scans (deleted rows would silently come back)."""
+    with pytest.raises(DeltaNotAvailable, match="minReaderVersion=3"):
+        read_delta(spark, v3_table)
+
+
+def test_column_mapping_protocol_raises(spark, tmp_path):
+    """minReaderVersion=2 (column mapping) also refuses."""
+    root = tmp_path / "cm_table"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+    _write_commit(
+        str(log_dir),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "00000000-0000-0000-0000-000000000004",
+                          "schemaString": SCHEMA_JSON,
+                          "partitionColumns": []}},
+        ],
+    )
+    with pytest.raises(DeltaNotAvailable, match="minReaderVersion=2"):
+        read_delta(spark, str(root))
+
+
+def test_dv_carrying_add_raises(spark, tmp_path):
+    """Even without a protocol upgrade in the replayed range, an add
+    action carrying a deletionVector must refuse."""
+    root = tmp_path / "dv_add_table"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+    dest = root / "f.parquet"
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64()),
+                             "val": pa.array(["a"], pa.string()),
+                             "part": pa.array(["x"], pa.string())}), dest)
+    _write_commit(
+        str(log_dir),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "00000000-0000-0000-0000-000000000005",
+                          "schemaString": SCHEMA_JSON,
+                          "partitionColumns": []}},
+            {"add": {"path": "f.parquet", "partitionValues": {},
+                     "size": os.path.getsize(dest), "dataChange": True,
+                     "deletionVector": {"storageType": "u",
+                                        "pathOrInlineDv": "abc",
+                                        "offset": 1, "sizeInBytes": 36,
+                                        "cardinality": 1}}},
+        ],
+    )
+    with pytest.raises(DeltaNotAvailable, match="deletionVector"):
+        read_delta(spark, str(root))
+
+
+def test_protocol_v1_with_null_reader_features_ok(spark, delta_table):
+    """Checkpoint structs surface readerFeatures as None — reader v1
+    tables keep reading fine (regression guard for the new gate)."""
+    rows = {(r.id, r.val, r.part) for r in read_delta(spark, delta_table).collect()}
+    assert len(rows) == 4
