@@ -178,23 +178,36 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(1, len(v) + 1)] AS v
             FROM e WHERE vec_id < 5
         ),
-        aug AS (SELECT * FROM e UNION ALL SELECT * FROM pert)
-        SELECT a.vec_id AS id1, b.vec_id AS id2,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                     + 1e-9, 4) AS cosine
-        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-              + 1e-9 >= 0.95
+        aug AS (SELECT * FROM e UNION ALL SELECT * FROM pert),
+        pairs AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                         + 1e-9, 4) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  + 1e-9 >= 0.95
+        )
+        SELECT 'bounded' AS method, id1, id2, cosine FROM pairs
+        UNION ALL
+        SELECT 'unbounded' AS method, id1, id2, cosine FROM pairs
     """,
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH candidates + "
-    "exact rerank. The natural corpus has no such pairs at test SF, which "
-    "made the oracle vacuously pass on 0 == 0 rows; both engines therefore "
-    "seed five deterministic near-duplicates (vec_id<5 perturbed by +0.05 "
-    "on the first component, cosine ~0.9987) so the check proves the LSH "
-    "candidate generation actually finds the pairs the exhaustive oracle "
+    "exact rerank, BOTH formulations method-tagged in one query "
+    "(consolidated for the driver's 50-query cap, the ann_pruned_topk "
+    "pattern): 'bounded' = driver LSH bucketing over an Arrow-collected "
+    "matrix + distributed two-tier verify; 'unbounded' = the fully "
+    "distributed single-shuffle banded self-join — the actual 100 TB "
+    "path, which a test-SF corpus would never select on its own, so it "
+    "is pinned via strategy='unbounded' to get its own differential "
+    "verification instead of only a pytest equivalence check. The "
+    "natural corpus has no qualifying pairs at test SF, which made the "
+    "oracle vacuously pass on 0 == 0 rows; both engines therefore seed "
+    "five deterministic near-duplicates (vec_id<5 perturbed by +0.05 on "
+    "the first component, cosine ~0.9987) so the check proves both "
+    "candidate-generation paths find the pairs the exhaustive oracle "
     "join finds.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,8 +238,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (pyarrow ArrowInvalid on a truncated/mid-rewrite file) — both
         # take the uncached path with a Spark-side count
         cache_key, nrows = None, emb.count() + 5
-    return sim.cosine_dup_pairs(
-        aug, threshold=0.95, dim=_DIM, nrows=nrows, cache_key=cache_key
+    bounded = sim.cosine_dup_pairs(
+        aug, threshold=0.95, dim=_DIM, nrows=nrows, cache_key=cache_key,
+        strategy="bounded",
+    )
+    unbounded = sim.cosine_dup_pairs(
+        aug, threshold=0.95, dim=_DIM, nrows=nrows, strategy="unbounded"
+    )
+    return bounded.select(
+        F.lit("bounded").alias("method"), "id1", "id2", "cosine"
+    ).unionByName(
+        unbounded.select(F.lit("unbounded").alias("method"), "id1", "id2", "cosine")
     )
 
 

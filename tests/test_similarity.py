@@ -193,8 +193,49 @@ def test_dup_pair_cache_eviction_is_bounded_and_frees_broadcasts(spark, emb):
         sim.cosine_dup_pairs(
             df, threshold=0.95, dim=64, nrows=500, cache_key=("corpus", i, i)
         )
-    assert len(sim._DUP_PAIR_CACHE) <= 9
+    assert len(sim._DUP_PAIR_CACHE) <= sim._DUP_PAIR_CACHE_CAP
     keys = [k[0] for k in sim._DUP_PAIR_CACHE]  # cache_key component
     assert ("corpus", 11, 11) in keys  # newest survives
     assert ("corpus", 0, 0) not in keys  # oldest evicted
     sim._DUP_PAIR_CACHE.clear()
+
+
+def test_dup_pair_cache_is_lru_not_fifo(spark, emb):
+    """A hit refreshes recency: a hot index must survive eviction while
+    cold ones go — fill the cache, touch the oldest entry, overflow, and
+    assert the touched entry survived while the untouched oldest died."""
+    df = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    sim._DUP_PAIR_CACHE.clear()
+    for i in range(sim._DUP_PAIR_CACHE_CAP):
+        sim.cosine_dup_pairs(
+            df, threshold=0.95, dim=64, nrows=500, cache_key=("corpus", i, i)
+        )
+    # touch entry 0 (a hit), making entry 1 the LRU victim
+    sim.cosine_dup_pairs(df, threshold=0.95, dim=64, nrows=500, cache_key=("corpus", 0, 0))
+    sim.cosine_dup_pairs(df, threshold=0.95, dim=64, nrows=500, cache_key=("corpus", 99, 99))
+    keys = [k[0] for k in sim._DUP_PAIR_CACHE]
+    assert ("corpus", 0, 0) in keys  # hot entry survived its age
+    assert ("corpus", 1, 1) not in keys  # cold entry evicted instead
+    assert len(sim._DUP_PAIR_CACHE) == sim._DUP_PAIR_CACHE_CAP
+    sim._DUP_PAIR_CACHE.clear()
+
+
+def test_planes_memoized_and_bit_identical():
+    """_planes must stay bit-identical to the spec'd md5 derivation (the
+    DuckDB oracles reproduce it) and memoize per shape so repeat index
+    builds pay zero driver hashing."""
+    import hashlib
+
+    import numpy as np
+
+    sim._planes.cache_clear()
+    got = sim._planes(7, 3, 2)
+    ref = np.empty((2, 3, 7))
+    for t in range(2):
+        for p in range(3):
+            for d in range(7):
+                h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+                ref[t, p, d] = h / 4294967296.0 - 0.5
+    assert np.array_equal(got, ref)
+    assert sim._planes(7, 3, 2) is got  # memoized
+    assert not got.flags.writeable  # shared array is immutable
