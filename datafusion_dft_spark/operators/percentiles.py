@@ -57,6 +57,8 @@ _VHI = "__pct_vhi"
 _APS = "__pct_aps"
 _APLO = "__pct_ap_lo"
 _APHI = "__pct_ap_hi"
+_NF = "__pct_nonfinite"
+_CLAMPED = "__pct_clamped"
 
 NEG, POS = float("-inf"), float("inf")
 
@@ -187,6 +189,14 @@ def percentile_exact_refine(
        prune the check away (a bare assert_true projection would be
        eliminated by column pruning) and the query fails loudly
        rather than approximating.
+    5. Groups that legitimately contain non-finite values (±inf/NaN —
+       which would collide with the clamp sentinels and trip the
+       guard on a VALID query) are detected in the probe pass and
+       routed around the clamp: they keep their full value domain
+       (the ``percentile_exact_hist`` regime, so correctness is
+       unaffected at the cost of an unbounded histogram for those
+       groups only) and the guard is scoped to clamped groups, so a
+       genuine ±inf/NaN percentile flows through instead of aborting.
 
     Both passes are single scans with map-side partial aggregation;
     nothing grows with distinct-value cardinality except the (tiny)
@@ -202,18 +212,24 @@ def percentile_exact_refine(
     q_hi = min(1.0, p + 3.0 / accuracy)
     small_cutoff = 2 * accuracy
 
+    nonfinite = F.isnan(v) | (v == F.lit(POS)) | (v == F.lit(NEG))
     probe = df.groupBy(*gcols).agg(
         F.count(v).alias(_N),
         F.percentile_approx(v, F.array(F.lit(q_lo), F.lit(q_hi)), F.lit(accuracy)).alias(
             _APS
         ),
+        F.max(F.when(nonfinite, F.lit(1)).otherwise(F.lit(0))).alias(_NF),
     )
-    small = F.col(_N) <= small_cutoff
+    # No clamping for small groups (band = whole domain is already
+    # cheap) NOR for groups holding genuine ±inf/NaN values — those
+    # would collide with the sentinel buckets and abort a valid query.
+    unclamped = (F.col(_N) <= small_cutoff) | (F.col(_NF) == 1)
     thresholds = probe.filter(F.col(_N) > 0).select(
         *gcols,
         ((F.col(_N) - F.lit(1)) * F.lit(float(p))).alias(_RN),
-        F.when(small, F.lit(NEG)).otherwise(F.col(_APS)[0]).alias(_APLO),
-        F.when(small, F.lit(POS)).otherwise(F.col(_APS)[1]).alias(_APHI),
+        F.when(unclamped, F.lit(NEG)).otherwise(F.col(_APS)[0]).alias(_APLO),
+        F.when(unclamped, F.lit(POS)).otherwise(F.col(_APS)[1]).alias(_APHI),
+        (~unclamped).cast("int").alias(_CLAMPED),
     )
     thresholds = thresholds.withColumn(_LO, F.floor(_RN)).withColumn(_HI, F.ceil(_RN))
 
@@ -225,7 +241,12 @@ def percentile_exact_refine(
             _RN,
             _LO,
             _HI,
-            F.when(v < F.col(_APLO), F.lit(NEG))
+            # non-finite values pass through untouched: they only exist
+            # in unclamped groups (clamped groups proved all-finite in
+            # the probe), and Spark's "NaN > +inf" ordering would
+            # otherwise fold a genuine NaN into the POS sentinel
+            F.when(nonfinite, v)
+            .when(v < F.col(_APLO), F.lit(NEG))
             .when(v > F.col(_APHI), F.lit(POS))
             .otherwise(v)
             .alias(_VAL),
@@ -237,15 +258,22 @@ def percentile_exact_refine(
     bounds = _walk_bounds(hist, group_cols, f"__raw_{out_col}")
     # Sketch-contract guard fused into the output column itself (cannot
     # be pruned): a target ordinal inside a sentinel bucket yields ±inf
-    # or NaN and the query fails loudly instead of approximating.
+    # or NaN and the query fails loudly instead of approximating. Scoped
+    # to clamped groups — unclamped ones have no sentinels, so their
+    # non-finite results are real data, not band misses.
     raw = F.col(f"__raw_{out_col}")
-    ok = raw.isNull() | (~F.isnan(raw) & (raw > F.lit(NEG)) & (raw < F.lit(POS)))
+    flags = F.broadcast(thresholds.select(*gcols, _CLAMPED))
+    ok = (
+        raw.isNull()
+        | (F.col(_CLAMPED) == 0)
+        | (~F.isnan(raw) & (raw > F.lit(NEG)) & (raw < F.lit(POS)))
+    )
     guarded = F.when(ok, raw).otherwise(
         F.raise_error(F.lit("percentile_exact_refine: sketch band missed the target ordinal")).cast(
             "double"
         )
     )
-    bounds = bounds.select(*gcols, guarded.alias(out_col))
+    bounds = bounds.join(flags, group_cols).select(*gcols, guarded.alias(out_col))
     return probe.select(*gcols).join(bounds, group_cols, "left")
 
 

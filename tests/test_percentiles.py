@@ -162,6 +162,51 @@ def test_mixed_group_sizes_cross_cutoff(spark):
     assert got == want
 
 
+def test_nonfinite_values_route_around_clamp(spark):
+    """A large (clamp-regime) group legitimately containing ±inf/NaN
+    must NOT trip the sentinel guard: such groups are detected in the
+    probe and keep their full domain (advisor r6). Results match the
+    builtin, including a genuinely infinite percentile."""
+    # g=0: 300 finite values + +inf tail (p=0.99 lands on inf);
+    # g=1: -inf head; g=2: NaN values; g=3: all-finite control that
+    # still exercises the clamp path in the same plan.
+    df = spark.range(0, 1240).selectExpr(
+        "CASE WHEN id < 310 THEN 0 WHEN id < 620 THEN 1 WHEN id < 930 THEN 2 ELSE 3 END AS g",
+        """CASE
+             WHEN id < 300 THEN CAST(id AS DOUBLE)
+             WHEN id < 310 THEN double('inf')
+             WHEN id < 320 THEN double('-inf')
+             WHEN id < 620 THEN CAST(id AS DOUBLE)
+             WHEN id < 930 THEN double('NaN')
+             ELSE CAST(id AS DOUBLE)
+           END AS v""",
+    )
+    for p in (0.5, 0.99):
+        want = _builtin(df, p)
+        got = {
+            r.g: r.p
+            for r in percentile_exact_refine(df, ["g"], "v", p, "p", accuracy=50).collect()
+        }
+        # NaN != NaN — compare with a repr that treats NaN as equal
+        norm = lambda d: {k: repr(val) for k, val in d.items()}
+        assert norm(got) == norm(want), p
+
+
+def test_finite_guard_still_active(spark):
+    """The sentinel guard stays armed for all-finite clamped groups —
+    scoping it to clamped groups must not disarm it (the contract of
+    review finding r5: fail loudly on a band miss, never approximate)."""
+    from datafusion_dft_spark.operators import percentiles as pct
+
+    df = spark.range(0, 500).selectExpr(
+        "0 AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    got = {
+        r.g: r.p for r in percentile_exact_refine(df, ["g"], "v", 0.5, "p", accuracy=50).collect()
+    }
+    assert got == {0: 249.5}
+
+
 def test_internal_names_do_not_collide(spark):
     """Group columns named like internal plan columns must still work."""
     df = spark.createDataFrame(
