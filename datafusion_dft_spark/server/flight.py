@@ -53,7 +53,7 @@ import pyarrow.flight as fl
 
 from ..config import AppConfig
 from ..observability import Observability
-from ..sql import prepare_statement, split_statements
+from ..sql import contains_copy, prepare_statement, split_statements
 from . import flightsql_proto as fsp
 
 # FIFO cap on stored plans: the reference keeps every request's plan in
@@ -383,6 +383,17 @@ class DftFlightServer(fl.FlightServerBase):
             proto = sql is not None
             if not proto:
                 sql = json.loads(raw.decode())["query"]
+            if contains_copy(sql):
+                # COPY executes at rewrite time; a prepared handle would
+                # re-serve the stale count without re-copying on later
+                # executions — reject instead of diverging from
+                # execute-per-run semantics. Direct statement queries
+                # still run COPY, once per request.
+                self._record(start, None, "/do_action/create_prepared_statement", sql, 3)
+                raise fl.FlightServerError(
+                    "COPY cannot be prepared (side-effecting statement); "
+                    "use a direct statement query"
+                )
             request_id = str(uuid.uuid4())
             df = self._sql_to_df(sql)
             schema = _spark_to_arrow_schema(df)

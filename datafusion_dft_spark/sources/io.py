@@ -227,8 +227,18 @@ def copy_to(
     Returns the number of rows exported (DataFusion's COPY result).
     Partitioned exports write a directory tree; unpartitioned ones a
     single file, matching the reference's file-target semantics.
+
+    The count comes from an ``Observation`` riding the write itself —
+    ONE execution, and the reported count is exactly the rows the write
+    saw (a separate ``count()`` would double the cost and could diverge
+    from the written rows on non-deterministic sources; DataFusion's
+    COPY likewise derives its count from the write).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     df = spark.sql(query)
-    n = df.count()
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     write_any(df, path, fmt=fmt, single_file=not partition_by, partition_by=partition_by)
-    return n
+    return int(obs.get["rows"])

@@ -313,6 +313,19 @@ def _rewrite_copy(spark: SparkSession, stmt: str) -> str | None:
     return f"SELECT CAST({n} AS BIGINT) AS count"
 
 
+def contains_copy(sql: str) -> bool:
+    """True when any statement in ``sql`` is a COPY export.
+
+    Side-effecting statements cannot be *prepared*: a prepared handle is
+    executed many times, but ``prepare_statement`` runs the export once
+    at rewrite time, so re-executions would return the stale literal
+    count without re-copying. Servers use this to reject COPY in the
+    prepared-statement path (direct statement queries still execute it,
+    once per request).
+    """
+    return any(_COPY_RE.match(s) for s in split_statements(sql))
+
+
 def prepare_statement(spark: SparkSession, stmt: str) -> str:
     """Apply all app-level rewrites to one statement."""
     ext = _rewrite_external_table(spark, stmt)

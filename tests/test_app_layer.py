@@ -220,6 +220,39 @@ def test_copy_to(spark, sf_dir, tmp_path):
     assert n == 5
 
 
+def test_copy_to_executes_once(spark, tmp_path):
+    """The COPY count rides the write via an Observation — ONE execution
+    (advisor r6: count() + write doubled cost and could diverge from the
+    rows actually written). A per-row accumulator counts scans."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dft_spark.sources.io import copy_to
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def bump(x):
+        acc.add(1)
+        return x
+
+    spark.range(0, 100).select(bump("id").alias("id")).createOrReplaceTempView(
+        "copy_once_t"
+    )
+    n = copy_to(spark, "SELECT id FROM copy_once_t", str(tmp_path / "o.parquet"))
+    assert n == 100
+    assert acc.value == 100  # one pass over the source, not two
+    spark.catalog.dropTempView("copy_once_t")
+
+
+def test_contains_copy(spark):
+    from datafusion_dft_spark.sql import contains_copy
+
+    assert contains_copy("COPY region TO '/tmp/x.parquet'")
+    assert contains_copy("SELECT 1; COPY (SELECT 2) TO '/tmp/x.csv'")
+    assert not contains_copy("SELECT 'COPY region' AS s FROM region")
+    assert not contains_copy("SELECT * FROM copycat")
+
+
 def test_cli_end_to_end(sf_dir, tmp_path, capsys):
     from datafusion_dft_spark.cli import main
 

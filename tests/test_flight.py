@@ -144,6 +144,23 @@ def test_prepared_statement_lifecycle(client):
         client.get_flight_info(_cmd({"type": "prepared_statement", "handle": handle}))
 
 
+def test_prepared_copy_rejected(client, tmp_path):
+    """COPY executes at rewrite time, so a prepared handle would re-serve
+    a stale count without re-copying — the server must reject it (advisor
+    r6); the export must not run as a side effect of the rejected prepare."""
+    out = tmp_path / "never.parquet"
+    with pytest.raises(fl.FlightServerError, match="cannot be prepared"):
+        list(
+            client.do_action(
+                fl.Action(
+                    "create_prepared_statement",
+                    json.dumps({"query": f"COPY region TO '{out}'"}).encode(),
+                )
+            )
+        )
+    assert not out.exists()
+
+
 def test_list_actions(client):
     kinds = {a.type for a in client.list_actions()}
     assert kinds == {
