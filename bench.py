@@ -67,6 +67,24 @@ def make_materializer(name: str, df):
         df.toArrow()
         return df.toArrow
     except Exception as e:
+        # Only Arrow-CAPABILITY gaps (schema types Arrow collection can't
+        # carry) may fall back; a genuine execution failure must propagate
+        # to the per-query handler — otherwise a query that
+        # deterministically fails under Arrow gets billed a cold time
+        # containing one full failed execution, and a real engine error
+        # masquerades as "arrow unavailable".
+        from pyspark.errors import (
+            PySparkNotImplementedError,
+            PySparkTypeError,
+            PySparkValueError,
+        )
+
+        msg = str(e).lower()
+        capability_gap = isinstance(
+            e, (PySparkNotImplementedError, PySparkTypeError, PySparkValueError)
+        ) or ("arrow" in msg and ("unsupported" in msg or "not supported" in msg))
+        if not capability_gap:
+            raise
         print(
             f"bench: {name}: arrow materialization unavailable "
             f"({type(e).__name__}); timing collect()",
@@ -110,13 +128,17 @@ def main() -> int:
         .collect()
     )
 
+    from datafusion_dft_spark.operators import similarity as _sim
+
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     times: dict[str, float] = {}  # per-query MEDIAN of the steady runs
     mins: dict[str, float] = {}
     maxs: dict[str, float] = {}
     cold: dict[str, float] = {}
+    cold_build: dict[str, float] = {}  # warm-JVM fresh-build, index-backed only
     for name, spec in specs.items():
         try:
+            pre_index_keys = set(_sim._DUP_PAIR_CACHE)
             spark.catalog.clearCache()
             # ContextCleaner frees shuffle files / broadcast blocks only
             # when the JVM GCs; 50 queries accumulate enough half-dead
@@ -143,6 +165,26 @@ def main() -> int:
             times[name] = round(samples[(len(samples) - 1) // 2], 4)
             mins[name] = round(samples[0], 4)
             maxs[name] = round(samples[-1], 4)
+            # Index-backed queries (their plan embeds a built LSH index
+            # from _DUP_PAIR_CACHE) report build-once/probe-many medians
+            # above — legitimate, but round-over-round deltas could be
+            # flattered by cache behavior. Evict the index this query
+            # built and time ONE warm-JVM fresh build+execution, reported
+            # separately as cold_build.
+            new_index_keys = set(_sim._DUP_PAIR_CACHE) - pre_index_keys
+            if new_index_keys:
+                with _sim._DUP_PAIR_CACHE_LOCK:
+                    for k in new_index_keys:
+                        _, old_bc = _sim._DUP_PAIR_CACHE.pop(k, (None, None))
+                        if old_bc is not None:
+                            try:
+                                old_bc.unpersist()
+                            except Exception:
+                                pass
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                make_materializer(name, spec.build(spark, sf_dir))
+                cold_build[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # a failing query shouldn't kill the whole bench
             times[name] = -1.0
             mins[name] = -1.0
@@ -173,6 +215,7 @@ def main() -> int:
         "total_max_sec": total_max,
         "cold_total_sec": total_cold,
         "queries_cold": cold,
+        "queries_cold_build": cold_build,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
@@ -191,6 +234,9 @@ def main() -> int:
         "total_max_sec": total_max,
         "cold_total_sec": total_cold,
     }
+    if cold_build:
+        # tiny (index-backed queries only) — safe for the compact line
+        line["queries_cold_build"] = cold_build
     print(json.dumps(line, separators=(",", ":")))
     return 0
 
