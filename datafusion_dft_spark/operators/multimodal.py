@@ -70,8 +70,65 @@ def _fake_features(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _byte_sums(arr) -> "object":
+    """Per-row sum of bytes for a (small-width) pyarrow binary array.
+
+    Offsets + one cumulative sum over the compact data buffer — no
+    per-row Python. Handles sliced arrays (non-zero ``arr.offset``) and
+    empty rows; the cumsum is O(data bytes), which for the 8-byte head
+    slices is ~8N.
+    """
+    import numpy as np
+
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+    )
+    csum = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+    return csum[offsets[1:]] - csum[offsets[:-1]]
+
+
 def extract_features(binary_df: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column."""
+    """Arrow-native feature extraction over the binary column.
+
+    ``mapInArrow``, not ``mapInPandas``: the stand-in features are pure
+    byte math, so each batch computes entirely in pyarrow/numpy kernels
+    (binary_length, binary_slice, an offsets+cumsum byte checksum) and
+    the pandas conversion each way — the dominant cost of this
+    operator's r6 DuckDB-proxy gap — is skipped. A real media decoder
+    slots into the same per-batch function unchanged (decoders consume
+    ``bytes``; Arrow hands them out zero-copy per row)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            content = batch.column(batch.schema.get_field_index("content"))
+            blen = pc.cast(pc.binary_length(content), pa.int64())
+            checksum = pa.array(_byte_sums(pc.binary_slice(content, 0, 8)), pa.int64())
+            # (len + 255) // 256 — arrow integer divide truncates, and
+            # len >= 0, so it matches Python's floor division here
+            n_frames = pc.cast(pc.divide(pc.add(blen, 255), 256), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    blen,
+                    checksum,
+                    n_frames,
+                ],
+                names=["doc_id", "byte_len", "checksum8", "n_frames"],
+            )
+
+    return binary_df.mapInArrow(run, schema=FEATURE_SCHEMA)
+
+
+def extract_features_pandas(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas formulation, kept as the differential reference for
+    the Arrow-native path (and the slot a pandas-based extractor would
+    use)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -51,3 +51,21 @@ def test_frame_sample_reassembles(spark, binary_docs):
         got.setdefault(r.doc_id, bytearray()).extend(bytes(r.frame))
     want = {r.doc_id: bytes(r.content) for r in binary_docs.collect()}
     assert {k: bytes(v) for k, v in got.items()} == want
+
+
+def test_arrow_native_features_match_pandas_path(spark, binary_docs):
+    """The mapInArrow formulation (skips pandas conversion both ways)
+    must reproduce the mapInPandas reference byte-for-byte — including
+    empty payloads and multi-frame documents."""
+    from pyspark.sql import functions as F
+
+    # add edge payloads: empty and >256-byte (multi-frame)
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, "x" * 700)], "doc_id long, text string"
+    )
+    b = binary_docs.unionByName(
+        mm.to_binary_table(extra, "doc_id", "text")
+    )
+    via_arrow = {tuple(r) for r in mm.extract_features(b).collect()}
+    via_pandas = {tuple(r) for r in mm.extract_features_pandas(b).collect()}
+    assert via_arrow == via_pandas and len(via_arrow) == 52

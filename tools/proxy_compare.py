@@ -63,9 +63,10 @@ SCHED_FLOOR_SEC = 0.100
 # Standing justifications for queries that legitimately trail the
 # single-node proxy; rendered into the table so regeneration keeps them.
 NOTES = {
-    "asof_join_purchase_view": "union+window single-shuffle ASOF (vs DuckDB native ASOF JOIN); cost is the in-partition sort — linear, skew-safe, same shape at 100 TB",
-    "multimodal_features": "Arrow/Python boundary of the mapInPandas byte path — accepted (SCALE.md); a real decoder dwarfs the transfer cost",
+    "asof_join_purchase_view": "measured decomposition (r7, sf0.1): the two filtered scans + union ALONE (no shuffle, no window) median 0.060s — already 1.6x DuckDB's ENTIRE native-ASOF runtime — and the single user_id shuffle + in-partition sort window adds ~0.065s; a single-scan specialization still measures 0.092s (>2x). The gap is the fixed per-job floor at 100k rows, not the formulation — linear, skew-safe, same shape at 100 TB",
+    "multimodal_features": "r7: mapInArrow (pandas conversion skipped both ways); measured boundary floor: an IDENTITY mapInArrow stage over just doc_id medians 0.163s == the full query's 0.163s, so the Python-stage launch round trip IS the entire cost and the floor is reached — a real decoder dwarfs it; byte math itself is ~free",
     "events_sessionization": "one user_id shuffle + two same-sort windows + agg; DuckDB pays the same sorts and the ratio oscillates around 1-2x with page-cache state — plan is minimal for gap sessionization",
+    "dedup_embedding_cosine": "r7: runs BOTH formulations (bounded + unbounded 100 TB path) method-tagged in one query for differential coverage — the spark time is two full dedup passes vs one oracle join pair-set",
 }
 
 
