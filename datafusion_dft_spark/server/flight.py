@@ -226,12 +226,22 @@ class DftFlightServer(fl.FlightServerBase):
             return "SELECT DISTINCT table_type FROM information_schema.tables ORDER BY table_type"
         if t == "sql_info":
             # service.rs:400-432 — basic server info as a one-row relation.
+            # The protobuf command's repeated `info` selects a subset
+            # (FlightSql.proto SqlInfo codes 0-3 map onto these columns);
+            # absent/empty or all-unknown requests return everything.
             from .. import __version__
 
-            return (
-                f"SELECT 'datafusion-dft-spark' AS server_name, '{__version__}' AS server_version, "
-                f"'{pa.__version__}' AS arrow_version, false AS read_only"
-            )
+            known = [
+                (0, "'datafusion-dft-spark' AS server_name"),
+                (1, f"'{__version__}' AS server_version"),
+                (2, f"'{pa.__version__}' AS arrow_version"),
+                (3, "false AS read_only"),
+            ]
+            req = cmd.get("info") or []
+            sel = [expr for code, expr in known if code in req] or [
+                expr for _, expr in known
+            ]
+            return "SELECT " + ", ".join(sel)
         if t == "xdbc_type_info":
             # service.rs:434-485 — XDBC metadata for the supported types.
             rows = [
@@ -369,6 +379,29 @@ class DftFlightServer(fl.FlightServerBase):
         except _ArrowStreamUnsupported:
             pass
         yield from _row_loop_stream(df, schema, batch_rows)
+
+    def do_put(self, context, descriptor, reader, writer):
+        """DoPut (CommandStatementUpdate / prepared-statement parameter
+        binding / ingest) is rejected loudly: this server exposes the
+        engine's query surface only — pyarrow's default would surface an
+        opaque NotImplementedError; a stock client deserves a typed
+        FlightServerError naming the command it sent, and the attempt
+        must land in the observability table like every other request."""
+        self.metrics["requests_total"] += 1
+        self.metrics["requests_failed"] += 1
+        start = time.perf_counter()
+        kind = "non-protobuf descriptor"
+        try:
+            unpacked = fsp.unpack_any(descriptor.command or b"")
+            if unpacked is not None:
+                kind = unpacked[0]
+        except Exception:
+            pass
+        self._record(start, None, "/do_put", None, 2)
+        raise fl.FlightServerError(
+            f"DoPut is not supported ({kind}): this server is query-only — "
+            "use COPY for exports and external writers for ingest"
+        )
 
     def do_action(self, context, action):
         self.metrics["requests_total"] += 1

@@ -188,7 +188,23 @@ def command_to_dict(buf: bytes) -> dict | None:
     if name == "CommandGetTableTypes":
         return {"type": "table_types"}
     if name == "CommandGetSqlInfo":
-        return {"type": "sql_info"}
+        # repeated uint32 info = 1 — stock clients send it PACKED
+        # (proto3 default: one length-delimited field of concatenated
+        # varints), but parsers must accept the unpacked form (one
+        # varint field per value) too.
+        vals: list[int] = []
+        for v in f.get(1, []):
+            if isinstance(v, (bytes, bytearray)):
+                pos = 0
+                while pos < len(v):
+                    x, pos = _decode_varint(v, pos)
+                    vals.append(x)
+            else:
+                vals.append(int(v))
+        out = {"type": "sql_info"}
+        if vals:
+            out["info"] = vals
+        return out
     if name == "CommandGetXdbcTypeInfo":
         # int32 negatives arrive as 64-bit two's-complement varints
         # (e.g. -1 -> 2^64-1); fold back to signed.
@@ -232,7 +248,12 @@ def encode_command(cmd: dict) -> bytes:
     if t == "table_types":
         return pack_any("CommandGetTableTypes", b"")
     if t == "sql_info":
-        return pack_any("CommandGetSqlInfo", b"")
+        info = cmd.get("info") or []
+        if not info:
+            return pack_any("CommandGetSqlInfo", b"")
+        # packed encoding, as proto3 codegen emits it
+        packed = b"".join(_encode_varint(int(x)) for x in info)
+        return pack_any("CommandGetSqlInfo", encode_fields([(1, packed)]))
     if t == "xdbc_type_info":
         fields = [] if cmd.get("data_type") is None else [(1, int(cmd["data_type"]))]
         return pack_any("CommandGetXdbcTypeInfo", encode_fields(fields))

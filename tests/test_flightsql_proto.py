@@ -121,6 +121,72 @@ def test_e2e_protobuf_prepared_statement(proto_server):
         _proto_fetch(proto_server, {"type": "prepared_statement", "handle": handle})
 
 
+SQLINFO_URL = b"type.googleapis.com/arrow.flight.protocol.sql.CommandGetSqlInfo"
+
+
+def test_golden_sqlinfo_packed_values():
+    """CommandGetSqlInfo{info: [0, 1, 2]} as proto3 codegen emits it —
+    PACKED repeated uint32 (field 1, wire 2, concatenated varints) —
+    hand-assembled from the wire spec. The codec must parse it AND emit
+    the identical bytes."""
+    inner = b"\x0a\x03\x00\x01\x02"  # field 1, wire 2, len 3, varints 0 1 2
+    golden = (
+        b"\x0a" + bytes([len(SQLINFO_URL)]) + SQLINFO_URL
+        + b"\x12" + bytes([len(inner)]) + inner
+    )
+    assert fsp.command_to_dict(golden) == {"type": "sql_info", "info": [0, 1, 2]}
+    assert fsp.encode_command({"type": "sql_info", "info": [0, 1, 2]}) == golden
+
+
+def test_golden_sqlinfo_unpacked_and_multibyte_values():
+    """Parsers must also accept the UNPACKED form (one varint field per
+    value — old encoders / proto2 emit this), and multibyte varint codes
+    (e.g. 500 -> f4 03) in the packed form."""
+    unpacked = fsp.pack_any("CommandGetSqlInfo", b"\x08\x00\x08\x01\x08\x02")
+    assert fsp.command_to_dict(unpacked) == {"type": "sql_info", "info": [0, 1, 2]}
+    packed_500 = fsp.pack_any("CommandGetSqlInfo", b"\x0a\x03\x01\xf4\x03")
+    assert fsp.command_to_dict(packed_500) == {"type": "sql_info", "info": [1, 500]}
+    # empty info keeps the bare envelope (and the full-info semantics)
+    assert fsp.command_to_dict(fsp.pack_any("CommandGetSqlInfo", b"")) == {
+        "type": "sql_info"
+    }
+
+
+def test_e2e_sqlinfo_subset(proto_server):
+    """A protobuf GetSqlInfo with specific codes returns only the
+    corresponding columns (FlightSql.proto SqlInfo 0-3); unknown-only
+    requests fall back to the full relation."""
+    _, table = _proto_fetch(proto_server, {"type": "sql_info", "info": [1, 3]})
+    assert table.schema.names == ["server_version", "read_only"]
+    _, full = _proto_fetch(proto_server, {"type": "sql_info"})
+    assert full.schema.names == [
+        "server_name", "server_version", "arrow_version", "read_only",
+    ]
+    _, unknown = _proto_fetch(proto_server, {"type": "sql_info", "info": [500]})
+    assert unknown.schema.names == full.schema.names
+
+
+def test_e2e_do_put_rejected(proto_server, spark):
+    """A stock client's DoPut (CommandStatementUpdate) must get a typed
+    FlightError naming the command — not pyarrow's opaque default — and
+    the attempt must be recorded in the observability table."""
+    body = fsp.pack_any(
+        "CommandStatementUpdate",
+        fsp.encode_fields([(1, "INSERT INTO nation VALUES (1)")]),
+    )
+    descriptor = fl.FlightDescriptor.for_command(body)
+    import pyarrow as pa
+
+    with pytest.raises(fl.FlightError, match="DoPut is not supported"):
+        writer, _ = proto_server.do_put(
+            descriptor, pa.schema([pa.field("x", pa.int64())])
+        )
+        writer.write_table(pa.table({"x": [1]}))
+        writer.close()
+    paths = [r.path for r in spark.table("requests").collect()]
+    assert "/do_put" in paths
+
+
 def test_e2e_empty_result_stream(proto_server):
     """Zero-row results must stream a valid (schema-only) response."""
     _, table = _proto_fetch(
