@@ -16,8 +16,10 @@ Scale design (the point of these implementations):
   estimates Jaccard without touching the original text.
 - **SimHash**: 64-bit weighted-bit fingerprint; close-Hamming pairs are
   found with the pigeonhole band trick (8 x 8-bit chunks — any pair
-  within distance 7 shares at least one exact chunk), again avoiding
-  the quadratic self-join.
+  within distance 7 shares at least one exact chunk), verified
+  bucket-locally in numpy (XOR + SWAR popcount) so candidate pairs
+  never exist as Spark rows and dedup needs no distinct (exactly-once
+  first-agreeing-band emission).
 
 Everything is deterministic (xxhash64/md5, no RNG) so results are
 reproducible across runs, partitionings, and cluster sizes.
@@ -461,6 +463,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, method: str = "md5") -> D
     return lists.select(F.col(id_col), sim_udf("hs", "cs").alias("simhash"))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — pure uint64 vector arithmetic.
+
+    ~3.7x faster than a uint8-view LUT gather (20.6 vs 75.4 ms per 2M
+    on this container's numpy 1.26, which lacks ``bitwise_count``);
+    gather-bound LUT popcount was the straggler in sf10 hot buckets.
+    """
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h01) >> np.uint64(56)
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, method: str = "md5"
 ) -> DataFrame:
@@ -484,9 +503,7 @@ def simhash_pairs(
         raise ValueError("pigeonhole bands require max_hamming < number of chunks")
     from itertools import combinations
 
-    from ..session import track_cache
-
-    fp = track_cache(simhash(df, id_col, text_col, method=method).cache())
+    fp = simhash(df, id_col, text_col, method=method)
     width = SIMHASH_BITS // SIMHASH_CHUNKS
     chunk = [
         F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
@@ -500,32 +517,161 @@ def simhash_pairs(
         ]
     else:
         keys = chunk
-    # The 8-byte fingerprint rides THROUGH the band join (an extra long
-    # per banded row — ~11 MB of shuffle at 50k docs x 28 bands), so the
-    # Hamming filter runs on the raw join output BEFORE any distinct:
-    # the distinct shuffles only true <=d pairs (x band multiplicity)
-    # instead of the full candidate mass, and no rehydration joins run.
-    # On the dup-dense sf1 corpus this replaced a distinct over ~24M
-    # raw candidates + two joins with a distinct over ~1M survivor rows
-    # (steady 4.3 s -> 1.3 s). Same pattern as the embedding dedup:
-    # filter before distinct, never carry wide payloads — an 8-byte fp
-    # is not wide.
+    # Bucket-local vectorized verify — the embedding-dedup tier-2 shape
+    # applied to SimHash. The r6 formulation verified Hamming on the
+    # band SELF-JOIN's output; on dup-dense corpora that join
+    # materializes Σb² rows through the merge (sf10 rehearsal: 9.96
+    # BILLION rows, 224 s just to count them, then a 276M-row distinct
+    # — 343 s steady). Here ONE shuffle groups (id, fingerprint) per
+    # (band, bucket) — ~16 bytes/member, bounded by members x bands,
+    # never by pair count — and each bucket verifies pairwise
+    # blockwise in numpy: XOR outer product + LUT popcount run at
+    # memory bandwidth, and candidate pairs never exist as Spark rows.
+    # Exactly-once emission needs no distinct: a surviving pair agrees
+    # on its band's chunks by construction, so it is emitted only from
+    # its lexicographically-first agreeing band — one literal premask
+    # per band (bits below the band's chunks), tested against the
+    # pair's agreement mask, all vectorized on survivors only. A hot
+    # bucket's O(b²) block loop runs in the task owning that key (the
+    # same placement a join gives); the pigeonhole pair-keys bound
+    # bucket sizes (sf10: max 20.6k members => <1 s of numpy), and the
+    # fix for degenerate density is a sharper fingerprint, not the
+    # banding.
     banded = fp.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(F.array(*keys)).alias("chunk", "chunkval"),
     )
-    left = banded.select(
-        F.col(id_col).alias("doc1"), F.col("simhash").alias("fp1"), "chunk", "chunkval"
+    buckets = (
+        banded.groupBy("chunk", "chunkval")
+        .agg(
+            F.collect_list(id_col).alias("ids"),
+            F.collect_list("simhash").alias("fps"),
+        )
+        .filter(F.size("ids") >= 2)
+        .select("chunk", "ids", "fps")
     )
-    right = banded.select(
-        F.col(id_col).alias("doc2"), F.col("simhash").alias("fp2"), "chunk", "chunkval"
-    )
-    return (
-        left.join(right, ["chunk", "chunkval"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc1", "doc2", "hamming")
-        .distinct()
-    )
+    if r == 2:
+        premasks = np.array(
+            [((1 << j) - 1) ^ (1 << i) for i, j in combinations(range(SIMHASH_CHUNKS), 2)],
+            dtype=np.uint64,
+        )
+    else:
+        premasks = np.array([(1 << i) - 1 for i in range(SIMHASH_CHUNKS)], dtype=np.uint64)
+    d = max_hamming
+    n_chunks, w = SIMHASH_CHUNKS, width
+
+    def verify(batches):
+        byte_mask = np.uint64((1 << w) - 1)
+        PAIR_SLAB = 1 << 22  # ~4M candidate pairs per vectorized flush
+        BIG = 2048  # buckets above this verify via matrix blocks instead
+
+        def first_band_keep(xs, pm):
+            """agreement mask over chunks for survivor xors; True where
+            this band is the pair's first agreeing band (pm is the
+            band's premask — scalar or per-pair array)."""
+            m = np.zeros(len(xs), dtype=np.uint64)
+            for k in range(n_chunks):
+                m |= ((xs >> np.uint64(k * w)) & byte_mask == 0).astype(
+                    np.uint64
+                ) << np.uint64(k)
+            return (m & pm) == 0
+
+        for pdf in batches:
+            n_buckets = len(pdf)
+            if not n_buckets:
+                continue
+            # flatten the whole batch once: per-bucket python/numpy call
+            # overhead on thousands of 2-3 member buckets was 10x the
+            # math (0.065 -> 0.75 s at sf0.1 in the first cut)
+            sizes = np.fromiter((len(x) for x in pdf["ids"]), dtype=np.int64, count=n_buckets)
+            ids_flat = np.concatenate([np.asarray(x, np.int64) for x in pdf["ids"]])
+            fps_flat = np.concatenate(
+                [np.asarray(x, np.int64) for x in pdf["fps"]]
+            ).view(np.uint64)
+            offs = np.zeros(n_buckets, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=offs[1:])
+            cks = np.asarray(pdf["chunk"], dtype=np.int64)
+            out1, out2, outh = [], [], []
+            pi_buf, pj_buf, ck_buf = [], [], []
+            buffered = 0
+
+            def flush():
+                nonlocal buffered, pi_buf, pj_buf, ck_buf
+                if not buffered:
+                    return
+                pi = np.concatenate(pi_buf)
+                pj = np.concatenate(pj_buf)
+                ck = np.concatenate(ck_buf)
+                pi_buf, pj_buf, ck_buf = [], [], []
+                buffered = 0
+                xs = fps_flat[pi] ^ fps_flat[pj]
+                ham = _popcount64(xs)
+                keep = ham <= d
+                if not keep.any():
+                    return
+                pi, pj, ck, ham, xs = pi[keep], pj[keep], ck[keep], ham[keep], xs[keep]
+                first = first_band_keep(xs, premasks[ck])
+                if not first.any():
+                    return
+                a, b2 = ids_flat[pi[first]], ids_flat[pj[first]]
+                # index order within a bucket is arbitrary — order by id
+                out1.append(np.minimum(a, b2))
+                out2.append(np.maximum(a, b2))
+                outh.append(ham[first].astype(np.int64))
+
+            two = sizes == 2  # the common case, en masse
+            if two.any():
+                s2 = offs[two]
+                pi_buf.append(s2)
+                pj_buf.append(s2 + 1)
+                ck_buf.append(cks[two])
+                buffered += len(s2)
+            triu_cache: dict = {}
+            for idx in np.nonzero((sizes > 2) & (sizes <= BIG))[0]:
+                b = int(sizes[idx])
+                if b not in triu_cache:
+                    triu_cache[b] = np.triu_indices(b, 1)
+                ii, jj = triu_cache[b]
+                pi_buf.append(offs[idx] + ii)
+                pj_buf.append(offs[idx] + jj)
+                ck_buf.append(np.full(len(ii), cks[idx], dtype=np.int64))
+                buffered += len(ii)
+                if buffered >= PAIR_SLAB:
+                    flush()
+            flush()
+
+            # hot buckets: blockwise XOR matrix so memory stays ~16 MB
+            # and the quadratic pair set never materializes as indices
+            for idx in np.nonzero(sizes > BIG)[0]:
+                b = int(sizes[idx])
+                o = int(offs[idx])
+                pm = premasks[cks[idx]]
+                sub, subids = fps_flat[o : o + b], ids_flat[o : o + b]
+                cols = np.arange(b)
+                rows_per_block = max(32, (1 << 21) // b)
+                for r0 in range(0, b, rows_per_block):
+                    r1 = min(r0 + rows_per_block, b)
+                    x = sub[r0:r1, None] ^ sub[None, :]
+                    ham = _popcount64(x)
+                    keep = (ham <= d) & (np.arange(r0, r1)[:, None] < cols[None, :])
+                    ri, cj = np.nonzero(keep)
+                    if not len(ri):
+                        continue
+                    first = first_band_keep(x[ri, cj], pm)
+                    if first.any():
+                        a = subids[r0 + ri[first]]
+                        b2 = subids[cj[first]]
+                        out1.append(np.minimum(a, b2))
+                        out2.append(np.maximum(a, b2))
+                        outh.append(ham[ri[first], cj[first]].astype(np.int64))
+            if out1:
+                yield pd.DataFrame(
+                    {
+                        "doc1": np.concatenate(out1),
+                        "doc2": np.concatenate(out2),
+                        "hamming": np.concatenate(outh),
+                    }
+                )
+
+    return buckets.mapInPandas(verify, "doc1 long, doc2 long, hamming long")
