@@ -345,3 +345,36 @@ def test_protocol_v1_with_null_reader_features_ok(spark, delta_table):
     tables keep reading fine (regression guard for the new gate)."""
     rows = {(r.id, r.val, r.part) for r in read_delta(spark, delta_table).collect()}
     assert len(rows) == 4
+
+
+def test_time_travel_before_protocol_upgrade_still_reads(spark, tmp_path):
+    """A protocol upgrade only poisons versions at/after it: replay to an
+    earlier version sees only the v1 protocol and must keep working,
+    while the latest version refuses."""
+    root = tmp_path / "upgraded"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+    dest = root / "f.parquet"
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "val": pa.array(["a", "b"], pa.string()),
+                             "part": pa.array(["x", "x"], pa.string())}), dest)
+    _write_commit(
+        str(log_dir),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "00000000-0000-0000-0000-000000000006",
+                          "schemaString": SCHEMA_JSON, "partitionColumns": []}},
+            {"add": {"path": "f.parquet", "partitionValues": {},
+                     "size": os.path.getsize(dest), "dataChange": True}},
+        ],
+    )
+    _write_commit(
+        str(log_dir),
+        1,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"]}}],
+    )
+    assert read_delta(spark, str(root), version=0).count() == 2
+    with pytest.raises(DeltaNotAvailable, match="minReaderVersion=3"):
+        read_delta(spark, str(root))
