@@ -520,18 +520,25 @@ def _bounded_dup_pairs(
                 for r0 in range(0, len(i), 1 << 20):  # bound per-task memory
                     ii, jj = i[r0 : r0 + (1 << 20)], j[r0 : r0 + (1 << 20)]
                     num = np.einsum("ij,ij->i", b_mat[ii], b_mat[jj])
+                    raw = num / (b_norms[ii] * b_norms[jj]) + 1e-9
+                    # prefilter with 1e-4 slack (2x the rounding step),
+                    # then round only the near-threshold superset —
+                    # np.round at ~100M/s was the per-candidate hot spot
+                    cand = raw >= thr - 1e-4
+                    if not cand.any():
+                        continue
                     # np.round is half-even vs Spark/DuckDB's HALF_UP,
                     # but the +1e-9 nudge (applied identically on every
                     # engine) pushes values off exact .xxxx5 ties, so
                     # the modes can't disagree on reachable inputs —
                     # verified by the differential oracles.
-                    c = np.round(num / (b_norms[ii] * b_norms[jj]) + 1e-9, 4)
+                    c = np.round(raw[cand], 4)
                     keep = c >= thr
                     if keep.any():
                         yield pd.DataFrame(
                             {
-                                "id1": b_ids[ii[keep]],
-                                "id2": b_ids[jj[keep]],
+                                "id1": b_ids[ii[cand][keep]],
+                                "id2": b_ids[jj[cand][keep]],
                                 "cosine": c[keep],
                             }
                         )
@@ -587,13 +594,18 @@ def _bucket_verify(spark, bc, groups: list, thr: float, empty_schema: str) -> Da
                 for r0 in range(0, b, 2048):  # bound per-task memory
                     r1 = min(r0 + 2048, b)
                     sims = (sub[r0:r1] @ sub.T) / np.outer(nrm[r0:r1], nrm)
-                    c = np.round(sims + 1e-9, 4)
-                    ri, cj = np.nonzero(c >= thr)
-                    keep = (ri + r0) < cj  # upper triangle: id1 < id2 (index order == id order)
+                    # prefilter with 1e-4 slack, round only the
+                    # near-threshold superset (np.round over the full
+                    # b x block matrix was the dominant non-BLAS cost)
+                    ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
+                    if not len(ri):
+                        continue
+                    c = np.round(sims[ri, cj] + 1e-9, 4)
+                    keep = (c >= thr) & ((ri + r0) < cj)  # upper tri: id1 < id2
                     if keep.any():
                         out1.append(b_ids[g[(ri + r0)[keep]]])
                         out2.append(b_ids[g[cj[keep]]])
-                        outc.append(c[ri[keep], cj[keep]])
+                        outc.append(c[keep])
             if out1:
                 yield pd.DataFrame(
                     {
