@@ -46,6 +46,30 @@ def as_double(vec: Column | str) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def valid_vec(vec: Column | str, dim: int) -> Column:
+    """Row predicate: ``vec`` is a usable embedding — non-NULL, exactly
+    ``dim`` elements, every component finite, norm > 0.
+
+    Applied at every ANN / embedding-dedup operator entry so real-corpus
+    garbage (NULL vectors, ragged arities from schema drift, NaN/inf
+    from upstream overflow, all-zero rows with no defined cosine) is
+    DROPPED rather than crashing the vectorized numpy stages
+    (``np.stack`` raises on ragged input) or poisoning rankings (Spark
+    orders NaN above every float, so one NaN cosine would top every
+    list). One short-circuiting JVM-side pass per row — a no-op on
+    clean corpora and invisible to the differential oracles, which run
+    on all-valid vectors.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+    inf = F.lit(float("inf"))
+    return (
+        v.isNotNull()
+        & (F.size(v) == F.lit(dim))
+        & F.forall(v, lambda x: ~F.isnan(x) & (F.abs(x) != inf))
+        & F.exists(v, lambda x: x != F.lit(0.0))
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -88,18 +112,22 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
     Ranking uses the rounded cosine with neighbor_id tiebreak so the
-    result is deterministic and engine-portable.
+    result is deterministic and engine-portable. Rows failing
+    :func:`valid_vec` are dropped on both sides (pass ``dim``
+    explicitly in production; deriving it samples one row).
     """
+    dim = dim if dim is not None else _dim_of(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).filter(valid_vec("qv", dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).filter(valid_vec("cv", dim))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -287,7 +315,9 @@ def cosine_dup_pairs(
     dim = dim or _dim_of(corpus, vec_col)
     if nrows is None:
         nrows = corpus.count()  # parquet serves this from footers; cached tables from stats
-    raw = corpus.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    raw = corpus.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    ).filter(valid_vec("v", dim))
     use_bounded = (
         nrows <= _BROADCAST_VERIFY_MAX if strategy is None else strategy == "bounded"
     )
@@ -626,8 +656,16 @@ def _bucket_verify(spark, bc, groups: list, thr: float, empty_schema: str) -> Da
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(vec_col).alias("d")).first()
-    return int(row.d)
+    """Sample the vector arity from the first non-empty row (0 if none).
+
+    A convenience for ad-hoc calls — production callers pass ``dim``
+    explicitly, both to skip the driver job and because a corpus whose
+    first row is itself ragged would mis-derive here.
+    """
+    row = (
+        df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+    )
+    return int(row.d) if row is not None else 0
 
 
 def refine_centroids(
@@ -646,7 +684,10 @@ def refine_centroids(
     cell imbalance (stride samples land in dense regions), which is
     what bounds worst-case probe cost at 10^9 vectors.
     """
-    dim = len(cents.first().centv)
+    first = cents.first()
+    if first is None:  # empty corpus → empty codebook: nothing to refine
+        return cents
+    dim = len(first.centv)
     for _ in range(iters):
         scored = corpus.select("cid", "cv").crossJoin(
             F.broadcast(cents.select("centroid_id", "centv"))
@@ -679,6 +720,7 @@ def ivf_topk(
     n_probe: int = 4,
     refine_iters: int = 0,
     nrows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus, probe the nearest cells.
 
@@ -694,8 +736,11 @@ def ivf_topk(
     """
     if nrows is None:
         nrows = corpus.count()
+    dim = dim if dim is not None else _dim_of(corpus, vec_col)
     cd = _right_size(
-        corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")), nrows
+        corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+        .filter(valid_vec("cv", dim)),
+        nrows,
     )
     # Deterministic distributed sample: hash-stride filter keeps ~n_centroids
     # candidates executor-side (collecting all corpus ids to the driver would
@@ -738,7 +783,9 @@ def ivf_topk(
         )
 
     assigned = nearest(cd, "cv", "cid", 1)  # corpus: one cell each
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).filter(valid_vec("qv", dim))
     probes = nearest(q, "qv", "query_id", n_probe)  # queries: n_probe cells
     scored = (
         assigned.join(probes, "centroid_id")
@@ -778,13 +825,17 @@ def lsh_topk(
     with ``multiprobe``, every single-bit flip of it per table.
     """
     sigs = signatures(F.col("cv"), dim, n_planes, n_tables)
-    cbase = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    cbase = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).filter(valid_vec("cv", dim))
     cbase = _right_size(cbase, nrows) if nrows is not None else _ensure_parallelism(cbase)
     c = cbase.select("neighbor_id", "cv", F.posexplode(sigs).alias("table", "bucket"))
     qsigs = signatures(F.col("qv"), dim, n_planes, n_tables)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).select("query_id", "qv", F.posexplode(qsigs).alias("table", "qsig"))
+    ).filter(valid_vec("qv", dim)).select(
+        "query_id", "qv", F.posexplode(qsigs).alias("table", "qsig")
+    )
     if multiprobe:
         # Vectors near a plane land on either side of it — probing every
         # single-bit flip recovers most of that lost recall.

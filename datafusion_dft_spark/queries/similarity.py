@@ -48,7 +48,7 @@ _N_QUERIES = 10
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return sim.brute_force_topk(emb, queries, k=5)
+    return sim.brute_force_topk(emb, queries, k=5, dim=_DIM)
 
 
 @query(
@@ -162,7 +162,7 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = sim.lsh_topk(emb, queries, dim=_DIM, k=5, nrows=n).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    ivf = sim.ivf_topk(emb, queries, k=5, nrows=n).select(
+    ivf = sim.ivf_topk(emb, queries, k=5, nrows=n, dim=_DIM).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
     return lsh.unionByName(ivf)
