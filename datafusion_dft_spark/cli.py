@@ -16,15 +16,69 @@ Reference: ``dft -c "SELECT ..." -f file.sql --time --bench -n N -o out``
   --analyze        single-run plan + phase breakdown
   -o FILE          write the last result (format by suffix: csv/json/parquet/arrow)
   --limit N        cap printed rows (reference http result_limit analog)
+  --flightsql / --host      route -c/-f statements through a FlightSQL server
+  --header / --headers-file headers for FlightSQL calls (simple + curl
+                            config formats; args.rs:104-116,263-337)
+  flightsql <command>       client RPCs (args.rs:148-196): statement-query,
+                            get-catalogs, get-db-schemas, get-tables,
+                            get-table-types, get-sql-info, get-xdbc-type-info
 """
 
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 import time
 
 from pyspark.sql import DataFrame
+
+# RFC 7230 header-name token / visible-ASCII value — the same validation
+# http::HeaderName/HeaderValue apply in the reference (args.rs:263-278).
+_HEADER_NAME_RE = re.compile(r"^[!#$%&'*+.^_`|~0-9a-zA-Z-]+$")
+_HEADER_VALUE_RE = re.compile(r"^[\t\x20-\x7e\x80-\xff]*$")
+
+
+def parse_header_line(line: str) -> tuple[str, str]:
+    """``'Name: Value'`` → ``(name, value)`` with validation (args.rs:263-278)."""
+    if ":" not in line:
+        raise ValueError(
+            f"Invalid header format: '{line}'\n       Expected format: "
+            "'Header-Name: Header-Value', 'header = Name: Value', or '-H \"Name: Value\"'"
+        )
+    name, value = line.split(":", 1)
+    name, value = name.strip(), value.strip()
+    if not _HEADER_NAME_RE.match(name):
+        raise ValueError(f"Invalid header name: {name!r}")
+    if not _HEADER_VALUE_RE.match(value):
+        raise ValueError("Header value contains invalid characters")
+    return name.lower(), value  # gRPC metadata keys are lowercase
+
+
+def parse_headers_file(path: str) -> list[tuple[str, str]]:
+    """Headers from a file: simple ``Name: Value`` lines, curl config
+    ``header = Name: Value`` / ``-H "Name: Value"`` lines, ``#`` comments
+    and blanks — both formats may mix (args.rs:280-337)."""
+    headers: list[tuple[str, str]] = []
+    with open(path) as f:
+        for line_num, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line.startswith("header"):
+                stripped = line[len("header"):].lstrip()
+                candidate = stripped[1:].strip() if stripped.startswith("=") else line
+            elif line.startswith("-H"):
+                candidate = line[2:].strip().strip("\"'")
+            else:
+                candidate = line
+            try:
+                headers.append(parse_header_line(candidate))
+            except ValueError as e:
+                raise ValueError(
+                    f"Invalid header format at line {line_num} in '{path}': '{line}'\n{e}"
+                ) from None
+    return headers
 
 
 def _format_cells(cols: list[str], cells: list[list[str]], truncated: bool, limit: int) -> str:
@@ -101,7 +155,72 @@ def build_parser() -> argparse.ArgumentParser:
         default="grpc://127.0.0.1:50051",
         help="FlightSQL server location for --flightsql",
     )
+    p.add_argument(
+        "--header",
+        action="append",
+        default=[],
+        metavar="'Name: Value'",
+        help="header for the FlightSQL connection (repeatable; args.rs:104-110)",
+    )
+    p.add_argument(
+        "--headers-file",
+        help="file of FlightSQL headers — simple 'Name: Value' or curl config format",
+    )
+
+    # `dft flightsql <command>` client subcommands (args.rs:148-196):
+    # each executes the matching FlightSQL RPC + DoGet and prints the
+    # result. Shared root options (--host/--header/--limit/--time) may
+    # appear before the subcommand, mirroring the reference's arg
+    # placement (only --config is global there too).
+    sub = p.add_subparsers(dest="subcommand")
+    fs = sub.add_parser("flightsql", help="FlightSQL client commands against --host")
+    fsub = fs.add_subparsers(dest="fsql_command", required=True)
+    sq = fsub.add_parser("statement-query", help="CommandStatementQuery + DoGet")
+    sq.add_argument("--sql", required=True, help="the query to execute")
+    fsub.add_parser("get-catalogs", help="CommandGetCatalogs + DoGet")
+    gds = fsub.add_parser("get-db-schemas", help="CommandGetDbSchemas + DoGet")
+    gds.add_argument("--catalog")
+    gds.add_argument("--db-schema-filter-pattern")
+    gt = fsub.add_parser("get-tables", help="CommandGetTables + DoGet")
+    gt.add_argument("--catalog")
+    gt.add_argument("--db-schema-filter-pattern")
+    gt.add_argument("--table-name-filter-pattern")
+    gt.add_argument("--table-types", nargs="*", help="table types to include")
+    fsub.add_parser("get-table-types", help="CommandGetTableTypes + DoGet")
+    gsi = fsub.add_parser("get-sql-info", help="CommandGetSqlInfo + DoGet")
+    gsi.add_argument("--info", nargs="*", type=int, help="SQL info ids (default: all)")
+    gxt = fsub.add_parser("get-xdbc-type-info", help="CommandGetXdbcTypeInfo + DoGet")
+    gxt.add_argument("--data-type", type=int, help="XDBC data type to filter by")
     return p
+
+
+def collect_headers(args) -> list[tuple[str, str]]:
+    """--header lines + --headers-file entries, in that order."""
+    headers = [parse_header_line(h) for h in args.header]
+    if args.headers_file:
+        headers.extend(parse_headers_file(args.headers_file))
+    return headers
+
+
+def _call_options(headers: list[tuple[str, str]]):
+    import pyarrow.flight as fl
+
+    if not headers:
+        return None
+    return fl.FlightCallOptions(
+        headers=[(k.encode(), v.encode()) for k, v in headers]
+    )
+
+
+def _do_command(client, cmd: dict, options):
+    """get_flight_info → do_get for one FlightSQL command dict."""
+    import pyarrow.flight as fl
+
+    from .server import flightsql_proto as fsp
+
+    desc = fl.FlightDescriptor.for_command(fsp.encode_command(cmd))
+    info = client.get_flight_info(desc, options)
+    return client.do_get(info.endpoints[0].ticket, options).read_all()
 
 
 def run_flightsql_client(args, scripts: list[str]) -> int:
@@ -110,23 +229,27 @@ def run_flightsql_client(args, scripts: list[str]) -> int:
     local Spark session is built. Commands go over the stock protobuf
     ``arrow.flight.protocol.sql`` envelope, so this client also works
     against any standard FlightSQL server (and ours exercises the
-    protobuf path end-to-end)."""
+    protobuf path end-to-end). ``--header`` / ``--headers-file`` entries
+    ride every call (args.rs:104-116) — how auth reaches a secured
+    server."""
     import pyarrow.flight as fl
 
-    from .server import flightsql_proto as fsp
     from .sql import split_statements
 
+    try:
+        options = _call_options(collect_headers(args))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     client = fl.FlightClient(args.host)
     rc = 0
     for script in scripts:
         for stmt in split_statements(script):
             try:
                 t0 = time.perf_counter()
-                desc = fl.FlightDescriptor.for_command(
-                    fsp.encode_command({"type": "statement", "query": stmt})
+                table = _do_command(
+                    client, {"type": "statement", "query": stmt}, options
                 )
-                info = client.get_flight_info(desc)
-                table = client.do_get(info.endpoints[0].ticket).read_all()
                 print(format_arrow_table(table, limit=args.limit))
                 if args.time:
                     print(f"elapsed: {time.perf_counter() - t0:.3f}s")
@@ -137,8 +260,53 @@ def run_flightsql_client(args, scripts: list[str]) -> int:
     return rc
 
 
+def run_flightsql_command(args) -> int:
+    """``dft flightsql <command>`` (args.rs:148-196): one catalog /
+    metadata / query RPC against ``--host``, result printed as a table.
+    Command names and options match the reference's clap derivations
+    (kebab-case of the FlightSQL message names)."""
+    import pyarrow.flight as fl
+
+    cmd_builders = {
+        "statement-query": lambda a: {"type": "statement", "query": a.sql},
+        "get-catalogs": lambda a: {"type": "catalogs"},
+        "get-db-schemas": lambda a: {
+            "type": "db_schemas",
+            "catalog": a.catalog,
+            "db_schema_filter_pattern": a.db_schema_filter_pattern,
+        },
+        "get-tables": lambda a: {
+            "type": "tables",
+            "catalog": a.catalog,
+            "db_schema_filter_pattern": a.db_schema_filter_pattern,
+            "table_name_filter_pattern": a.table_name_filter_pattern,
+            "table_types": a.table_types,
+        },
+        "get-table-types": lambda a: {"type": "table_types"},
+        "get-sql-info": lambda a: {"type": "sql_info", "info": a.info},
+        "get-xdbc-type-info": lambda a: {"type": "xdbc_type_info", "data_type": a.data_type},
+    }
+    try:
+        options = _call_options(collect_headers(args))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    client = fl.FlightClient(args.host)
+    try:
+        table = _do_command(client, cmd_builders[args.fsql_command](args), options)
+        print(format_arrow_table(table, limit=args.limit))
+        return 0
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        client.close()
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "subcommand", None) == "flightsql":
+        return run_flightsql_command(args)
     if not args.command and not args.file and not args.generate_tpch:
         print("error: provide SQL via -c or -f (or --generate-tpch DIR)", file=sys.stderr)
         return 2

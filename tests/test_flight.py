@@ -387,3 +387,93 @@ def test_do_get_midstream_failure_records_failed(spark):
         c.close()
     finally:
         server.shutdown()
+
+
+def test_cli_flightsql_subcommands(flight_server, capsys):
+    """`dft flightsql <command>` client surface (args.rs:148-196) e2e
+    against the in-process server. Shared root options (--host/--limit)
+    precede the subcommand, matching the reference's arg placement."""
+    from datafusion_dft_spark.cli import main
+
+    host = f"grpc://127.0.0.1:{flight_server.port}"
+    checks = [
+        (["flightsql", "statement-query", "--sql", "SELECT 1 AS one"], "one"),
+        (["flightsql", "get-catalogs"], "spark_catalog"),
+        (["flightsql", "get-db-schemas"], "table_schema"),
+        (["flightsql", "get-tables", "--table-name-filter-pattern", "nation"], "nation"),
+        (["flightsql", "get-table-types"], "VIEW"),
+        (["flightsql", "get-sql-info"], "datafusion-dft-spark"),
+        (["flightsql", "get-xdbc-type-info"], "type_name_str"),
+    ]
+    for argv, needle in checks:
+        assert main(["--host", host, "--limit", "100"] + argv) == 0, argv
+        assert needle in capsys.readouterr().out, argv
+
+
+def test_cli_header_parsing(tmp_path):
+    """parse_header_line/-file mirror args.rs:263-337: simple + curl
+    config formats, comments/blanks, validation errors."""
+    import pytest as _pytest
+
+    from datafusion_dft_spark.cli import parse_header_line, parse_headers_file
+
+    assert parse_header_line("X-Trace-Id:  abc ") == ("x-trace-id", "abc")
+    with _pytest.raises(ValueError, match="Invalid header format"):
+        parse_header_line("no-colon-here")
+    with _pytest.raises(ValueError, match="Invalid header name"):
+        parse_header_line("bad name: v")
+
+    hf = tmp_path / "headers.txt"
+    hf.write_text(
+        "# comment\n"
+        "\n"
+        "Simple-Name: simple-value\n"
+        "header = Curl-Name: curl-value\n"
+        '-H "Quoted-Name: quoted-value"\n'
+    )
+    assert parse_headers_file(str(hf)) == [
+        ("simple-name", "simple-value"),
+        ("curl-name", "curl-value"),
+        ("quoted-name", "quoted-value"),
+    ]
+    bad = tmp_path / "bad.txt"
+    bad.write_text("just junk\n")
+    with _pytest.raises(ValueError, match="line 1"):
+        parse_headers_file(str(bad))
+
+
+def test_cli_flightsql_headers_reach_secured_server(spark, capsys, tmp_path):
+    """--header / --headers-file ride every FlightSQL call — the path
+    auth takes to a secured server (args.rs:104-116)."""
+    from datafusion_dft_spark.cli import main
+
+    config = AppConfig(flightsql=FlightConfig(bearer_token="sekrit"))
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0", config)
+    try:
+        host = f"grpc://127.0.0.1:{server.port}"
+        # no header → unauthenticated error surfaces as rc=1
+        assert (
+            main(["--host", host, "flightsql", "statement-query", "--sql", "SELECT 1 AS one"])
+            == 1
+        )
+        capsys.readouterr()
+        # --header on the subcommand path
+        assert (
+            main(
+                ["--host", host, "--header", "Authorization: Bearer sekrit",
+                 "flightsql", "statement-query", "--sql", "SELECT 1 AS one"]
+            )
+            == 0
+        )
+        assert "one" in capsys.readouterr().out
+        # --headers-file (curl config format) on the -c --flightsql path
+        hf = tmp_path / "headers.txt"
+        hf.write_text("header = Authorization: Bearer sekrit\n")
+        assert (
+            main(["--flightsql", "--host", host, "--headers-file", str(hf),
+                  "-c", "SELECT 2 AS two"])
+            == 0
+        )
+        assert "two" in capsys.readouterr().out
+    finally:
+        server.shutdown()
