@@ -59,6 +59,16 @@ class FlightConfig:
 
 
 @dataclass
+class FlightClientConfig:
+    """[flightsql] — the CLIENT connection the app uses when asked to
+    route execution through a FlightSQL server (docs/features.md
+    "[flightsql] connection_url"; the HTTP endpoints' ``flightsql``
+    param, router.rs:88-172)."""
+
+    connection_url: str = "http://localhost:50051"
+
+
+@dataclass
 class UdfConfig:
     name: str
     mode: str  # "row" | "arrow"
@@ -82,6 +92,7 @@ class AppConfig:
     execution: ExecutionConfig = field(default_factory=ExecutionConfig)
     http: HttpConfig = field(default_factory=HttpConfig)
     flightsql: FlightConfig = field(default_factory=FlightConfig)
+    flightsql_client: FlightClientConfig = field(default_factory=FlightClientConfig)
     udfs: list[UdfConfig] = field(default_factory=list)
     # [db] path — app-state directory (src/config.rs DbConfig): the
     # observability requests MapTable persists under it across restarts
@@ -124,6 +135,11 @@ def parse_config(raw: dict) -> AppConfig:
             bearer_token=flight.get("bearer_token"),
             result_limit=int(flight.get("result_limit", 0)),
             stream_batch_rows=int(flight.get("stream_batch_rows", 8192)),
+        ),
+        flightsql_client=FlightClientConfig(
+            connection_url=raw.get("flightsql", {}).get(
+                "connection_url", "http://localhost:50051"
+            ),
         ),
         db_path=raw.get("db", {}).get("path"),
         udfs=[

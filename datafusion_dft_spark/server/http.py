@@ -10,7 +10,11 @@ Reference: src/server/http/router.rs —
 - ``GET /tpch/{n}`` canned queries (router.rs:180-196) — here they run
   the registry's TPC-H-adapted suite;
 - basic/bearer auth, ``/health``, Prometheus-style ``/metrics``, and a
-  per-request insert into the observability ``requests`` table.
+  per-request insert into the observability ``requests`` table;
+- every endpoint accepts the reference's ``flightsql`` flag (body field
+  on POST /sql, query param on the GETs, router.rs:88-172): execution
+  routes through the ``[flightsql] connection_url`` client instead of
+  the local session, 400 when the capability is absent.
 
 Timeouts: the reference cancels queries after ``timeout_seconds`` and
 returns 408 (router.rs:75-81 TimeoutLayer). Same here: each request's
@@ -50,6 +54,57 @@ def _df_to_json_rows(df, limit: int) -> list[dict]:
         return v
 
     return [{k: conv(v) for k, v in r.asDict(recursive=True).items()} for r in rows]
+
+
+def _grpc_location(url: str) -> str:
+    """Map the reference's http(s):// connection_url notation to the
+    gRPC location pyarrow.flight expects."""
+    if url.startswith("https://"):
+        return "grpc+tls://" + url[len("https://"):]
+    if url.startswith("http://"):
+        return "grpc://" + url[len("http://"):]
+    return url
+
+
+def _flight_exec(connection_url: str, sql: str, limit: int | None):
+    """Execute ``sql`` through the configured FlightSQL server and return
+    (json_rows, schema_list) — the ``flightsql=true`` path of every HTTP
+    endpoint (router.rs:88-172: ExecOptions routes execution through the
+    FlightSQL client instead of the local session)."""
+    import pyarrow.flight as fl
+
+    from .flightsql_proto import encode_command
+
+    client = fl.FlightClient(_grpc_location(connection_url))
+    try:
+        table = None
+        for stmt in split_statements(sql):
+            desc = fl.FlightDescriptor.for_command(
+                encode_command({"type": "statement", "query": stmt})
+            )
+            info = client.get_flight_info(desc)
+            table = client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+    if table is None:
+        return [], []
+    if limit is not None:
+        table = table.slice(0, limit)
+
+    def conv(v):
+        if isinstance(v, (dt.datetime, dt.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return base64.b64encode(v).decode()
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [conv(x) for x in v]
+        return v
+
+    rows = [{k: conv(v) for k, v in r.items()} for r in table.to_pylist()]
+    schema = [{"name": f.name, "type": str(f.type)} for f in table.schema]
+    return rows, schema
 
 
 def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None) -> Flask:
@@ -146,6 +201,23 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
 
             release_tracked_caches()
 
+    def _flightsql_unavailable():
+        """router.rs:98-103 — asking for flightsql routing when the
+        capability is absent is a 400, not a 500. Here the capability is
+        pyarrow.flight (the compile-feature analog)."""
+        try:
+            import pyarrow.flight  # noqa: F401
+
+            return None
+        except Exception:
+            return (
+                jsonify({"error": "FlightSQL is not enabled on this server"}),
+                400,
+            )
+
+    def _wants_flightsql_param() -> bool:
+        return request.args.get("flightsql", "").lower() in ("1", "true")
+
     @app.post("/sql")
     def post_sql():
         body = request.get_json(force=True, silent=True)
@@ -154,6 +226,22 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
         sql = body["sql"]
         limit_raw = body.get("limit", config.http.result_limit)
         offset_raw = body.get("offset", 0)
+        if bool(body.get("flightsql")):
+            gate = _flightsql_unavailable()
+            if gate is not None:
+                return gate
+
+            def run_flight():
+                try:
+                    limit = int(limit_raw)
+                except (TypeError, ValueError):
+                    raise ValueError(f"'limit' must be an integer, got {limit_raw!r}")
+                rows, schema = _flight_exec(
+                    config.flightsql_client.connection_url, sql, limit
+                )
+                return {"rows": rows, "schema": schema}, len(rows)
+
+            return guarded("/sql", sql, run_flight)
 
         def run():
             # Parsed inside guarded(): a bad limit must surface as a 400
@@ -186,6 +274,19 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
 
     @app.get("/catalog")
     def get_catalog():
+        if _wants_flightsql_param():
+            gate = _flightsql_unavailable()
+            if gate is not None:
+                return gate
+
+            def run_flight():
+                rows, _ = _flight_exec(
+                    config.flightsql_client.connection_url, "SHOW TABLES", None
+                )
+                return {"tables": rows}, len(rows)
+
+            return guarded("/catalog", "SHOW TABLES", run_flight)
+
         def run():
             tables = [
                 {"catalog": t.catalog, "database": (t.namespace[0] if t.namespace else None), "name": t.name, "type": t.tableType}
@@ -200,6 +301,20 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
         if not re.fullmatch(r"[A-Za-z0-9_]+", table):
             return jsonify({"error": "invalid table name"}), 400
         sql = f"SELECT * FROM {table}"  # temp views are schema-less; 3-part kept for API parity
+        if _wants_flightsql_param():
+            gate = _flightsql_unavailable()
+            if gate is not None:
+                return gate
+
+            def run_flight():
+                rows, _ = _flight_exec(
+                    config.flightsql_client.connection_url,
+                    f"{sql} LIMIT {config.http.result_limit}",
+                    config.http.result_limit,
+                )
+                return {"rows": rows}, len(rows)
+
+            return guarded(f"/table/{catalog}/{schema}/{table}", sql, run_flight)
 
         def run():
             df = spark.table(table)

@@ -204,3 +204,34 @@ def test_observability_schema_matches_reference(spark):
         "rows": "bigint",
         "status": "int",
     }
+
+
+def test_http_flightsql_routing(spark, sf_dir):
+    """The reference's flightsql flag (router.rs:88-172): POST /sql body
+    field and GET query params route execution through the configured
+    [flightsql] connection_url client instead of the local session."""
+    from datafusion_dft_spark.config import FlightClientConfig, parse_config
+    from datafusion_dft_spark.server.flight import DftFlightServer
+
+    fs = DftFlightServer(spark, "grpc://127.0.0.1:0")
+    try:
+        cfg = parse_config(
+            {"flightsql": {"connection_url": f"http://127.0.0.1:{fs.port}"}}
+        )
+        assert isinstance(cfg.flightsql_client, FlightClientConfig)
+        c = create_app(spark, cfg, sf_dir=sf_dir).test_client()
+
+        r = c.post("/sql", json={"sql": "SELECT 41 + 1 AS answer", "flightsql": True})
+        assert r.status_code == 200, r.get_json()
+        assert r.get_json()["rows"] == [{"answer": 42}]
+
+        r = c.get("/catalog?flightsql=true")
+        assert r.status_code == 200
+        names = [t.get("tableName") or t.get("name") for t in r.get_json()["tables"]]
+        assert "nation" in names
+
+        r = c.get("/table/spark_catalog/default/nation?flightsql=true")
+        assert r.status_code == 200
+        assert len(r.get_json()["rows"]) == 25
+    finally:
+        fs.shutdown()
