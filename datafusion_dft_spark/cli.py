@@ -146,14 +146,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=40, help="max rows to print")
     p.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
     p.add_argument(
+        "-q",
         "--flightsql",
         action="store_true",
         help="route queries through a FlightSQL server instead of a local session",
     )
     p.add_argument(
         "--host",
-        default="grpc://127.0.0.1:50051",
-        help="FlightSQL server location for --flightsql",
+        default=None,
+        help="FlightSQL server location (default: config [flightsql_client] "
+        "connection_url, else grpc://127.0.0.1:50051)",
     )
     p.add_argument(
         "--header",
@@ -194,12 +196,44 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def collect_headers(args) -> list[tuple[str, str]]:
-    """--header lines + --headers-file entries, in that order."""
-    headers = [parse_header_line(h) for h in args.header]
-    if args.headers_file:
-        headers.extend(parse_headers_file(args.headers_file))
-    return headers
+def _client_config(args):
+    """[flightsql_client] from --config, else defaults."""
+    from .config import FlightClientConfig, load_config
+
+    if getattr(args, "config", None):
+        return load_config(args.config).flightsql_client
+    return FlightClientConfig()
+
+
+def resolve_host(args, fc) -> str:
+    """--host wins over the config connection_url (cli/mod.rs:908-909);
+    http(s):// notation maps to gRPC locations."""
+    from .config import grpc_location
+
+    return grpc_location(args.host or fc.connection_url)
+
+
+def collect_headers(args, fc=None) -> list[tuple[str, str]]:
+    """Three-way merge, later sources win (cli/mod.rs:877-906):
+    config headers (+auth) < headers file (--headers-file or config
+    headers_file) < --header flags."""
+    import base64
+
+    merged: dict[str, str] = {}
+    if fc is not None:
+        if fc.bearer_token:
+            merged["authorization"] = f"Bearer {fc.bearer_token}"
+        elif fc.basic_auth:
+            tok = base64.b64encode(fc.basic_auth.encode()).decode()
+            merged["authorization"] = f"Basic {tok}"
+        for k, v in fc.headers.items():
+            merged.update([parse_header_line(f"{k}: {v}")])
+    headers_file = args.headers_file or (fc.headers_file if fc else None)
+    if headers_file:
+        merged.update(parse_headers_file(headers_file))
+    for h in args.header:
+        merged.update([parse_header_line(h)])
+    return list(merged.items())
 
 
 def _call_options(headers: list[tuple[str, str]]):
@@ -237,11 +271,12 @@ def run_flightsql_client(args, scripts: list[str]) -> int:
     from .sql import split_statements
 
     try:
-        options = _call_options(collect_headers(args))
+        fc = _client_config(args)
+        options = _call_options(collect_headers(args, fc))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    client = fl.FlightClient(args.host)
+    client = fl.FlightClient(resolve_host(args, fc))
     rc = 0
     for script in scripts:
         for stmt in split_statements(script):
@@ -287,11 +322,12 @@ def run_flightsql_command(args) -> int:
         "get-xdbc-type-info": lambda a: {"type": "xdbc_type_info", "data_type": a.data_type},
     }
     try:
-        options = _call_options(collect_headers(args))
+        fc = _client_config(args)
+        options = _call_options(collect_headers(args, fc))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    client = fl.FlightClient(args.host)
+    client = fl.FlightClient(resolve_host(args, fc))
     try:
         table = _do_command(client, cmd_builders[args.fsql_command](args), options)
         print(format_arrow_table(table, limit=args.limit))

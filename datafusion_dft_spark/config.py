@@ -60,12 +60,50 @@ class FlightConfig:
 
 @dataclass
 class FlightClientConfig:
-    """[flightsql] — the CLIENT connection the app uses when asked to
-    route execution through a FlightSQL server (docs/features.md
-    "[flightsql] connection_url"; the HTTP endpoints' ``flightsql``
-    param, router.rs:88-172)."""
+    """[flightsql_client] (also accepted as [flightsql], features.md) —
+    the CLIENT connection the app uses when routing execution through a
+    FlightSQL server (config.rs:112-126 FlightSQLClientConfig; the HTTP
+    endpoints' ``flightsql`` param, router.rs:88-172; CLI --flightsql).
+
+    ``headers`` / ``headers_file`` seed the three-way header merge
+    (config < file < CLI flags, cli/mod.rs:877-906). Auth follows this
+    repo's flat convention ("user:pass" / token) but the reference's
+    nested ``auth`` table is parsed too so its config files port over.
+    """
 
     connection_url: str = "http://localhost:50051"
+    benchmark_iterations: int = 10
+    basic_auth: str | None = None
+    bearer_token: str | None = None
+    headers: dict[str, str] = field(default_factory=dict)
+    headers_file: str | None = None
+
+
+def grpc_location(url: str) -> str:
+    """Map the reference's http(s):// connection_url notation to the
+    gRPC location pyarrow.flight expects."""
+    if url.startswith("https://"):
+        return "grpc+tls://" + url[len("https://"):]
+    if url.startswith("http://"):
+        return "grpc://" + url[len("http://"):]
+    return url
+
+
+def _parse_auth(table: dict) -> tuple[str | None, str | None]:
+    """(basic_auth, bearer_token) from a config table: flat keys or the
+    reference's nested ``auth = {bearer_token, basic_auth = {username,
+    password}}`` shape (config.rs AuthConfig)."""
+    basic = table.get("basic_auth")
+    bearer = table.get("bearer_token")
+    auth = table.get("auth") or {}
+    if isinstance(auth, dict):
+        bearer = bearer or auth.get("bearer_token")
+        nested_basic = auth.get("basic_auth")
+        if basic is None and isinstance(nested_basic, dict):
+            basic = f"{nested_basic.get('username', '')}:{nested_basic.get('password', '')}"
+    if isinstance(basic, dict):  # flat key written in nested style
+        basic = f"{basic.get('username', '')}:{basic.get('password', '')}"
+    return basic, bearer
 
 
 @dataclass
@@ -106,6 +144,18 @@ def load_config(path: str) -> AppConfig:
     return parse_config(raw)
 
 
+def _parse_flightsql_client(table: dict) -> FlightClientConfig:
+    basic, bearer = _parse_auth(table)
+    return FlightClientConfig(
+        connection_url=table.get("connection_url", "http://localhost:50051"),
+        benchmark_iterations=int(table.get("benchmark_iterations", 10)),
+        basic_auth=basic,
+        bearer_token=bearer,
+        headers={str(k): str(v) for k, v in (table.get("headers") or {}).items()},
+        headers_file=table.get("headers_file"),
+    )
+
+
 def parse_config(raw: dict) -> AppConfig:
     ex = raw.get("execution", {})
     http = raw.get("http_server", {})
@@ -136,10 +186,8 @@ def parse_config(raw: dict) -> AppConfig:
             result_limit=int(flight.get("result_limit", 0)),
             stream_batch_rows=int(flight.get("stream_batch_rows", 8192)),
         ),
-        flightsql_client=FlightClientConfig(
-            connection_url=raw.get("flightsql", {}).get(
-                "connection_url", "http://localhost:50051"
-            ),
+        flightsql_client=_parse_flightsql_client(
+            raw.get("flightsql_client") or raw.get("flightsql") or {}
         ),
         db_path=raw.get("db", {}).get("path"),
         udfs=[

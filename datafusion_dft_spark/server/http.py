@@ -34,7 +34,7 @@ import time
 
 from flask import Flask, Response, jsonify, request
 
-from ..config import AppConfig
+from ..config import AppConfig, grpc_location as _grpc_location
 from ..observability import Observability
 from ..sql import prepare_statement, split_statements
 
@@ -54,16 +54,6 @@ def _df_to_json_rows(df, limit: int) -> list[dict]:
         return v
 
     return [{k: conv(v) for k, v in r.asDict(recursive=True).items()} for r in rows]
-
-
-def _grpc_location(url: str) -> str:
-    """Map the reference's http(s):// connection_url notation to the
-    gRPC location pyarrow.flight expects."""
-    if url.startswith("https://"):
-        return "grpc+tls://" + url[len("https://"):]
-    if url.startswith("http://"):
-        return "grpc://" + url[len("http://"):]
-    return url
 
 
 def _flight_exec(connection_url: str, sql: str, limit: int | None):

@@ -477,3 +477,52 @@ def test_cli_flightsql_headers_reach_secured_server(spark, capsys, tmp_path):
         assert "two" in capsys.readouterr().out
     finally:
         server.shutdown()
+
+
+def test_header_merge_precedence(tmp_path):
+    """Three-way merge (cli/mod.rs:877-906): config headers (+auth) <
+    headers file < --header flags; names lowercased for gRPC."""
+    from argparse import Namespace
+
+    from datafusion_dft_spark.cli import collect_headers
+    from datafusion_dft_spark.config import FlightClientConfig
+
+    hf = tmp_path / "h.txt"
+    hf.write_text("x-a: from-file\nx-b: from-file\n")
+    fc = FlightClientConfig(
+        bearer_token="t", headers={"X-A": "from-config", "x-c": "from-config"}
+    )
+    args = Namespace(header=["x-b: from-cli"], headers_file=str(hf))
+    assert dict(collect_headers(args, fc)) == {
+        "authorization": "Bearer t",
+        "x-a": "from-file",
+        "x-b": "from-cli",
+        "x-c": "from-config",
+    }
+
+
+def test_cli_flightsql_client_config(spark, capsys, tmp_path):
+    """[flightsql_client] config section: connection_url is the default
+    host and nested-auth bearer reaches a secured server without flags
+    (config.rs:112-126; docs/cli.md 'Auth')."""
+    from datafusion_dft_spark.cli import main
+    from datafusion_dft_spark.config import load_config
+
+    config = AppConfig(flightsql=FlightConfig(bearer_token="sekrit"))
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0", config)
+    try:
+        cfg = tmp_path / "config.toml"
+        cfg.write_text(
+            "[flightsql_client]\n"
+            f'connection_url = "http://127.0.0.1:{server.port}"\n'
+            "[flightsql_client.auth]\n"
+            'bearer_token = "sekrit"\n'
+        )
+        fc = load_config(str(cfg)).flightsql_client
+        assert fc.bearer_token == "sekrit"
+        assert main(
+            ["--config", str(cfg), "flightsql", "statement-query", "--sql", "SELECT 3 AS three"]
+        ) == 0
+        assert "three" in capsys.readouterr().out
+    finally:
+        server.shutdown()
