@@ -377,11 +377,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.config:
         from .config import load_config
 
-        config = load_config(args.config)
+        config = load_config(args.config, app="cli")
+    conf = dict(config.execution.settings) if config else {}
+    if config and config.execution.cli_batch_size:
+        # docs/config.md cli_batch_size — lands on Arrow batch sizing
+        # (toArrow / pandas-UDF transfer units), the Spark analog of the
+        # reference's per-app record-batch size.
+        conf.setdefault(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(config.execution.cli_batch_size),
+        )
     spark = get_spark(
         master=args.master,
         app_name="datafusion-dft-spark-cli",
-        conf=config.execution.settings if config else None,
+        conf=conf or None,
     )
     if config:
         if config.udfs:

@@ -123,6 +123,14 @@ class ExecutionConfig:
     # [execution.object_store] — S3 / HuggingFace store registrations
     # (config.rs:238-241; extensions/s3.rs, extensions/huggingface.rs).
     object_store: "ObjectStoreConfig | None" = None
+    # Per-app record-batch sizing (docs/config.md: cli/flightsql default
+    # 8092, tui 100 — a batch is the TUI's pagination unit). None =
+    # app-side default; explicit values reach Arrow batch sizing (CLI:
+    # spark.sql.execution.arrow.maxRecordsPerBatch), REPL page chunking,
+    # and the Flight stream batch rows.
+    cli_batch_size: int | None = None
+    tui_batch_size: int | None = None
+    flightsql_server_batch_size: int | None = None
 
 
 @dataclass
@@ -138,10 +146,30 @@ class AppConfig:
     db_path: str | None = None
 
 
-def load_config(path: str) -> AppConfig:
+def load_config(path: str, app: str | None = None) -> AppConfig:
     with open(path, "rb") as f:
         raw = tomllib.load(f)
-    return parse_config(raw)
+    return parse_config(raw, app=app)
+
+
+def _merge_execution(raw: dict, app: str | None) -> dict:
+    """The reference's layered config (docs/config.md): defaults <
+    [shared.execution] < app-specific [<app>.execution], app winning.
+    A top-level [execution] table (this repo's flat convention) merges
+    at the shared layer's priority, after [shared]."""
+    merged: dict = {}
+    layers = [raw.get("shared", {}).get("execution"), raw.get("execution")]
+    if app:
+        layers.append(raw.get(app, {}).get("execution"))
+    for layer in layers:
+        if not layer:
+            continue
+        for k, v in layer.items():
+            if isinstance(v, dict) and isinstance(merged.get(k), dict):
+                merged[k] = {**merged[k], **v}
+            else:
+                merged[k] = v
+    return merged
 
 
 def _parse_flightsql_client(table: dict) -> FlightClientConfig:
@@ -156,14 +184,17 @@ def _parse_flightsql_client(table: dict) -> FlightClientConfig:
     )
 
 
-def parse_config(raw: dict) -> AppConfig:
-    ex = raw.get("execution", {})
+def parse_config(raw: dict, app: str | None = None) -> AppConfig:
+    ex = _merge_execution(raw, app)
     http = raw.get("http_server", {})
     flight = raw.get("flightsql_server", {})
     if flight.get("basic_auth") and flight.get("bearer_token"):
         # mod.rs:66 — "Only one auth type can be used at a time"
         raise ValueError("flightsql_server: only one auth type can be used at a time")
     from .sources.object_store import parse_object_store
+
+    def _opt_int(key):
+        return int(ex[key]) if key in ex else None
 
     return AppConfig(
         execution=ExecutionConfig(
@@ -173,6 +204,9 @@ def parse_config(raw: dict) -> AppConfig:
             object_store=(
                 parse_object_store(ex["object_store"]) if "object_store" in ex else None
             ),
+            cli_batch_size=_opt_int("cli_batch_size"),
+            tui_batch_size=_opt_int("tui_batch_size"),
+            flightsql_server_batch_size=_opt_int("flightsql_server_batch_size"),
         ),
         http=HttpConfig(
             result_limit=int(http.get("result_limit", 1000)),
@@ -184,7 +218,13 @@ def parse_config(raw: dict) -> AppConfig:
             basic_auth=flight.get("basic_auth"),
             bearer_token=flight.get("bearer_token"),
             result_limit=int(flight.get("result_limit", 0)),
-            stream_batch_rows=int(flight.get("stream_batch_rows", 8192)),
+            # execution-layer flightsql_server_batch_size (docs/config.md)
+            # is the default; an explicit stream_batch_rows wins.
+            stream_batch_rows=int(
+                flight.get(
+                    "stream_batch_rows", ex.get("flightsql_server_batch_size", 8192)
+                )
+            ),
         ),
         flightsql_client=_parse_flightsql_client(
             raw.get("flightsql_client") or raw.get("flightsql") or {}

@@ -68,6 +68,9 @@ class Repl:
     spark: object
     echo: object = print
     timing: bool = False
+    # tui_batch_size (docs/config.md: a record batch is the TUI's unit
+    # of pagination; default 100 to keep pages snappy)
+    batch_size: int = PAGE_SIZE
     _pending: list[str] = field(default_factory=list)
     _batches: list[pa.RecordBatch] = field(default_factory=list)
     _page: int = 0
@@ -117,7 +120,7 @@ class Repl:
         except Exception as e:
             self.echo(f"error: {str(e).splitlines()[0]}")
             return
-        self._batches = table.to_batches() or []
+        self._batches = table.to_batches(max_chunksize=self.batch_size) or []
         self._page = 0
         self._show_page()
         if self.timing:
@@ -156,11 +159,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", help="TOML config file")
     p.add_argument("--register", help="corpus directory to register as views")
     args = p.parse_args(argv)
-    config = load_config(args.config) if args.config else AppConfig()
+    config = load_config(args.config, app="tui") if args.config else AppConfig()
     spark = get_spark(app_name="datafusion-dft-spark-repl", conf=config.execution.settings)
     if args.register:
         register_views(spark, args.register)
-    repl = Repl(spark)
+    repl = Repl(spark, batch_size=config.execution.tui_batch_size or PAGE_SIZE)
     print("datafusion-dft-spark interactive shell (\\q to quit, \\d tables, \\timing)")
     while True:
         try:

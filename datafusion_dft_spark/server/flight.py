@@ -579,7 +579,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--register", help="corpus directory to register as views")
     args = p.parse_args(argv)
 
-    config = load_config(args.config) if args.config else AppConfig()
+    config = load_config(args.config, app="flightsql_server") if args.config else AppConfig()
     spark = get_spark(app_name="datafusion-dft-spark-flight", conf=config.execution.settings)
     if args.register:
         register_views(spark, args.register)

@@ -381,7 +381,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--register", help="corpus directory to register as views")
     args = p.parse_args(argv)
 
-    config = load_config(args.config) if args.config else AppConfig()
+    config = load_config(args.config, app="http_server") if args.config else AppConfig()
     spark = get_spark(app_name="datafusion-dft-spark-http", conf=config.execution.settings)
     if config.udfs:
         from ..functions.udf_registry import register_udfs

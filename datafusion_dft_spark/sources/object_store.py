@@ -43,6 +43,11 @@ class S3Config:
     aws_endpoint: str | None = None
     aws_session_token: str | None = None
     aws_allow_http: bool | None = None
+    # docs/config.md "AWS Credential Chain": opt-in resolution from
+    # env vars / web identity / container / instance profile, with TOML
+    # static credentials (when present) taking precedence. Default
+    # false = only TOML credentials are used.
+    use_credential_chain: bool = False
 
 
 @dataclass
@@ -75,6 +80,7 @@ def parse_object_store(raw: dict) -> ObjectStoreConfig:
                 aws_endpoint=e.get("aws_endpoint"),
                 aws_session_token=e.get("aws_session_token"),
                 aws_allow_http=e.get("aws_allow_http"),
+                use_credential_chain=bool(e.get("use_credential_chain", False)),
             )
             for e in raw.get("s3", [])
         ],
@@ -106,9 +112,28 @@ def s3_conf_entries(cfg: S3Config) -> dict[str, str]:
         out[f"{pre}.secret.key"] = cfg.aws_secret_access_key
     if cfg.aws_session_token:
         out[f"{pre}.session.token"] = cfg.aws_session_token
-        out[f"{pre}.aws.credentials.provider"] = (
-            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+    # Credential resolution (docs/config.md): with use_credential_chain
+    # the provider list starts at the TOML credentials (override) and
+    # falls through env vars → web identity/container → instance
+    # profile — s3a's chain equivalents. Without it (default), the
+    # provider is PINNED to the static-credential providers so an
+    # unintended ambient AWS identity can never be picked up.
+    static_provider = (
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        if cfg.aws_session_token
+        else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+    )
+    if cfg.use_credential_chain:
+        out[f"{pre}.aws.credentials.provider"] = ",".join(
+            [
+                static_provider,
+                "com.amazonaws.auth.EnvironmentVariableCredentialsProvider",
+                "com.amazonaws.auth.WebIdentityTokenCredentialsProvider",
+                "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider",
+            ]
         )
+    else:
+        out[f"{pre}.aws.credentials.provider"] = static_provider
     if cfg.aws_endpoint:
         out[f"{pre}.endpoint"] = cfg.aws_endpoint
         # Custom endpoints (minio et al.) address buckets by path.

@@ -513,3 +513,65 @@ def test_copy_statement_escaped_quote_in_literal(spark, sf_dir, tmp_path):
     )
     assert dfs[0].collect()[0]["count"] == 5
     assert spark.read.parquet(out).first().x == "it's (fine)"
+
+
+def test_layered_execution_config_merge():
+    """docs/config.md hierarchy: defaults < [shared.execution] <
+    app-specific [<app>.execution]; nested tables (settings) merge
+    per-key instead of replacing wholesale."""
+    from datafusion_dft_spark.config import parse_config
+
+    raw = {
+        "shared": {
+            "execution": {
+                "benchmark_iterations": 5,
+                "cli_batch_size": 4000,
+                "settings": {"spark.sql.shuffle.partitions": "8", "a": "shared"},
+            }
+        },
+        "cli": {
+            "execution": {
+                "benchmark_iterations": 7,
+                "settings": {"a": "cli"},
+            }
+        },
+    }
+    shared_view = parse_config(raw)  # no app: shared layer only
+    assert shared_view.execution.benchmark_iterations == 5
+    cli_view = parse_config(raw, app="cli")
+    assert cli_view.execution.benchmark_iterations == 7
+    assert cli_view.execution.cli_batch_size == 4000  # inherited from shared
+    assert cli_view.execution.settings == {
+        "spark.sql.shuffle.partitions": "8",
+        "a": "cli",
+    }
+    # tui view unaffected by [cli]
+    assert parse_config(raw, app="tui").execution.benchmark_iterations == 5
+
+
+def test_batch_size_knobs_reach_apps(spark):
+    """tui_batch_size re-chunks REPL result batches (the pagination
+    unit); flightsql_server_batch_size seeds stream_batch_rows unless
+    an explicit stream_batch_rows wins."""
+    import pyarrow as pa
+
+    from datafusion_dft_spark.config import parse_config
+    from datafusion_dft_spark.repl import Repl
+
+    out = []
+    r = Repl(spark, echo=out.append, batch_size=10)
+    r.feed("SELECT * FROM range(35);")
+    # max_chunksize caps each batch (it does not coalesce upstream
+    # partition chunks) — the pagination unit never exceeds the knob
+    assert sum(b.num_rows for b in r._batches) == 35
+    assert max(b.num_rows for b in r._batches) <= 10
+
+    cfg = parse_config({"shared": {"execution": {"flightsql_server_batch_size": 123}}})
+    assert cfg.flightsql.stream_batch_rows == 123
+    cfg = parse_config(
+        {
+            "shared": {"execution": {"flightsql_server_batch_size": 123}},
+            "flightsql_server": {"stream_batch_rows": 77},
+        }
+    )
+    assert cfg.flightsql.stream_batch_rows == 77

@@ -154,3 +154,30 @@ def test_external_table_bad_format(spark):
     # format to exercise the rejection branch.
     with pytest.raises(ValueError, match="unsupported STORED AS"):
         prepare_statement(spark, "CREATE EXTERNAL TABLE x STORED AS ORCZ LOCATION '/tmp/x'")
+
+
+def test_s3_credential_chain_opt_in():
+    """docs/config.md 'AWS Credential Chain': default pins the provider
+    to static TOML credentials (no ambient identity pickup); opt-in
+    chains TOML -> env -> web identity -> instance profile."""
+    from datafusion_dft_spark.sources.object_store import S3Config, s3_conf_entries
+
+    pre = "spark.hadoop.fs.s3a.bucket.b"
+    static = s3_conf_entries(
+        S3Config(bucket_name="b", aws_access_key_id="K", aws_secret_access_key="S")
+    )
+    assert (
+        static[f"{pre}.aws.credentials.provider"]
+        == "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+    )
+    chain = s3_conf_entries(S3Config(bucket_name="b", use_credential_chain=True))
+    prov = chain[f"{pre}.aws.credentials.provider"]
+    assert prov.startswith("org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider,")
+    assert "IAMInstanceCredentialsProvider" in prov
+    # session token flips the static head of either mode to Temporary
+    tok = s3_conf_entries(
+        S3Config(bucket_name="b", aws_session_token="t", use_credential_chain=True)
+    )
+    assert tok[f"{pre}.aws.credentials.provider"].startswith(
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider,"
+    )
