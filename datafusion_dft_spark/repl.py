@@ -12,7 +12,14 @@ here, but the *engine-facing* behaviors its e2e cases assert
   pagination math of ``src/tui/pagination.rs:24-70`` (PAGE_SIZE=100,
   page extraction across batch boundaries, empty-page semantics);
 - ``\\timing`` toggle (the TUI's execution-elapsed display),
-  ``\\d`` table listing, ``\\q`` quit.
+  ``\\d`` table listing, ``\\q`` quit;
+- query history with execution time / row count / error, re-runnable by
+  number (the History tab's engine contract,
+  ``src/tui/state/tabs/history.rs:39-70`` HistoryQuery): ``\\history``
+  lists, ``\\rerun N`` re-executes;
+- the DDL pane's engine behaviors (``src/tui/state/tabs/sql.rs`` DDL
+  mode: load/rerun the configured DDL file): ``\\ddl`` shows the
+  configured file, ``\\ddl run`` (re-)executes it.
 
 The loop is I/O-injectable so tests drive it exactly like the
 reference's simulated-keystroke TUI cases.
@@ -71,7 +78,13 @@ class Repl:
     # tui_batch_size (docs/config.md: a record batch is the TUI's unit
     # of pagination; default 100 to keep pages snappy)
     batch_size: int = PAGE_SIZE
+    # configured DDL file (execution.ddl_path) for \ddl / \ddl run
+    ddl_path: str | None = None
     _pending: list[str] = field(default_factory=list)
+    # HistoryQuery analog: (sql, elapsed_sec, rows_or_None, error_or_None)
+    _history: list[tuple[str, float, int | None, str | None]] = field(
+        default_factory=list
+    )
     _batches: list[pa.RecordBatch] = field(default_factory=list)
     _page: int = 0
 
@@ -100,26 +113,81 @@ class Repl:
             self.echo(f"timing {'on' if self.timing else 'off'}")
         elif cmd == "\\d":
             self._run("SHOW TABLES;")
+        elif cmd == "\\history":
+            if not self._history:
+                self.echo("-- history is empty")
+            for i, (sql, elapsed, rows, err) in enumerate(self._history, 1):
+                one_line = " ".join(sql.split())
+                stat = f"ERROR: {err}" if err else f"{rows} row(s)"
+                self.echo(f"[{i}] {elapsed:.3f}s {stat}  {one_line[:80]}")
+        elif cmd.startswith("\\rerun"):
+            arg = cmd[len("\\rerun"):].strip()
+            try:
+                idx = int(arg)
+            except ValueError:
+                self.echo("usage: \\rerun N (see \\history)")
+                return True
+            if not 1 <= idx <= len(self._history):
+                self.echo(f"no history entry {idx} (1-{len(self._history)})")
+                return True
+            self._run(self._history[idx - 1][0])
+        elif cmd == "\\ddl" or cmd.startswith("\\ddl "):
+            arg = cmd[len("\\ddl"):].strip()
+            if not self.ddl_path:
+                self.echo("no DDL file configured (execution.ddl_path)")
+            elif arg == "run":
+                from .sql import execute_ddl_file
+
+                try:
+                    n = execute_ddl_file(self.spark, self.ddl_path)
+                    self.echo(f"ran {n} DDL statement(s) from {self.ddl_path}")
+                except Exception as e:
+                    self.echo(f"error: {str(e).splitlines()[0]}")
+            elif arg == "":
+                try:
+                    with open(self.ddl_path) as f:
+                        self.echo(f.read().rstrip())
+                except OSError as e:
+                    self.echo(f"error: {e}")
+            else:
+                self.echo("usage: \\ddl [run]")
         else:
-            self.echo(f"unknown command: {cmd} (try \\d, \\timing, \\q)")
+            self.echo(
+                f"unknown command: {cmd} "
+                "(try \\d, \\timing, \\history, \\rerun N, \\ddl, \\q)"
+            )
         return True
 
     def _run(self, sql: str) -> None:
         from .sql import execute_sql
 
         t0 = time.perf_counter()
+
+        def record(rows: int | None, err: str | None) -> None:
+            # HistoryQuery analog (history.rs:39-70): sql + elapsed +
+            # stats on success, the error string otherwise
+            self._history.append(
+                (sql, time.perf_counter() - t0, rows, err)
+            )
+
         try:
             dfs = execute_sql(self.spark, sql.rstrip(";"))
         except Exception as e:
-            self.echo(f"error: {str(e).splitlines()[0]}")
+            msg = str(e).splitlines()[0]
+            record(None, msg)
+            self.echo(f"error: {msg}")
             return
         if not dfs:
+            record(0, None)
             return
         try:
             table = dfs[-1].toArrow()
         except Exception as e:
-            self.echo(f"error: {str(e).splitlines()[0]}")
+            msg = str(e).splitlines()[0]
+            record(None, msg)
+            self.echo(f"error: {msg}")
             return
+        record(table.num_rows, None)
         self._batches = table.to_batches(max_chunksize=self.batch_size) or []
         self._page = 0
         self._show_page()
@@ -163,7 +231,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="datafusion-dft-spark-repl", conf=config.execution.settings)
     if args.register:
         register_views(spark, args.register)
-    repl = Repl(spark, batch_size=config.execution.tui_batch_size or PAGE_SIZE)
+    repl = Repl(
+        spark,
+        batch_size=config.execution.tui_batch_size or PAGE_SIZE,
+        ddl_path=config.execution.ddl_path,
+    )
     print("datafusion-dft-spark interactive shell (\\q to quit, \\d tables, \\timing)")
     while True:
         try:

@@ -99,3 +99,51 @@ def test_errors_do_not_kill_the_session(spark):
     assert any(x.startswith("error:") for x in out)
     assert repl.feed("SELECT 2 AS two;")
     assert any("two" in x for x in out)
+
+
+def test_history_and_rerun(spark):
+    """History tab engine contract (src/tui/state/tabs/history.rs:39-70):
+    every executed statement records sql + elapsed + rows (or the
+    error), and entries re-run by number."""
+    out = []
+    r = Repl(spark, echo=out.append)
+    r.feed("SELECT 1 AS a;")
+    r.feed("SELECT bogus_fn();")  # error entry
+    out.clear()
+    r.feed("\\history")
+    listing = "\n".join(out)
+    assert "[1]" in listing and "1 row(s)" in listing and "SELECT 1 AS a" in listing
+    assert "[2]" in listing and "ERROR" in listing
+    out.clear()
+    r.feed("\\rerun 1")
+    assert any("| 1" in line or "a" in line for line in out)
+    out.clear()
+    r.feed("\\history")
+    assert "[3]" in "\n".join(out)  # the rerun itself is recorded
+    out.clear()
+    r.feed("\\rerun 99")
+    assert "no history entry" in out[0]
+    r.feed("\\rerun nope")
+    assert "usage" in out[-1]
+
+
+def test_ddl_show_and_run(spark, tmp_path):
+    """DDL pane engine behaviors: \\ddl shows the configured file,
+    \\ddl run executes it, and statements are visible afterwards."""
+    ddl = tmp_path / "ddl.sql"
+    ddl.write_text("CREATE OR REPLACE TEMP VIEW repl_ddl_v AS SELECT 7 AS seven;")
+    out = []
+    r = Repl(spark, echo=out.append, ddl_path=str(ddl))
+    r.feed("\\ddl")
+    assert "repl_ddl_v" in "\n".join(out)
+    out.clear()
+    r.feed("\\ddl run")
+    assert "ran 1 DDL statement(s)" in out[0]
+    out.clear()
+    r.feed("SELECT seven FROM repl_ddl_v;")
+    assert any("7" in line for line in out)
+    # unconfigured path fails soft
+    out2 = []
+    r2 = Repl(spark, echo=out2.append)
+    r2.feed("\\ddl run")
+    assert "no DDL file configured" in out2[0]
