@@ -19,7 +19,13 @@ here, but the *engine-facing* behaviors its e2e cases assert
   lists, ``\\rerun N`` re-executes;
 - the DDL pane's engine behaviors (``src/tui/state/tabs/sql.rs`` DDL
   mode: load/rerun the configured DDL file): ``\\ddl`` shows the
-  configured file, ``\\ddl run`` (re-)executes it.
+  configured file, ``\\ddl run`` (re-)executes it;
+- the FlightSQL tab's engine contract (``tests/tui_cases/
+  flightsql_execution.rs``, ``flightsql_pagination.rs``: same editor,
+  statements routed to a FlightSQL server, separate execution context,
+  identical pagination): ``\\flightsql URL`` switches the session to a
+  server, ``\\flightsql off`` back to local; history tags each entry
+  with its Context (history.rs:21-37 Local/FlightSQL).
 
 The loop is I/O-injectable so tests drive it exactly like the
 reference's simulated-keystroke TUI cases.
@@ -80,9 +86,12 @@ class Repl:
     batch_size: int = PAGE_SIZE
     # configured DDL file (execution.ddl_path) for \ddl / \ddl run
     ddl_path: str | None = None
+    # FlightSQL-tab mode: when set, statements route to this server
+    flight_url: str | None = None
+    _fl_client: object = None
     _pending: list[str] = field(default_factory=list)
-    # HistoryQuery analog: (sql, elapsed_sec, rows_or_None, error_or_None)
-    _history: list[tuple[str, float, int | None, str | None]] = field(
+    # HistoryQuery analog: (context, sql, elapsed_sec, rows, error)
+    _history: list[tuple[str, str, float, int | None, str | None]] = field(
         default_factory=list
     )
     _batches: list[pa.RecordBatch] = field(default_factory=list)
@@ -116,10 +125,10 @@ class Repl:
         elif cmd == "\\history":
             if not self._history:
                 self.echo("-- history is empty")
-            for i, (sql, elapsed, rows, err) in enumerate(self._history, 1):
+            for i, (ctx, sql, elapsed, rows, err) in enumerate(self._history, 1):
                 one_line = " ".join(sql.split())
                 stat = f"ERROR: {err}" if err else f"{rows} row(s)"
-                self.echo(f"[{i}] {elapsed:.3f}s {stat}  {one_line[:80]}")
+                self.echo(f"[{i}] {ctx} {elapsed:.3f}s {stat}  {one_line[:80]}")
         elif cmd.startswith("\\rerun"):
             arg = cmd[len("\\rerun"):].strip()
             try:
@@ -130,7 +139,7 @@ class Repl:
             if not 1 <= idx <= len(self._history):
                 self.echo(f"no history entry {idx} (1-{len(self._history)})")
                 return True
-            self._run(self._history[idx - 1][0])
+            self._run(self._history[idx - 1][1])
         elif cmd == "\\ddl" or cmd.startswith("\\ddl "):
             arg = cmd[len("\\ddl"):].strip()
             if not self.ddl_path:
@@ -151,42 +160,92 @@ class Repl:
                     self.echo(f"error: {e}")
             else:
                 self.echo("usage: \\ddl [run]")
+        elif cmd == "\\flightsql" or cmd.startswith("\\flightsql "):
+            arg = cmd[len("\\flightsql"):].strip()
+            if arg in ("", "off"):
+                self._close_flight()
+                if arg == "off" or self.flight_url:
+                    self.flight_url = None
+                    self.echo("flightsql off (statements run locally)")
+                else:
+                    self.echo("usage: \\flightsql URL | off")
+            else:
+                from .config import grpc_location
+
+                self._close_flight()
+                self.flight_url = grpc_location(arg)
+                self.echo(f"flightsql on: statements route to {self.flight_url}")
         else:
             self.echo(
-                f"unknown command: {cmd} "
-                "(try \\d, \\timing, \\history, \\rerun N, \\ddl, \\q)"
+                f"unknown command: {cmd} (try \\d, \\timing, \\history, "
+                "\\rerun N, \\ddl, \\flightsql, \\q)"
             )
         return True
+
+    def _close_flight(self) -> None:
+        if self._fl_client is not None:
+            try:
+                self._fl_client.close()
+            except Exception:
+                pass
+            self._fl_client = None
+
+    def _run_flight(self, sql: str) -> "pa.Table":
+        """FlightSQL-tab execution: statements go to the connected
+        server; the result Table pages exactly like local results."""
+        import pyarrow.flight as fl
+
+        from .cli import _do_command
+        from .sql import split_statements
+
+        if self._fl_client is None:
+            self._fl_client = fl.FlightClient(self.flight_url)
+        table = None
+        for stmt in split_statements(sql.rstrip(";")):
+            table = _do_command(
+                self._fl_client, {"type": "statement", "query": stmt}, None
+            )
+        return table if table is not None else pa.table({})
 
     def _run(self, sql: str) -> None:
         from .sql import execute_sql
 
         t0 = time.perf_counter()
+        ctx = "FlightSQL" if self.flight_url else "Local"  # history.rs:21-37
 
         def record(rows: int | None, err: str | None) -> None:
-            # HistoryQuery analog (history.rs:39-70): sql + elapsed +
-            # stats on success, the error string otherwise
+            # HistoryQuery analog (history.rs:39-70): context + sql +
+            # elapsed + stats on success, the error string otherwise
             self._history.append(
-                (sql, time.perf_counter() - t0, rows, err)
+                (ctx, sql, time.perf_counter() - t0, rows, err)
             )
 
-        try:
-            dfs = execute_sql(self.spark, sql.rstrip(";"))
-        except Exception as e:
-            msg = str(e).splitlines()[0]
-            record(None, msg)
-            self.echo(f"error: {msg}")
-            return
-        if not dfs:
-            record(0, None)
-            return
-        try:
-            table = dfs[-1].toArrow()
-        except Exception as e:
-            msg = str(e).splitlines()[0]
-            record(None, msg)
-            self.echo(f"error: {msg}")
-            return
+        if self.flight_url:
+            try:
+                table = self._run_flight(sql)
+            except Exception as e:
+                msg = str(e).splitlines()[0]
+                record(None, msg)
+                self.echo(f"error: {msg}")
+                return
+        else:
+            try:
+                dfs = execute_sql(self.spark, sql.rstrip(";"))
+            except Exception as e:
+                msg = str(e).splitlines()[0]
+                record(None, msg)
+                self.echo(f"error: {msg}")
+                return
+            if not dfs:
+                record(0, None)
+                return
+            try:
+                table = dfs[-1].toArrow()
+            except Exception as e:
+                msg = str(e).splitlines()[0]
+                record(None, msg)
+                self.echo(f"error: {msg}")
+                return
         record(table.num_rows, None)
         self._batches = table.to_batches(max_chunksize=self.batch_size) or []
         self._page = 0

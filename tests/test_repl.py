@@ -147,3 +147,38 @@ def test_ddl_show_and_run(spark, tmp_path):
     r2 = Repl(spark, echo=out2.append)
     r2.feed("\\ddl run")
     assert "no DDL file configured" in out2[0]
+
+
+def test_flightsql_mode_executes_and_paginates(spark):
+    """FlightSQL tab engine contract (tui_cases/flightsql_execution.rs,
+    flightsql_pagination.rs): \\flightsql URL routes statements to the
+    server with the same pagination; contexts stay separate and history
+    tags entries Local vs FlightSQL (history.rs:21-37)."""
+    from datafusion_dft_spark.server.flight import DftFlightServer
+
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0")
+    try:
+        out = []
+        r = Repl(spark, echo=out.append)
+        r.feed("CREATE OR REPLACE TEMP VIEW fs_repl_v AS SELECT id FROM range(250);")
+        out.clear()
+        r.feed(f"\\flightsql grpc://127.0.0.1:{server.port}")
+        assert "flightsql on" in out[0]
+        out.clear()
+        # executes on the server (shared spark session ⇒ view visible)
+        r.feed("SELECT id FROM fs_repl_v ORDER BY id;")
+        assert any("250 rows" in line or "rows 0-100 of 250" in line for line in out)
+        # identical pagination math over flight-returned batches
+        out.clear()
+        r.feed("n")
+        assert any("rows 100-200 of 250" in line for line in out)
+        out.clear()
+        r.feed("\\flightsql off")
+        assert "flightsql off" in out[0]
+        out.clear()
+        r.feed("SELECT 5 AS five;")
+        r.feed("\\history")
+        listing = "\n".join(out)
+        assert "FlightSQL" in listing and "Local" in listing
+    finally:
+        server.shutdown()
