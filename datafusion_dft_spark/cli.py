@@ -27,58 +27,14 @@ Reference: ``dft -c "SELECT ..." -f file.sql --time --bench -n N -o out``
 from __future__ import annotations
 
 import argparse
-import re
 import sys
 import time
 
 from pyspark.sql import DataFrame
 
-# RFC 7230 header-name token / visible-ASCII value — the same validation
-# http::HeaderName/HeaderValue apply in the reference (args.rs:263-278).
-_HEADER_NAME_RE = re.compile(r"^[!#$%&'*+.^_`|~0-9a-zA-Z-]+$")
-_HEADER_VALUE_RE = re.compile(r"^[\t\x20-\x7e\x80-\xff]*$")
-
-
-def parse_header_line(line: str) -> tuple[str, str]:
-    """``'Name: Value'`` → ``(name, value)`` with validation (args.rs:263-278)."""
-    if ":" not in line:
-        raise ValueError(
-            f"Invalid header format: '{line}'\n       Expected format: "
-            "'Header-Name: Header-Value', 'header = Name: Value', or '-H \"Name: Value\"'"
-        )
-    name, value = line.split(":", 1)
-    name, value = name.strip(), value.strip()
-    if not _HEADER_NAME_RE.match(name):
-        raise ValueError(f"Invalid header name: {name!r}")
-    if not _HEADER_VALUE_RE.match(value):
-        raise ValueError("Header value contains invalid characters")
-    return name.lower(), value  # gRPC metadata keys are lowercase
-
-
-def parse_headers_file(path: str) -> list[tuple[str, str]]:
-    """Headers from a file: simple ``Name: Value`` lines, curl config
-    ``header = Name: Value`` / ``-H "Name: Value"`` lines, ``#`` comments
-    and blanks — both formats may mix (args.rs:280-337)."""
-    headers: list[tuple[str, str]] = []
-    with open(path) as f:
-        for line_num, raw in enumerate(f, 1):
-            line = raw.strip()
-            if not line or line.startswith("#"):
-                continue
-            if line.startswith("header"):
-                stripped = line[len("header"):].lstrip()
-                candidate = stripped[1:].strip() if stripped.startswith("=") else line
-            elif line.startswith("-H"):
-                candidate = line[2:].strip().strip("\"'")
-            else:
-                candidate = line
-            try:
-                headers.append(parse_header_line(candidate))
-            except ValueError as e:
-                raise ValueError(
-                    f"Invalid header format at line {line_num} in '{path}': '{line}'\n{e}"
-                ) from None
-    return headers
+# Header parsing/merge lives in config.py (shared with the HTTP server's
+# flightsql routing); re-exported here as the CLI-facing names.
+from .config import parse_header_line, parse_headers_file  # noqa: E402,F401
 
 
 def _format_cells(cols: list[str], cells: list[list[str]], truncated: bool, limit: int) -> str:
@@ -217,23 +173,9 @@ def collect_headers(args, fc=None) -> list[tuple[str, str]]:
     """Three-way merge, later sources win (cli/mod.rs:877-906):
     config headers (+auth) < headers file (--headers-file or config
     headers_file) < --header flags."""
-    import base64
+    from .config import client_call_headers
 
-    merged: dict[str, str] = {}
-    if fc is not None:
-        if fc.bearer_token:
-            merged["authorization"] = f"Bearer {fc.bearer_token}"
-        elif fc.basic_auth:
-            tok = base64.b64encode(fc.basic_auth.encode()).decode()
-            merged["authorization"] = f"Basic {tok}"
-        for k, v in fc.headers.items():
-            merged.update([parse_header_line(f"{k}: {v}")])
-    headers_file = args.headers_file or (fc.headers_file if fc else None)
-    if headers_file:
-        merged.update(parse_headers_file(headers_file))
-    for h in args.header:
-        merged.update([parse_header_line(h)])
-    return list(merged.items())
+    return client_call_headers(fc, args.header, args.headers_file)
 
 
 def _call_options(headers: list[tuple[str, str]]):

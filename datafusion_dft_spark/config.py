@@ -30,6 +30,7 @@ function = "my_module:add"    # import path to the python callable
 
 from __future__ import annotations
 
+import re
 import tomllib
 from dataclasses import dataclass, field
 
@@ -77,6 +78,82 @@ class FlightClientConfig:
     bearer_token: str | None = None
     headers: dict[str, str] = field(default_factory=dict)
     headers_file: str | None = None
+
+
+# RFC 7230 header-name token / visible-ASCII value — the same validation
+# http::HeaderName/HeaderValue apply in the reference (args.rs:263-278).
+_HEADER_NAME_RE = re.compile(r"^[!#$%&'*+.^_`|~0-9a-zA-Z-]+$")
+_HEADER_VALUE_RE = re.compile(r"^[\t\x20-\x7e\x80-\xff]*$")
+
+
+def parse_header_line(line: str) -> tuple[str, str]:
+    """``'Name: Value'`` → ``(name, value)`` with validation (args.rs:263-278)."""
+    if ":" not in line:
+        raise ValueError(
+            f"Invalid header format: '{line}'\n       Expected format: "
+            "'Header-Name: Header-Value', 'header = Name: Value', or '-H \"Name: Value\"'"
+        )
+    name, value = line.split(":", 1)
+    name, value = name.strip(), value.strip()
+    if not _HEADER_NAME_RE.match(name):
+        raise ValueError(f"Invalid header name: {name!r}")
+    if not _HEADER_VALUE_RE.match(value):
+        raise ValueError("Header value contains invalid characters")
+    return name.lower(), value  # gRPC metadata keys are lowercase
+
+
+def parse_headers_file(path: str) -> list[tuple[str, str]]:
+    """Headers from a file: simple ``Name: Value`` lines, curl config
+    ``header = Name: Value`` / ``-H "Name: Value"`` lines, ``#`` comments
+    and blanks — both formats may mix (args.rs:280-337)."""
+    headers: list[tuple[str, str]] = []
+    with open(path) as f:
+        for line_num, raw_line in enumerate(f, 1):
+            line = raw_line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line.startswith("header"):
+                stripped = line[len("header"):].lstrip()
+                candidate = stripped[1:].strip() if stripped.startswith("=") else line
+            elif line.startswith("-H"):
+                candidate = line[2:].strip().strip("\"'")
+            else:
+                candidate = line
+            try:
+                headers.append(parse_header_line(candidate))
+            except ValueError as e:
+                raise ValueError(
+                    f"Invalid header format at line {line_num} in '{path}': '{line}'\n{e}"
+                ) from None
+    return headers
+
+
+def client_call_headers(
+    fc: "FlightClientConfig | None",
+    cli_headers: "list[str] | tuple[str, ...]" = (),
+    cli_headers_file: str | None = None,
+) -> list[tuple[str, str]]:
+    """Headers for one FlightSQL client call: three-way merge, later
+    sources win (cli/mod.rs:877-906) — config headers (+auth derived as
+    an authorization header) < headers file (CLI flag or config
+    headers_file) < explicit header lines."""
+    import base64
+
+    merged: dict[str, str] = {}
+    if fc is not None:
+        if fc.bearer_token:
+            merged["authorization"] = f"Bearer {fc.bearer_token}"
+        elif fc.basic_auth:
+            tok = base64.b64encode(fc.basic_auth.encode()).decode()
+            merged["authorization"] = f"Basic {tok}"
+        for k, v in fc.headers.items():
+            merged.update([parse_header_line(f"{k}: {v}")])
+    headers_file = cli_headers_file or (fc.headers_file if fc else None)
+    if headers_file:
+        merged.update(parse_headers_file(headers_file))
+    for h in cli_headers:
+        merged.update([parse_header_line(h)])
+    return list(merged.items())
 
 
 def grpc_location(url: str) -> str:

@@ -498,9 +498,21 @@ def simhash_pairs(
       joint agreement, collapsing collision mass while staying EXACT:
       >= 2 agreeing chunks always share a pair-band.
     - r=1 (d = C-1): the plain one-chunk banding.
+
+    Contract: ``id_col`` must be an integral column (the vectorized
+    verify packs ids into int64 arrays and the output schema is long),
+    and ids are expected unique. A duplicated id never self-pairs
+    (dropped in the verify), but two rows sharing an id can emit
+    duplicate (doc1, doc2) rows — dedupe ids upstream.
     """
     if max_hamming >= SIMHASH_CHUNKS:
         raise ValueError("pigeonhole bands require max_hamming < number of chunks")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"simhash_pairs requires an integral id column, got {id_col}: {id_type} "
+            "(cast or surrogate-key upstream)"
+        )
     from itertools import combinations
 
     fp = simhash(df, id_col, text_col, method=method)
@@ -615,10 +627,13 @@ def simhash_pairs(
                 if not first.any():
                     return
                 a, b2 = ids_flat[pi[first]], ids_flat[pj[first]]
-                # index order within a bucket is arbitrary — order by id
-                out1.append(np.minimum(a, b2))
-                out2.append(np.maximum(a, b2))
-                outh.append(ham[first].astype(np.int64))
+                # index order within a bucket is arbitrary — order by
+                # id; a == b2 means a duplicated doc_id (two rows, one
+                # id): never a meaningful pair, so drop the self-pair
+                neq = a != b2
+                out1.append(np.minimum(a, b2)[neq])
+                out2.append(np.maximum(a, b2)[neq])
+                outh.append(ham[first][neq].astype(np.int64))
 
             two = sizes == 2  # the common case, en masse
             if two.any():
@@ -627,12 +642,20 @@ def simhash_pairs(
                 pj_buf.append(s2 + 1)
                 ck_buf.append(cks[two])
                 buffered += len(s2)
+            # cache triu indices only for small sizes (the mass of the
+            # distribution): all cached arrays together stay < 1 MB.
+            # Bigger buckets regenerate per bucket — an O(b²) allocation
+            # against O(b²) popcount math — because caching every
+            # distinct size up to BIG is worst-case gigabytes.
             triu_cache: dict = {}
             for idx in np.nonzero((sizes > 2) & (sizes <= BIG))[0]:
                 b = int(sizes[idx])
-                if b not in triu_cache:
-                    triu_cache[b] = np.triu_indices(b, 1)
-                ii, jj = triu_cache[b]
+                if b <= 64:
+                    if b not in triu_cache:
+                        triu_cache[b] = np.triu_indices(b, 1)
+                    ii, jj = triu_cache[b]
+                else:
+                    ii, jj = np.triu_indices(b, 1)
                 pi_buf.append(offs[idx] + ii)
                 pj_buf.append(offs[idx] + jj)
                 ck_buf.append(np.full(len(ii), cks[idx], dtype=np.int64))
@@ -662,9 +685,10 @@ def simhash_pairs(
                     if first.any():
                         a = subids[r0 + ri[first]]
                         b2 = subids[cj[first]]
-                        out1.append(np.minimum(a, b2))
-                        out2.append(np.maximum(a, b2))
-                        outh.append(ham[ri[first], cj[first]].astype(np.int64))
+                        neq = a != b2  # drop duplicated-doc_id self-pairs
+                        out1.append(np.minimum(a, b2)[neq])
+                        out2.append(np.maximum(a, b2)[neq])
+                        outh.append(ham[ri[first], cj[first]][neq].astype(np.int64))
             if out1:
                 yield pd.DataFrame(
                     {

@@ -241,6 +241,7 @@ def percentile_exact_refine(
             _RN,
             _LO,
             _HI,
+            _CLAMPED,
             # non-finite values pass through untouched: they only exist
             # in unclamped groups (clamped groups proved all-finite in
             # the probe), and Spark's "NaN > +inf" ordering would
@@ -252,17 +253,20 @@ def percentile_exact_refine(
             .alias(_VAL),
         )
     )
-    hist = clamped.groupBy(*gcols, _RN, _LO, _HI, _VAL).agg(
+    hist = clamped.groupBy(*gcols, _RN, _LO, _HI, _CLAMPED, _VAL).agg(
         F.count(F.lit(1)).alias(_CNT)
     )
-    bounds = _walk_bounds(hist, group_cols, f"__raw_{out_col}")
+    # _CLAMPED is constant per group, so riding it through the walk as
+    # an extra group key costs nothing — and avoids re-joining
+    # thresholds (whose lineage re-runs the whole probe aggregation)
+    # just to recover the flag.
+    bounds = _walk_bounds(hist, group_cols + [_CLAMPED], f"__raw_{out_col}")
     # Sketch-contract guard fused into the output column itself (cannot
     # be pruned): a target ordinal inside a sentinel bucket yields ±inf
     # or NaN and the query fails loudly instead of approximating. Scoped
     # to clamped groups — unclamped ones have no sentinels, so their
     # non-finite results are real data, not band misses.
     raw = F.col(f"__raw_{out_col}")
-    flags = F.broadcast(thresholds.select(*gcols, _CLAMPED))
     ok = (
         raw.isNull()
         | (F.col(_CLAMPED) == 0)
@@ -273,7 +277,7 @@ def percentile_exact_refine(
             "double"
         )
     )
-    bounds = bounds.join(flags, group_cols).select(*gcols, guarded.alias(out_col))
+    bounds = bounds.select(*gcols, guarded.alias(out_col))
     return probe.select(*gcols).join(bounds, group_cols, "left")
 
 

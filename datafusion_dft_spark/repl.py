@@ -256,21 +256,23 @@ class Repl:
     def _turn_page(self, delta: int) -> None:
         total = sum(b.num_rows for b in self._batches)
         new = max(0, self._page + delta)
-        start, _ = page_row_range(new)
+        start, _ = page_row_range(new, self.batch_size)
         if start < max(total, 1):
             self._page = new
         self._show_page()
 
     def _show_page(self) -> None:
-        page = extract_page(self._batches, self._page)
+        # batch_size IS the page size: a record batch is the TUI's unit
+        # of pagination (docs/config.md tui_batch_size)
+        page = extract_page(self._batches, self._page, self.batch_size)
         total = sum(b.num_rows for b in self._batches)
         if page.num_rows:
             self.echo(page.to_pandas().to_string(index=False))
-        start, end = page_row_range(self._page)
+        start, end = page_row_range(self._page, self.batch_size)
         self.echo(
             f"-- rows {min(start, total)}-{min(end, total)} of {total} "
             f"(page {self._page}; 'n' next, 'p' prev)"
-            if total > PAGE_SIZE
+            if total > self.batch_size
             else f"-- {total} row(s)"
         )
 

@@ -39,60 +39,70 @@ from ..observability import Observability
 from ..sql import prepare_statement, split_statements
 
 
+def _json_conv(v):
+    """JSON coercion shared by the local and flightsql response paths —
+    one converter so the two routings can never serialize a value
+    differently."""
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return base64.b64encode(v).decode()
+    if isinstance(v, dict):
+        return {k: _json_conv(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_conv(x) for x in v]
+    return v
+
+
 def _df_to_json_rows(df, limit: int) -> list[dict]:
     rows = df.limit(limit).collect()
-
-    def conv(v):
-        if isinstance(v, (dt.datetime, dt.date)):
-            return v.isoformat()
-        if isinstance(v, bytes):
-            return base64.b64encode(v).decode()
-        if isinstance(v, dict):
-            return {k: conv(x) for k, x in v.items()}
-        if isinstance(v, (list, tuple)):
-            return [conv(x) for x in v]
-        return v
-
-    return [{k: conv(v) for k, v in r.asDict(recursive=True).items()} for r in rows]
+    return [
+        {k: _json_conv(v) for k, v in r.asDict(recursive=True).items()} for r in rows
+    ]
 
 
-def _flight_exec(connection_url: str, sql: str, limit: int | None):
+def _flight_exec(
+    fc,
+    sql: str,
+    limit: int | None,
+    offset: int = 0,
+    timeout: float | None = None,
+):
     """Execute ``sql`` through the configured FlightSQL server and return
     (json_rows, schema_list) — the ``flightsql=true`` path of every HTTP
     endpoint (router.rs:88-172: ExecOptions routes execution through the
-    FlightSQL client instead of the local session)."""
+    FlightSQL client instead of the local session). Client auth/headers
+    come from the same [flightsql_client] merge the CLI uses, and
+    ``timeout`` bounds each gRPC call so routed requests honor the HTTP
+    timeout contract (the reference's TimeoutLayer covers all routes)."""
     import pyarrow.flight as fl
 
+    from ..config import client_call_headers
     from .flightsql_proto import encode_command
 
-    client = fl.FlightClient(_grpc_location(connection_url))
+    headers = client_call_headers(fc)
+    options = fl.FlightCallOptions(
+        timeout=timeout,
+        headers=[(k.encode(), v.encode()) for k, v in headers],
+    )
+    client = fl.FlightClient(_grpc_location(fc.connection_url))
     try:
         table = None
         for stmt in split_statements(sql):
             desc = fl.FlightDescriptor.for_command(
                 encode_command({"type": "statement", "query": stmt})
             )
-            info = client.get_flight_info(desc)
-            table = client.do_get(info.endpoints[0].ticket).read_all()
+            info = client.get_flight_info(desc, options)
+            table = client.do_get(info.endpoints[0].ticket, options).read_all()
     finally:
         client.close()
     if table is None:
         return [], []
+    if offset:
+        table = table.slice(offset)
     if limit is not None:
         table = table.slice(0, limit)
-
-    def conv(v):
-        if isinstance(v, (dt.datetime, dt.date)):
-            return v.isoformat()
-        if isinstance(v, bytes):
-            return base64.b64encode(v).decode()
-        if isinstance(v, dict):
-            return {k: conv(x) for k, x in v.items()}
-        if isinstance(v, (list, tuple)):
-            return [conv(x) for x in v]
-        return v
-
-    rows = [{k: conv(v) for k, v in r.items()} for r in table.to_pylist()]
+    rows = [{k: _json_conv(v) for k, v in r.items()} for r in table.to_pylist()]
     schema = [{"name": f.name, "type": str(f.type)} for f in table.schema]
     return rows, schema
 
@@ -174,7 +184,9 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
         except Exception as e:
             metrics["requests_failed"] += 1
             ms = int((time.perf_counter() - t0) * 1000)
-            if timed_out.is_set():
+            # flightsql-routed requests time out via the per-call gRPC
+            # deadline rather than the Spark job-group cancel
+            if timed_out.is_set() or type(e).__name__ == "FlightTimedOutError":
                 obs.record(path, sql, ms, None, 408)
                 return jsonify({"error": f"query exceeded {config.http.timeout_seconds}s timeout"}), 408
             obs.record(path, sql, ms, None, 400)
@@ -226,8 +238,16 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
                     limit = int(limit_raw)
                 except (TypeError, ValueError):
                     raise ValueError(f"'limit' must be an integer, got {limit_raw!r}")
+                try:
+                    offset = int(offset_raw)
+                except (TypeError, ValueError):
+                    raise ValueError(f"'offset' must be an integer, got {offset_raw!r}")
                 rows, schema = _flight_exec(
-                    config.flightsql_client.connection_url, sql, limit
+                    config.flightsql_client,
+                    sql,
+                    limit,
+                    offset=max(offset, 0),
+                    timeout=config.http.timeout_seconds,
                 )
                 return {"rows": rows, "schema": schema}, len(rows)
 
@@ -271,9 +291,24 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
 
             def run_flight():
                 rows, _ = _flight_exec(
-                    config.flightsql_client.connection_url, "SHOW TABLES", None
+                    config.flightsql_client,
+                    "SHOW TABLES",
+                    None,
+                    timeout=config.http.timeout_seconds,
                 )
-                return {"tables": rows}, len(rows)
+                # normalize SHOW TABLES rows into the documented /catalog
+                # shape so the routing flag changes execution, not the
+                # API contract
+                tables = [
+                    {
+                        "catalog": None,
+                        "database": r.get("namespace") or None,
+                        "name": r.get("tableName"),
+                        "type": "TEMPORARY" if r.get("isTemporary") else "TABLE",
+                    }
+                    for r in rows
+                ]
+                return {"tables": tables}, len(tables)
 
             return guarded("/catalog", "SHOW TABLES", run_flight)
 
@@ -298,9 +333,10 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
 
             def run_flight():
                 rows, _ = _flight_exec(
-                    config.flightsql_client.connection_url,
+                    config.flightsql_client,
                     f"{sql} LIMIT {config.http.result_limit}",
                     config.http.result_limit,
+                    timeout=config.http.timeout_seconds,
                 )
                 return {"rows": rows}, len(rows)
 

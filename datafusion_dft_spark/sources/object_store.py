@@ -115,24 +115,28 @@ def s3_conf_entries(cfg: S3Config) -> dict[str, str]:
     # Credential resolution (docs/config.md): with use_credential_chain
     # the provider list starts at the TOML credentials (override) and
     # falls through env vars → web identity/container → instance
-    # profile — s3a's chain equivalents. Without it (default), the
-    # provider is PINNED to the static-credential providers so an
-    # unintended ambient AWS identity can never be picked up.
+    # profile — s3a's chain equivalents. Without it (default), a bucket
+    # that DOES carry static TOML credentials is PINNED to the
+    # static-credential provider so an unintended ambient AWS identity
+    # can never shadow them; a keyless entry (bucket + endpoint only)
+    # keeps s3a's own default resolution, preserving pre-existing
+    # configs that rely on it.
     static_provider = (
         "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
         if cfg.aws_session_token
         else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
     )
+    has_static = bool(cfg.aws_access_key_id or cfg.aws_session_token)
     if cfg.use_credential_chain:
-        out[f"{pre}.aws.credentials.provider"] = ",".join(
-            [
-                static_provider,
-                "com.amazonaws.auth.EnvironmentVariableCredentialsProvider",
-                "com.amazonaws.auth.WebIdentityTokenCredentialsProvider",
-                "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider",
-            ]
-        )
-    else:
+        chain = [
+            "com.amazonaws.auth.EnvironmentVariableCredentialsProvider",
+            "com.amazonaws.auth.WebIdentityTokenCredentialsProvider",
+            "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider",
+        ]
+        if has_static:
+            chain.insert(0, static_provider)
+        out[f"{pre}.aws.credentials.provider"] = ",".join(chain)
+    elif has_static:
         out[f"{pre}.aws.credentials.provider"] = static_provider
     if cfg.aws_endpoint:
         out[f"{pre}.endpoint"] = cfg.aws_endpoint

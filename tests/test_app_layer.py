@@ -565,6 +565,11 @@ def test_batch_size_knobs_reach_apps(spark):
     # partition chunks) — the pagination unit never exceeds the knob
     assert sum(b.num_rows for b in r._batches) == 35
     assert max(b.num_rows for b in r._batches) <= 10
+    # and the knob IS the page size, user-visibly
+    assert any("rows 0-10 of 35" in line for line in out)
+    out.clear()
+    r.feed("n")
+    assert any("rows 10-20 of 35" in line for line in out)
 
     cfg = parse_config({"shared": {"execution": {"flightsql_server_batch_size": 123}}})
     assert cfg.flightsql.stream_batch_rows == 123

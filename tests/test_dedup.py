@@ -154,3 +154,23 @@ def test_simhash_bucket_verify_matches_brute_force_all_paths(spark):
             want[(ids[a_i], ids[b_i])] = h
     assert len(got) == len(want)  # exactly-once: no multiplicity leaks
     assert got == want
+
+
+def test_simhash_pairs_duplicate_ids_never_self_pair(spark):
+    """A duplicated doc_id (two rows, one id) must not emit (a, a) —
+    and the id-type contract errors clearly for non-integral ids."""
+    import pytest as _pytest
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),  # same id twice
+        (2, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dd.simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    assert all(r.doc1 != r.doc2 for r in got)
+    assert {(r.doc1, r.doc2) for r in got} == {(1, 2)}
+
+    strs = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with _pytest.raises(TypeError, match="integral id column"):
+        dd.simhash_pairs(strs, "doc_id", "text")

@@ -170,14 +170,29 @@ def test_s3_credential_chain_opt_in():
         static[f"{pre}.aws.credentials.provider"]
         == "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
     )
-    chain = s3_conf_entries(S3Config(bucket_name="b", use_credential_chain=True))
+    chain = s3_conf_entries(
+        S3Config(
+            bucket_name="b",
+            aws_access_key_id="K",
+            aws_secret_access_key="S",
+            use_credential_chain=True,
+        )
+    )
     prov = chain[f"{pre}.aws.credentials.provider"]
     assert prov.startswith("org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider,")
     assert "IAMInstanceCredentialsProvider" in prov
-    # session token flips the static head of either mode to Temporary
+    # session token flips the static head to Temporary
     tok = s3_conf_entries(
         S3Config(bucket_name="b", aws_session_token="t", use_credential_chain=True)
     )
     assert tok[f"{pre}.aws.credentials.provider"].startswith(
         "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider,"
+    )
+    # keyless entries keep s3a's own default resolution (no pin) so
+    # pre-existing ambient-credential configs keep working
+    keyless = s3_conf_entries(S3Config(bucket_name="b", aws_endpoint="http://m"))
+    assert f"{pre}.aws.credentials.provider" not in keyless
+    keyless_chain = s3_conf_entries(S3Config(bucket_name="b", use_credential_chain=True))
+    assert keyless_chain[f"{pre}.aws.credentials.provider"].startswith(
+        "com.amazonaws.auth.EnvironmentVariableCredentialsProvider,"
     )
