@@ -1,0 +1,127 @@
+"""DataFusion SQL dialect compatibility — scalar-function surface.
+
+The reference's SQL dialect is DataFusion's default function registry
+(``with_default_features``, extensions/builder.rs:192): a user moving
+their saved queries over expects DataFusion's function NAMES to
+resolve. Most of the library overlaps Spark name-for-name (md5, upper,
+coalesce, date_trunc, ...); this module carries the names that don't,
+with two mechanisms, cheapest first:
+
+- **Pure renames** (identical argument order and semantics):
+  substituted in the SQL text by ``sql.prepare_statement`` — zero
+  runtime cost, the query plans exactly as if the Spark name had been
+  written.
+- **SQL UDFs** (Spark 4 ``CREATE TEMPORARY FUNCTION ... RETURN expr``)
+  where arguments need reordering or composition (``strpos``,
+  ``digest``, ``date_bin``): the body is a pure Catalyst expression, so
+  it inlines into the caller's plan and constant-folds / codegens like
+  a builtin — no UDF evaluation barrier, no Python.
+
+Known non-carryable divergence (documented, loud rather than silent):
+
+- ``from_unixtime``: DataFusion returns TIMESTAMP, Spark's builtin
+  returns STRING and builtins cannot be shadowed by SQL UDFs
+  (CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF). Port queries to
+  ``to_timestamp_seconds`` (carried) for DataFusion semantics.
+- ``arrow_cast``: Arrow type names have no Spark equivalent; use CAST.
+- ``date_bin`` is registered at DataFusion's common 2-argument form
+  (origin = unix epoch, matching DataFusion's default). The 3-argument
+  form or a year-month stride fails analysis loudly (wrong arity /
+  interval type), never approximates.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+# DataFusion name -> Spark name, argument-for-argument identical.
+RENAMES: dict[str, str] = {
+    # arrays (DataFusion names most of these list_* too)
+    "make_array": "array",
+    "make_list": "array",
+    "array_has": "array_contains",
+    "list_has": "array_contains",
+    "array_has_any": "arrays_overlap",
+    "list_has_any": "arrays_overlap",
+    "array_to_string": "array_join",
+    "list_to_string": "array_join",
+    "array_length": "cardinality",  # 1-arg form; dimension arg fails loudly
+    "list_length": "cardinality",
+    "array_concat": "concat",
+    "list_concat": "concat",
+    "generate_series": "sequence",
+    # introspection / misc
+    "arrow_typeof": "typeof",
+    "random": "rand",
+    "to_hex": "hex",
+    # strings
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    # timestamps
+    "to_timestamp_seconds": "timestamp_seconds",
+    "to_timestamp_millis": "timestamp_millis",
+    "to_timestamp_micros": "timestamp_micros",
+    "today": "current_date",
+}
+
+_RENAME_RE = re.compile(
+    r"(?i)\b(" + "|".join(sorted(RENAMES, key=len, reverse=True)) + r")\s*\("
+)
+
+# SQL UDF bodies: pure Catalyst expressions, inlined at plan time.
+# date_bin floors toward -inf via pmod (exact integer arithmetic on
+# epoch micros — no double rounding near bucket edges), so pre-epoch
+# timestamps bin identically to DataFusion's implementation.
+_SQL_UDFS: dict[str, str] = {
+    "strpos": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
+        "RETURNS INT RETURN locate(sub, s)"
+    ),
+    "to_unixtime": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP) "
+        "RETURNS BIGINT RETURN unix_seconds(ts)"
+    ),
+    "digest": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION digest(s STRING, algo STRING) "
+        "RETURNS BINARY RETURN unhex(CASE lower(algo) "
+        "WHEN 'md5' THEN md5(s) "
+        "WHEN 'sha224' THEN sha2(s, 224) "
+        "WHEN 'sha256' THEN sha2(s, 256) "
+        "WHEN 'sha384' THEN sha2(s, 384) "
+        "WHEN 'sha512' THEN sha2(s, 512) "
+        "ELSE raise_error(concat('digest: unsupported algorithm ', algo)) END)"
+    ),
+    "date_bin": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_bin("
+        "stride INTERVAL DAY TO SECOND, source TIMESTAMP) "
+        "RETURNS TIMESTAMP RETURN timestamp_micros("
+        "unix_micros(source) - pmod(unix_micros(source), "
+        "CAST(extract(DAY FROM stride) AS BIGINT)*86400000000 "
+        "+ CAST(extract(HOUR FROM stride) AS BIGINT)*3600000000 "
+        "+ CAST(extract(MINUTE FROM stride) AS BIGINT)*60000000 "
+        "+ CAST(extract(SECOND FROM stride)*1000000 AS BIGINT)))"
+    ),
+}
+
+
+def rewrite_function_names(sql: str) -> str:
+    """Substitute DataFusion function names with their Spark spellings.
+
+    Word-boundary + open-paren match, same convention as the JSON
+    rewrites in ``sql.py`` — a rename token inside a string literal
+    followed by ``(`` is the accepted (vanishingly unlikely) false
+    positive of the regex approach used across this frontend.
+    """
+    return _RENAME_RE.sub(lambda m: RENAMES[m.group(1).lower()] + "(", sql)
+
+
+def register_compat_functions(spark: SparkSession) -> None:
+    """Install the SQL-UDF half of the dialect shim on this session.
+
+    Idempotent (CREATE OR REPLACE). Called from the app-layer session
+    bootstrap; engine-internal code never depends on these names.
+    """
+    for stmt in _SQL_UDFS.values():
+        spark.sql(stmt)

@@ -63,6 +63,24 @@ from . import flightsql_proto as fsp
 MAX_STORED_PLANS = 256
 
 
+class _DeferredCopyScript:
+    """A COPY-ending script held unexecuted between GetFlightInfo and
+    DoGet (see ``_plan_statement``). Exposes a Spark-style ``schema``
+    so ``_spark_to_arrow_schema`` treats it like a planned DataFrame."""
+
+    def __init__(self, spark, sql: str):
+        from pyspark.sql import types as T
+
+        self._spark, self._sql = spark, sql
+        self.schema = T.StructType([T.StructField("count", T.LongType(), False)])
+
+    def execute(self):
+        df = None
+        for stmt in split_statements(self._sql):
+            df = self._spark.sql(prepare_statement(self._spark, stmt))
+        return df
+
+
 @dataclass
 class PreparedStatementHandle:
     """service.rs:55-62 — stored plan + schemas + creation time."""
@@ -167,6 +185,24 @@ class DftFlightServer(fl.FlightServerBase):
         if df is None:
             raise fl.FlightServerError("empty SQL statement")
         return df
+
+    def _plan_statement(self, sql: str):
+        """Plan a direct statement for GetFlightInfo.
+
+        COPY is side-effecting, and the reference's GetFlightInfo is
+        schema-only (plan at GetFlightInfo, execute at DoGet,
+        service.rs:87-226) — but ``prepare_statement`` performs the
+        export during its rewrite. So a script whose result is a COPY
+        count (COPY is the final statement) is stored UNEXECUTED and
+        each DoGet runs it fresh: GetFlightInfo/get_schema never write,
+        and re-fetching the ticket re-copies (execute-per-run). The
+        schema needs no execution — COPY always yields ``count BIGINT``.
+        A script with a COPY in the middle still plans eagerly: its
+        result schema can depend on the side effect having happened."""
+        stmts = split_statements(sql)
+        if stmts and contains_copy(stmts[-1]):
+            return _DeferredCopyScript(self._spark, sql)
+        return self._sql_to_df(sql)
 
     def _parse_command(self, raw: bytes) -> tuple[dict, bool]:
         """Decode a command envelope: protobuf Any (the reference's
@@ -292,7 +328,7 @@ class DftFlightServer(fl.FlightServerBase):
         try:
             if t == "statement":
                 sql = cmd["query"]
-                df = self._sql_to_df(sql)
+                df = self._plan_statement(sql)
             elif t == "prepared_statement":
                 with self._lock:
                     handle = self._prepared.get(cmd["handle"])
@@ -343,6 +379,8 @@ class DftFlightServer(fl.FlightServerBase):
         if df is None:
             self._record(start, request_id, "/do_get_statement", None, 13)
             raise fl.FlightServerError(f"plan not found for id {request_id}")
+        if isinstance(df, _DeferredCopyScript):
+            df = df.execute()  # the COPY side effect happens here, per DoGet
         cap = self._flight_conf.result_limit
         if cap and cap > 0:
             df = df.limit(cap)

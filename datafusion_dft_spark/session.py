@@ -74,6 +74,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # DataFusion-dialect function names (strpos, date_bin, ...) resolve
+    # on every app-built session; see functions/compat.py
+    from .functions.compat import register_compat_functions
+
+    register_compat_functions(spark)
     return spark
 
 

@@ -167,14 +167,21 @@ def write_any(
     mode: str = "overwrite",
     single_file: bool = False,
     partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> str:
     """Write ``df`` to ``path`` in the suffix-inferred format.
 
     ``partition_by`` produces a hive-layout directory tree
     (``col=value/``) — the COPY ... PARTITIONED BY path; incompatible
     with ``single_file`` and the driver-side arrow/vortex writers.
+    ``options`` are Spark writer options (COPY OPTIONS, already mapped
+    by ``sql._parse_copy_options``) layered over the csv header
+    default; they apply to the Spark writer formats only (arrow/vortex
+    go through the driver-side pyarrow path, which takes none).
     """
     fmt = fmt or infer_format(path)
+    if options and fmt in ("arrow", "vortex"):
+        raise ValueError(f"COPY OPTIONS are not supported for {fmt}")
     if partition_by:
         if single_file:
             raise ValueError("partition_by and single_file are mutually exclusive")
@@ -183,12 +190,16 @@ def write_any(
         writer = df.write.mode(mode).partitionBy(*partition_by)
         if fmt == "csv":
             writer = writer.option("header", "true")
+        if options:
+            writer = writer.options(**options)
         writer.format(fmt).save(path)
         return path
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if options:
+        writer = writer.options(**options)
     if fmt == "arrow":
         import pyarrow as pa
         import pyarrow.ipc as ipc
@@ -221,6 +232,7 @@ def copy_to(
     path: str,
     fmt: str | None = None,
     partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> int:
     """SQL-level export: ``COPY (query) TO 'file'`` equivalent.
 
@@ -240,5 +252,12 @@ def copy_to(
     df = spark.sql(query)
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    write_any(df, path, fmt=fmt, single_file=not partition_by, partition_by=partition_by)
+    write_any(
+        df,
+        path,
+        fmt=fmt,
+        single_file=not partition_by,
+        partition_by=partition_by,
+        options=options,
+    )
     return int(obs.get["rows"])

@@ -29,6 +29,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.compat import rewrite_function_names
+
 _EXT_FMT = {
     ".parquet": "parquet",
     ".csv": "csv",
@@ -296,11 +298,7 @@ def _rewrite_copy(spark: SparkSession, stmt: str) -> str | None:
         fmt = "json"
     cols = tmatch.group("cols")
     partition_by = [c.strip().strip("`\"") for c in cols.split(",")] if cols else None
-    if tmatch.group("opts") and tmatch.group("opts").strip():
-        raise ValueError(
-            "COPY OPTIONS are not supported; use STORED AS for the format "
-            f"(got: {tmatch.group('opts').strip()[:80]!r})"
-        )
+    options = _parse_copy_options(tmatch.group("opts"))
     from .sources.io import copy_to
 
     n = copy_to(
@@ -309,8 +307,57 @@ def _rewrite_copy(spark: SparkSession, stmt: str) -> str | None:
         path,
         fmt=fmt,
         partition_by=partition_by,
+        options=options,
     )
     return f"SELECT CAST({n} AS BIGINT) AS count"
+
+
+# DataFusion OPTIONS key (bare/'quoted', 'format.'-prefixed or not) ->
+# Spark DataFrameWriter option name. Anything else raises — silently
+# dropping a compression/header request would corrupt the contract.
+_COPY_OPTION_KEYS = {
+    "compression": "compression",
+    "delimiter": "sep",
+    "has_header": "header",
+    "quote": "quote",
+    "escape": "escape",
+    "null_value": "nullValue",
+    "date_format": "dateFormat",
+    "timestamp_format": "timestampFormat",
+}
+_COPY_OPT_PAIR_RE = re.compile(
+    r"\s*(?:'(?P<qk>[^']*)'|(?P<k>[A-Za-z_][\w.]*))\s*"
+    r"(?:=|\s)\s*(?:'(?P<qv>[^']*)'|(?P<v>[^\s,]+))\s*$"
+)
+
+
+def _parse_copy_options(opts: str | None) -> dict[str, str]:
+    """``OPTIONS ('format.compression' 'zstd', delimiter ';')`` →
+    Spark writer options. DataFusion's key-value pairs are comma-
+    separated with space or ``=`` between key and value; keys and
+    values may each be quoted or bare, keys may carry the ``format.``
+    namespace prefix. A ``zstd(level)`` compression spec keeps the
+    codec and drops the level (Spark's writer takes codec names only)."""
+    if not opts or not opts.strip():
+        return {}
+    out: dict[str, str] = {}
+    for pair in opts.split(","):
+        m = _COPY_OPT_PAIR_RE.match(pair)
+        if not m:
+            raise ValueError(f"COPY OPTIONS: unrecognized pair {pair.strip()!r}")
+        key = (m.group("qk") or m.group("k")).lower()
+        val = m.group("qv") if m.group("qv") is not None else m.group("v")
+        if key.startswith("format."):
+            key = key[len("format."):]
+        if key not in _COPY_OPTION_KEYS:
+            raise ValueError(
+                f"COPY OPTIONS: unsupported key {key!r} "
+                f"(supported: {', '.join(sorted(_COPY_OPTION_KEYS))})"
+            )
+        if key == "compression":
+            val = re.sub(r"\(\d+\)$", "", val.strip())
+        out[_COPY_OPTION_KEYS[key]] = val
+    return out
 
 
 def contains_copy(sql: str) -> bool:
@@ -336,6 +383,7 @@ def prepare_statement(spark: SparkSession, stmt: str) -> str:
         return cp
     stmt = _rewrite_url_tables(stmt)
     stmt = _rewrite_json_functions(stmt)
+    stmt = rewrite_function_names(stmt)
     stmt = _rewrite_parquet_metadata(spark, stmt)
     stmt = _rewrite_information_schema(spark, stmt)
     return stmt

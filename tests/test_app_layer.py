@@ -474,16 +474,39 @@ def test_copy_statement_partitioned_by(spark, sf_dir, tmp_path):
     assert back.count() == n
 
 
-def test_copy_statement_rejects_options(spark, sf_dir, tmp_path):
+def test_copy_statement_options(spark, sf_dir, tmp_path):
+    """DataFusion's COPY OPTIONS: compression reaches the parquet
+    writer (codec visible in the footer; `zstd(level)` keeps the
+    codec), csv delimiter/has_header reach the csv writer, and unknown
+    keys still raise rather than silently dropping a request."""
+    import pyarrow.parquet as pq
     import pytest as _pytest
 
     from datafusion_dft_spark.sql import execute_sql
 
     register_views(spark, sf_dir)
-    with _pytest.raises(ValueError, match="OPTIONS"):
+    import glob
+
+    out = str(tmp_path / "x.parquet")
+    execute_sql(spark, f"COPY region TO '{out}' OPTIONS ('compression' 'zstd(5)')")
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    meta = pq.ParquetFile(part).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+
+    csv_out = str(tmp_path / "r.csv")
+    execute_sql(
+        spark,
+        f"COPY region TO '{csv_out}' STORED AS CSV "
+        "OPTIONS (format.delimiter ';', 'has_header' 'false')",
+    )
+    with open(glob.glob(f"{csv_out}/part-*")[0]) as f:
+        first = f.readline()
+    assert ";" in first and "r_regionkey" not in first  # no header row
+
+    with _pytest.raises(ValueError, match="unsupported key"):
         execute_sql(
             spark,
-            f"COPY region TO '{tmp_path / 'x.parquet'}' OPTIONS (compression 'zstd')",
+            f"COPY region TO '{tmp_path / 'y.parquet'}' OPTIONS (row_group_size '1000')",
         )
 
 

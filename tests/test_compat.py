@@ -1,0 +1,117 @@
+"""DataFusion SQL-dialect compatibility shim (functions/compat.py).
+
+A user of the reference brings queries written against DataFusion's
+default function registry (extensions/builder.rs:192); these tests run
+that surface through the SQL frontend and check semantics against
+DuckDB (which shares most of the names) or exact expected values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from datafusion_dft_spark.catalog import register_views
+from datafusion_dft_spark.functions.compat import rewrite_function_names
+from datafusion_dft_spark.sql import execute_sql
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+def _one(spark, sql):
+    return execute_sql(spark, sql)[-1].collect()[0]
+
+
+def test_rename_rewrite_text():
+    out = rewrite_function_names(
+        "SELECT make_array(1), ARRAY_HAS(a, 1), arrow_typeof(x), to_hex(9), "
+        "starts_with(s, 'a'), to_timestamp_seconds(9), today()"
+    )
+    assert out == (
+        "SELECT array(1), array_contains(a, 1), typeof(x), hex(9), "
+        "startswith(s, 'a'), timestamp_seconds(9), current_date()"
+    )
+    # non-calls and prefixed names stay untouched
+    assert rewrite_function_names("SELECT my_random(1), random_x, random") == (
+        "SELECT my_random(1), random_x, random"
+    )
+
+
+def test_strpos_differential(spark, duckcon):
+    q = "SELECT n_name, strpos(n_name, 'N_1') AS p FROM nation"
+    got = {(r.n_name, r.p) for r in execute_sql(spark, q)[-1].collect()}
+    want = {tuple(r) for r in duckcon.sql(q).fetchall()}
+    assert got == want
+    assert any(p > 0 for _, p in got) and any(p == 0 for _, p in got)
+
+
+@pytest.mark.parametrize(
+    "interval,seconds",
+    [("INTERVAL '15' MINUTE", 900), ("INTERVAL '1' HOUR", 3600), ("INTERVAL '90' SECOND", 90)],
+)
+def test_date_bin_differential(spark, duckcon, interval, seconds):
+    """date_bin floors to epoch-aligned buckets (DataFusion's 2-arg
+    default origin), including pre-epoch timestamps — oracle is exact
+    epoch arithmetic in DuckDB over the events corpus plus a pinned
+    pre-epoch literal."""
+    got = {
+        r.b
+        for r in execute_sql(
+            spark,
+            f"SELECT date_bin({interval}, ts) AS b FROM events "
+            f"UNION ALL SELECT date_bin({interval}, TIMESTAMP '1969-12-31 22:31:07')",
+        )[-1].collect()
+    }
+    want = {
+        r[0]
+        for r in duckcon.sql(
+            f"SELECT to_timestamp(floor(epoch(ts) / {seconds}) * {seconds})::TIMESTAMP AS b FROM events "
+            f"UNION ALL SELECT to_timestamp(floor(epoch(TIMESTAMP '1969-12-31 22:31:07') / {seconds}) * {seconds})::TIMESTAMP"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_array_renames(spark):
+    r = _one(
+        spark,
+        "SELECT make_array(1, 2, 3) AS a, array_has(make_array(1, 2), 2) AS h, "
+        "array_to_string(make_array('a', 'b'), '-') AS s, "
+        "array_length(make_array(1, 2, 3)) AS n, "
+        "array_concat(make_array(1), make_array(2)) AS c, "
+        "array_has_any(make_array(1, 2), make_array(2, 9)) AS o, "
+        "generate_series(1, 4) AS g",
+    )
+    assert r.a == [1, 2, 3] and r.h is True and r.s == "a-b"
+    assert r.n == 3 and r.c == [1, 2] and r.o is True and r.g == [1, 2, 3, 4]
+
+
+def test_digest_matches_hashlib(spark):
+    for algo in ("md5", "sha224", "sha256", "sha384", "sha512"):
+        r = _one(spark, f"SELECT digest('datafusion', '{algo}') AS d")
+        assert r.d == getattr(hashlib, algo)(b"datafusion").digest()
+    with pytest.raises(Exception, match="unsupported algorithm"):
+        _one(spark, "SELECT digest('x', 'crc32') AS d")
+
+
+def test_timestamp_and_misc(spark):
+    r = _one(
+        spark,
+        "SELECT to_timestamp_seconds(60) AS ts, to_unixtime(to_timestamp_seconds(60)) AS u, "
+        "to_timestamp_millis(1500) AS tm, to_timestamp_micros(1500000) AS tu, "
+        "arrow_typeof(1.5) AS t, to_hex(255) AS h, today() = current_date() AS today_ok",
+    )
+    assert r.u == 60 and r.ts.minute == 1
+    assert r.tm == r.tu  # 1500 ms == 1500000 us
+    assert "decimal" in r.t and r.h == "FF" and r.today_ok is True
+    # starts_with / ends_with / random() resolve
+    r2 = _one(
+        spark,
+        "SELECT starts_with('spark', 'sp') AS a, ends_with('spark', 'rk') AS b, "
+        "random() >= 0 AS c",
+    )
+    assert r2.a is True and r2.b is True and r2.c is True

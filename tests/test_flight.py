@@ -161,6 +161,26 @@ def test_prepared_copy_rejected(client, tmp_path):
     assert not out.exists()
 
 
+def test_statement_copy_deferred_to_do_get(client, tmp_path):
+    """GetFlightInfo is schema-only (service.rs:87-226): a direct COPY
+    statement must not write at info time; the export happens at DoGet,
+    and re-fetching the ticket re-copies (execute-per-run)."""
+    out = tmp_path / "deferred.parquet"
+    desc = _cmd({"type": "statement", "query": f"COPY region TO '{out}'"})
+    info = client.get_flight_info(desc)
+    assert [(f.name, str(f.type)) for f in info.schema] == [("count", "int64")]
+    assert not out.exists()  # schema-only: no side effect yet
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("count").to_pylist() == [5]
+    assert out.exists()
+    # re-execution re-copies rather than serving a stale count
+    mtime = out.stat().st_mtime_ns
+    info2 = client.get_flight_info(desc)
+    table2 = client.do_get(info2.endpoints[0].ticket).read_all()
+    assert table2.column("count").to_pylist() == [5]
+    assert out.stat().st_mtime_ns != mtime
+
+
 def test_list_actions(client):
     kinds = {a.type for a in client.list_actions()}
     assert kinds == {

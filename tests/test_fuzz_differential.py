@@ -295,3 +295,122 @@ def date_fn_query(draw):
 @given(sql=date_fn_query())
 def test_fuzz_date_functions(spark, duckcon, views, sql):
     _compare(spark, duckcon, sql)
+
+
+@st.composite
+def regexp_query(draw):
+    """§2.8 regex functions over the RE2∩Java-portable pattern subset
+    (the PII-module convention: no \\d classes, no lookaround — both
+    engines compile these identically). regexp_extract group indices
+    are explicit in every call: Spark defaults to group 1, DuckDB to
+    group 0, so a bare two-arg call is a real dialect difference."""
+    col = draw(st.sampled_from(["p_name", "p_type", "p_brand"]))
+    pat, grp = draw(
+        st.sampled_from(
+            [
+                ("([a-z]+)", 1),
+                ("([A-Z]+)#?([0-9]+)", 2),
+                ("^([A-Za-z]+)", 0),
+                ("([aeiou][a-z])", 1),
+                ("([0-9]+)$", 1),
+            ]
+        )
+    )
+    pred = draw(st.integers(min_value=1, max_value=9))
+    return (
+        f"SELECT regexp_extract({col}, '{pat}', {grp}) AS g, count(*) AS m, "
+        f"min(p_partkey) AS mn FROM part WHERE p_size <= {pred * 5} "
+        f"GROUP BY regexp_extract({col}, '{pat}', {grp})"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=regexp_query())
+def test_fuzz_regexp_functions(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    target=st.sampled_from(["[0-9]", "[A-Z]", "a", "[aeiou]"]),
+    repl=st.sampled_from(["_", "", "<>"]),
+)
+def test_fuzz_regexp_replace_global(spark, duckcon, views, target, repl):
+    """regexp_replace replaces ALL matches in Spark (and DataFusion,
+    whose default flags are global) but only the FIRST in DuckDB — the
+    oracle needs the explicit 'g' flag. Paired SQL, same semantics."""
+    base = (
+        "SELECT regexp_replace(p_name, '{p}', '{r}'{flag}) AS g, count(*) AS m "
+        "FROM part WHERE p_size <= 20 GROUP BY 1"
+    )
+    s_rows = _rows(
+        [tuple(r) for r in spark.sql(base.format(p=target, r=repl, flag="")).collect()]
+    )
+    o_rows = _rows(
+        [tuple(r) for r in duckcon.sql(base.format(p=target, r=repl, flag=", 'g'")).fetchall()]
+    )
+    assert s_rows == o_rows
+
+
+@st.composite
+def array_fn_query(draw):
+    """§2.8 array functions, written in DATAFUSION spellings and routed
+    through prepare_statement so the compat rename layer is itself
+    under differential test (DuckDB happens to accept the same names:
+    array_to_string / array_contains / array_distinct)."""
+    delim = draw(st.sampled_from([" ", "a", "e"]))
+    probe = draw(st.sampled_from(["STEEL", "BRASS", "PLATED", "x"]))
+    expr = draw(
+        st.sampled_from(
+            [
+                "array_to_string(split(p_type, '{d}'), '|')",
+                "array_contains(split(p_type, '{d}'), '{w}')",
+                "array_contains(array_distinct(split(p_type, '{d}')), '{w}')",
+            ]
+        )
+    ).format(d=delim, w=probe)
+    pred = draw(st.integers(min_value=1, max_value=9))
+    return (
+        f"SELECT {expr} AS g, count(*) AS m, min(p_partkey) AS mn "
+        f"FROM part WHERE p_size <= {pred * 5} GROUP BY {expr}"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=array_fn_query())
+def test_fuzz_array_functions_through_compat(spark, duckcon, views, sql):
+    from datafusion_dft_spark.sql import execute_sql
+
+    s_rows = _rows([tuple(r) for r in execute_sql(spark, sql)[-1].collect()])
+    o_rows = _rows([tuple(r) for r in duckcon.sql(sql).fetchall()])
+    assert s_rows == o_rows, f"compat-path mismatch for:\n{sql}"
+
+
+@st.composite
+def bitwise_cast_query(draw):
+    """Bitwise &,| (identical precedence/semantics in both engines —
+    ^ is EXCLUDED: xor in Spark, power in DuckDB) and try_cast null
+    semantics on malformed input."""
+    k = draw(st.integers(min_value=1, max_value=255))
+    expr = draw(
+        st.sampled_from(
+            [
+                "l_suppkey & {k}",
+                "l_suppkey | {k}",
+                "(l_partkey & 15) | (l_suppkey & {k})",
+                "try_cast(concat('x', l_returnflag) AS BIGINT)",
+                "coalesce(try_cast(l_returnflag AS BIGINT), l_linenumber)",
+            ]
+        )
+    ).format(k=k)
+    qty = draw(st.integers(min_value=5, max_value=45))
+    return (
+        f"SELECT CAST({expr} AS BIGINT) AS g, count(*) AS m "
+        f"FROM lineitem WHERE l_quantity <= {qty} GROUP BY CAST({expr} AS BIGINT)"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=bitwise_cast_query())
+def test_fuzz_bitwise_and_try_cast(spark, duckcon, views, sql):
+    _compare(spark, duckcon, sql)
