@@ -55,7 +55,8 @@ RENAMES: dict[str, str] = {
     # introspection / misc
     "arrow_typeof": "typeof",
     "random": "rand",
-    "to_hex": "hex",
+    # NOT a rename: to_hex is lowercase in DataFusion, Spark's hex is
+    # uppercase — carried as a SQL UDF below
     # strings
     "starts_with": "startswith",
     "ends_with": "endswith",
@@ -78,6 +79,11 @@ _SQL_UDFS: dict[str, str] = {
     "strpos": (
         "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
         "RETURNS INT RETURN locate(sub, s)"
+    ),
+    "to_hex": (
+        # DataFusion emits lowercase hex; Spark's hex() is uppercase
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_hex(x BIGINT) "
+        "RETURNS STRING RETURN lower(hex(x))"
     ),
     "to_unixtime": (
         "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP) "
@@ -106,6 +112,57 @@ _SQL_UDFS: dict[str, str] = {
 }
 
 
+# `extract(epoch FROM x)` / `date_part('epoch', x)`: DataFusion (and
+# DuckDB) return fractional SECONDS as a double; Spark's EXTRACT has no
+# epoch field at all. Rewritten to exact micros arithmetic; CAST covers
+# DATE inputs, which epoch-extract accepts in DataFusion.
+_EPOCH_OPEN_RE = re.compile(
+    r"(?i)\b(?:extract\s*\(\s*epoch\s+FROM\s+|date_part\s*\(\s*'epoch'\s*,\s*)"
+)
+
+
+def _balanced_end(sql: str, start: int) -> int:
+    """Index of the ``)`` closing the call whose argument starts at
+    ``start`` (depth 1), honoring quoted strings — the COPY parser's
+    scanner convention."""
+    depth, j, n, in_s = 1, start, len(sql), None
+    while j < n:
+        ch = sql[j]
+        if in_s:
+            if ch == "\\" and j + 1 < n:
+                j += 2
+                continue
+            if ch == in_s:
+                in_s = None
+        elif ch in ("'", '"', "`"):
+            in_s = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError(f"unbalanced parentheses after position {start} in: {sql[:80]!r}")
+
+
+def _rewrite_epoch_extract(sql: str) -> str:
+    while True:
+        m = _EPOCH_OPEN_RE.search(sql)
+        if not m:
+            return sql
+        end = _balanced_end(sql, m.end())
+        inner = sql[m.end():end]
+        sql = (
+            sql[: m.start()]
+            # CAST the divisor to DOUBLE: a bare 1000000.0 literal is
+            # DECIMAL in Spark and the division would return decimal,
+            # not the double DataFusion/DuckDB produce
+            + f"(unix_micros(CAST(({inner}) AS TIMESTAMP)) / CAST(1000000 AS DOUBLE))"
+            + sql[end + 1 :]
+        )
+
+
 def rewrite_function_names(sql: str) -> str:
     """Substitute DataFusion function names with their Spark spellings.
 
@@ -114,6 +171,7 @@ def rewrite_function_names(sql: str) -> str:
     followed by ``(`` is the accepted (vanishingly unlikely) false
     positive of the regex approach used across this frontend.
     """
+    sql = _rewrite_epoch_extract(sql)
     return _RENAME_RE.sub(lambda m: RENAMES[m.group(1).lower()] + "(", sql)
 
 

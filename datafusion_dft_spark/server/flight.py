@@ -380,7 +380,16 @@ class DftFlightServer(fl.FlightServerBase):
             self._record(start, request_id, "/do_get_statement", None, 13)
             raise fl.FlightServerError(f"plan not found for id {request_id}")
         if isinstance(df, _DeferredCopyScript):
-            df = df.execute()  # the COPY side effect happens here, per DoGet
+            try:
+                df = df.execute()  # the COPY side effect happens here, per DoGet
+            except Exception as e:
+                # a failed export must land in observability + the failed
+                # metric like any other error (it used to fail inside
+                # get_flight_info's recorded path before deferral)
+                self.metrics["requests_failed"] += 1
+                self._record(start, request_id, "/do_get_statement", None, 13)
+                first_line = str(e).split("\n")[0][:512]
+                raise fl.FlightServerError(f"COPY execution failed: {first_line}") from e
         cap = self._flight_conf.result_limit
         if cap and cap > 0:
             df = df.limit(cap)

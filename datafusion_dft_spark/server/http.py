@@ -80,11 +80,22 @@ def _flight_exec(
     from ..config import client_call_headers
     from .flightsql_proto import encode_command
 
-    headers = client_call_headers(fc)
-    options = fl.FlightCallOptions(
-        timeout=timeout,
-        headers=[(k.encode(), v.encode()) for k, v in headers],
-    )
+    headers = [(k.encode(), v.encode()) for k, v in client_call_headers(fc)]
+    # ONE deadline for the whole request, not per gRPC call: a
+    # multi-statement script makes 2 calls per statement, and handing
+    # each its own full timeout would let the request run
+    # statements×2×timeout — the reference's TimeoutLayer bounds the
+    # request. Each call gets the REMAINING time.
+    deadline = (time.perf_counter() + timeout) if timeout else None
+
+    def options():
+        remaining = None
+        if deadline is not None:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                raise fl.FlightTimedOutError("request deadline exceeded")
+        return fl.FlightCallOptions(timeout=remaining, headers=headers)
+
     client = fl.FlightClient(_grpc_location(fc.connection_url))
     try:
         table = None
@@ -92,8 +103,8 @@ def _flight_exec(
             desc = fl.FlightDescriptor.for_command(
                 encode_command({"type": "statement", "query": stmt})
             )
-            info = client.get_flight_info(desc, options)
-            table = client.do_get(info.endpoints[0].ticket, options).read_all()
+            info = client.get_flight_info(desc, options())
+            table = client.do_get(info.endpoints[0].ticket, options()).read_all()
     finally:
         client.close()
     if table is None:
@@ -298,16 +309,33 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
                 )
                 # normalize SHOW TABLES rows into the documented /catalog
                 # shape so the routing flag changes execution, not the
-                # API contract
-                tables = [
-                    {
-                        "catalog": None,
-                        "database": r.get("namespace") or None,
-                        "name": r.get("tableName"),
-                        "type": "TEMPORARY" if r.get("isTemporary") else "TABLE",
-                    }
-                    for r in rows
-                ]
+                # API contract. Column names differ per backend (Spark:
+                # namespace/tableName/isTemporary; DataFusion/standard:
+                # table_catalog/table_schema/table_name/table_type) —
+                # probe both before falling back to a raw passthrough.
+                def pick(r, *keys):
+                    for k in keys:
+                        if r.get(k) is not None:
+                            return r[k]
+                    return None
+
+                tables = []
+                for r in rows:
+                    name = pick(r, "tableName", "table_name", "name")
+                    if name is None:
+                        # unknown shape: raw passthrough beats nulls
+                        return {"tables": rows}, len(rows)
+                    ttype = pick(r, "table_type", "type")
+                    if ttype is None:
+                        ttype = "TEMPORARY" if r.get("isTemporary") else "TABLE"
+                    tables.append(
+                        {
+                            "catalog": pick(r, "table_catalog", "catalog"),
+                            "database": pick(r, "namespace", "table_schema", "database"),
+                            "name": name,
+                            "type": ttype,
+                        }
+                    )
                 return {"tables": tables}, len(tables)
 
             return guarded("/catalog", "SHOW TABLES", run_flight)

@@ -182,6 +182,28 @@ def write_any(
     fmt = fmt or infer_format(path)
     if options and fmt in ("arrow", "vortex"):
         raise ValueError(f"COPY OPTIONS are not supported for {fmt}")
+    if options:
+        # Spark writers IGNORE options foreign to their format (parquet
+        # drops sep= silently) — enforce applicability here so a
+        # delimiter on a parquet export fails loudly instead of being
+        # dropped (the same contract as unknown-key rejection).
+        _OPTION_FORMATS = {
+            "compression": {"parquet", "csv", "json"},
+            "sep": {"csv"},
+            "header": {"csv"},
+            "quote": {"csv"},
+            "escape": {"csv"},
+            "nullValue": {"csv"},
+            "dateFormat": {"csv", "json"},
+            "timestampFormat": {"csv", "json"},
+        }
+        for opt in options:
+            allowed = _OPTION_FORMATS.get(opt, set())
+            if fmt not in allowed:
+                raise ValueError(
+                    f"COPY OPTIONS: {opt!r} does not apply to {fmt} "
+                    f"(valid for: {', '.join(sorted(allowed))})"
+                )
     if partition_by:
         if single_file:
             raise ValueError("partition_by and single_file are mutually exclusive")

@@ -126,7 +126,21 @@ def s3_conf_entries(cfg: S3Config) -> dict[str, str]:
         if cfg.aws_session_token
         else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
     )
-    has_static = bool(cfg.aws_access_key_id or cfg.aws_session_token)
+    # ANY static field counts (a secret without a key id must not make
+    # the entry silently fall through to an ambient identity), and a
+    # half-specified key pair is a misconfiguration, not a keyless
+    # entry — fail loudly before s3a fails obscurely.
+    if bool(cfg.aws_access_key_id) != bool(cfg.aws_secret_access_key):
+        missing = (
+            "aws_secret_access_key" if cfg.aws_access_key_id else "aws_access_key_id"
+        )
+        raise ValueError(
+            f"S3 config for bucket {cfg.bucket_name!r} sets one half of a "
+            f"static key pair but not {missing}"
+        )
+    has_static = bool(
+        cfg.aws_access_key_id or cfg.aws_secret_access_key or cfg.aws_session_token
+    )
     if cfg.use_credential_chain:
         chain = [
             "com.amazonaws.auth.EnvironmentVariableCredentialsProvider",

@@ -29,7 +29,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions.compat import rewrite_function_names
+from .functions.compat import _balanced_end, rewrite_function_names
 
 _EXT_FMT = {
     ".parquet": "parquet",
@@ -259,30 +259,12 @@ def _rewrite_copy(spark: SparkSession, stmt: str) -> str | None:
         return None
     rest = m.group(1).lstrip()
     if rest.startswith("("):
-        # balanced-paren scan: the source query may itself contain parens
-        depth, j, n = 0, 0, len(rest)
-        in_s: str | None = None
-        while j < n:
-            ch = rest[j]
-            if in_s:
-                if ch == "\\" and j + 1 < n:
-                    # same backslash-escape handling as split_statements:
-                    # \' inside a literal must not terminate the string
-                    j += 2
-                    continue
-                if ch == in_s:
-                    in_s = None
-            elif ch in ("'", '"', "`"):
-                in_s = ch
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            j += 1
-        if depth != 0:
-            raise ValueError("COPY: unbalanced parentheses in source query")
+        # balanced-paren scan (shared scanner, see compat._balanced_end):
+        # the source query may itself contain parens and quoted strings
+        try:
+            j = _balanced_end(rest, 1)
+        except ValueError:
+            raise ValueError("COPY: unbalanced parentheses in source query") from None
         query, tail = rest[1:j], rest[j + 1 :]
     else:
         tm = re.match(r"(?s)^([A-Za-z_][\w.]*)(.*)$", rest)
@@ -325,9 +307,13 @@ _COPY_OPTION_KEYS = {
     "date_format": "dateFormat",
     "timestamp_format": "timestampFormat",
 }
+# One key-value pair: key then value, '='- or space-separated, each
+# quoted or bare. NOT split on commas first — a quoted value may BE a
+# comma (``delimiter ','``), so pairs are consumed left-to-right with
+# a mandatory {end-of-string | comma} boundary after each.
 _COPY_OPT_PAIR_RE = re.compile(
     r"\s*(?:'(?P<qk>[^']*)'|(?P<k>[A-Za-z_][\w.]*))\s*"
-    r"(?:=|\s)\s*(?:'(?P<qv>[^']*)'|(?P<v>[^\s,]+))\s*$"
+    r"(?:=|\s)\s*(?:'(?P<qv>[^']*)'|(?P<v>[^\s,']+))\s*(?:,|$)"
 )
 
 
@@ -341,11 +327,13 @@ def _parse_copy_options(opts: str | None) -> dict[str, str]:
     if not opts or not opts.strip():
         return {}
     out: dict[str, str] = {}
-    for pair in opts.split(","):
-        m = _COPY_OPT_PAIR_RE.match(pair)
+    pos = 0
+    while pos < len(opts) and opts[pos:].strip():
+        m = _COPY_OPT_PAIR_RE.match(opts, pos)
         if not m:
-            raise ValueError(f"COPY OPTIONS: unrecognized pair {pair.strip()!r}")
-        key = (m.group("qk") or m.group("k")).lower()
+            raise ValueError(f"COPY OPTIONS: unrecognized pair {opts[pos:].strip()!r}")
+        pos = m.end()
+        key = (m.group("qk") or m.group("k") or "").lower()
         val = m.group("qv") if m.group("qv") is not None else m.group("v")
         if key.startswith("format."):
             key = key[len("format."):]

@@ -509,6 +509,26 @@ def test_copy_statement_options(spark, sf_dir, tmp_path):
             f"COPY region TO '{tmp_path / 'y.parquet'}' OPTIONS (row_group_size '1000')",
         )
 
+    # a quoted COMMA delimiter must not break pair splitting
+    comma_out = str(tmp_path / "c.csv")
+    execute_sql(
+        spark,
+        f"COPY region TO '{comma_out}' STORED AS CSV "
+        "OPTIONS (delimiter ',', has_header 'false')",
+    )
+    import glob as _glob
+
+    with open(_glob.glob(f"{comma_out}/part-*")[0]) as f:
+        assert "," in f.readline()
+
+    # options foreign to the target format fail loudly — Spark's writer
+    # would silently drop them
+    with _pytest.raises(ValueError, match="does not apply to parquet"):
+        execute_sql(
+            spark,
+            f"COPY region TO '{tmp_path / 'z.parquet'}' OPTIONS (delimiter ';')",
+        )
+
 
 def test_copy_statement_nested_parens_and_url_table(spark, sf_dir, tmp_path):
     """The source query may contain nested parens AND its own rewrites."""

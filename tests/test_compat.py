@@ -28,11 +28,11 @@ def _one(spark, sql):
 
 def test_rename_rewrite_text():
     out = rewrite_function_names(
-        "SELECT make_array(1), ARRAY_HAS(a, 1), arrow_typeof(x), to_hex(9), "
+        "SELECT make_array(1), ARRAY_HAS(a, 1), arrow_typeof(x), "
         "starts_with(s, 'a'), to_timestamp_seconds(9), today()"
     )
     assert out == (
-        "SELECT array(1), array_contains(a, 1), typeof(x), hex(9), "
+        "SELECT array(1), array_contains(a, 1), typeof(x), "
         "startswith(s, 'a'), timestamp_seconds(9), current_date()"
     )
     # non-calls and prefixed names stay untouched
@@ -107,7 +107,9 @@ def test_timestamp_and_misc(spark):
     )
     assert r.u == 60 and r.ts.minute == 1
     assert r.tm == r.tu  # 1500 ms == 1500000 us
-    assert "decimal" in r.t and r.h == "FF" and r.today_ok is True
+    # to_hex is LOWERCASE in DataFusion (Spark's hex is upper — a SQL
+    # UDF carries the reference semantics, not a rename)
+    assert "decimal" in r.t and r.h == "ff" and r.today_ok is True
     # starts_with / ends_with / random() resolve
     r2 = _one(
         spark,
@@ -115,3 +117,45 @@ def test_timestamp_and_misc(spark):
         "random() >= 0 AS c",
     )
     assert r2.a is True and r2.b is True and r2.c is True
+
+
+def test_compat_functions_visible_in_information_schema(spark):
+    """The dialect shim's SQL UDFs surface in information_schema.routines
+    like every other registered function (the reference exposes its
+    registry via routines, src/db.rs:195-196)."""
+    from datafusion_dft_spark.functions.info_schema import (
+        invalidate_routines,
+        refresh_information_schema,
+    )
+
+    invalidate_routines(spark)
+    refresh_information_schema(spark)
+    rows = execute_sql(
+        spark,
+        "SELECT routine_name, function_type FROM information_schema.routines "
+        "WHERE routine_name IN ('strpos', 'date_bin', 'digest', 'to_unixtime')",
+    )[-1].collect()
+    assert {r.routine_name for r in rows} == {"strpos", "date_bin", "digest", "to_unixtime"}
+    assert all(r.function_type == "SCALAR" for r in rows)
+
+
+def test_epoch_extract_differential(spark, duckcon):
+    """extract(epoch FROM x) / date_part('epoch', x): fractional-second
+    doubles in DataFusion and DuckDB; Spark has no epoch field, so the
+    shim rewrites to exact micros arithmetic — nested calls and DATE
+    inputs included (balanced-paren scan, not a [^)]* regex)."""
+    q = (
+        "SELECT event_id, extract(epoch FROM ts) AS e, "
+        "date_part('epoch', date_trunc('day', ts)) AS d "
+        "FROM events WHERE event_id % 97 = 0"
+    )
+    got = {(r.event_id, round(r.e, 6), round(r.d, 6)) for r in execute_sql(spark, q)[-1].collect()}
+    want = {(r[0], round(r[1], 6), round(r[2], 6)) for r in duckcon.sql(q).fetchall()}
+    assert got == want and got
+    # pre-epoch + DATE input
+    r = _one(
+        spark,
+        "SELECT extract(epoch FROM TIMESTAMP '1969-12-31 23:59:00') AS neg, "
+        "extract(epoch FROM DATE '1970-01-02') AS d",
+    )
+    assert r.neg == -60.0 and r.d == 86400.0

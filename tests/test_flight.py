@@ -546,3 +546,19 @@ def test_cli_flightsql_client_config(spark, capsys, tmp_path):
         assert "three" in capsys.readouterr().out
     finally:
         server.shutdown()
+
+
+def test_statement_copy_failure_recorded(flight_server, client, tmp_path):
+    """A deferred COPY that fails at DoGet must land in the failed
+    metric and observability like any other error — not vanish because
+    it left get_flight_info's recorded path."""
+    blocker = tmp_path / "blocker"
+    blocker.write_text("a file, not a directory")
+    desc = _cmd(
+        {"type": "statement", "query": f"COPY region TO '{blocker}/sub/out.parquet'"}
+    )
+    info = client.get_flight_info(desc)  # schema-only: fine
+    failed_before = flight_server.metrics["requests_failed"]
+    with pytest.raises(fl.FlightError, match="COPY execution failed"):
+        client.do_get(info.endpoints[0].ticket).read_all()
+    assert flight_server.metrics["requests_failed"] == failed_before + 1

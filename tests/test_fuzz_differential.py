@@ -414,3 +414,45 @@ def bitwise_cast_query(draw):
 @given(sql=bitwise_cast_query())
 def test_fuzz_bitwise_and_try_cast(spark, duckcon, views, sql):
     _compare(spark, duckcon, sql)
+
+
+@st.composite
+def interval_arith_query(draw):
+    """Date/timestamp ± INTERVAL arithmetic — the quoted-unit spelling
+    (`INTERVAL 'n' DAY`) parses identically in Spark and DuckDB; epoch
+    extraction of the shifted value exercises the compat epoch rewrite
+    on Spark's side against DuckDB's native extract."""
+    n = draw(st.integers(min_value=1, max_value=90))
+    unit = draw(st.sampled_from(["DAY", "HOUR", "MINUTE"]))
+    op = draw(st.sampled_from(["+", "-"]))
+    qty = draw(st.integers(min_value=5, max_value=45))
+    shifted = f"l_shipdate {op} INTERVAL '{n}' {unit}"
+    expr = draw(
+        st.sampled_from(
+            [
+                f"CAST(date_trunc('day', {shifted}) AS DATE)",
+                f"extract(year FROM {shifted})",
+                f"extract(epoch FROM date_trunc('hour', {shifted}))",
+            ]
+        )
+    )
+    return (
+        f"SELECT {expr} AS g, count(*) AS m FROM lineitem "
+        f"WHERE l_quantity <= {qty} GROUP BY {expr}"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=interval_arith_query())
+def test_fuzz_interval_arithmetic(spark, duckcon, views, sql):
+    from datafusion_dft_spark.sql import execute_sql
+
+    s_rows = _rows([tuple(r) for r in execute_sql(spark, sql)[-1].collect()])
+    o_rows = _rows([tuple(r) for r in duckcon.sql(sql).fetchall()])
+    assert len(s_rows) == len(o_rows), f"row count differs for:\n{sql}"
+    for a, b in zip(s_rows, o_rows):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6), (sql, a, b)
+            else:
+                assert x == y, (sql, a, b)

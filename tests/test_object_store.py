@@ -196,3 +196,15 @@ def test_s3_credential_chain_opt_in():
     assert keyless_chain[f"{pre}.aws.credentials.provider"].startswith(
         "com.amazonaws.auth.EnvironmentVariableCredentialsProvider,"
     )
+
+
+def test_s3_partial_static_key_pair_raises():
+    """A secret without a key id (typo'd field) must not silently fall
+    through to ambient credentials — half a static pair is a
+    misconfiguration and fails loudly."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="aws_access_key_id"):
+        s3_conf_entries(S3Config(bucket_name="b", aws_secret_access_key="S"))
+    with _pytest.raises(ValueError, match="aws_secret_access_key"):
+        s3_conf_entries(S3Config(bucket_name="b", aws_access_key_id="K"))
