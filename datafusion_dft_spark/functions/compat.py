@@ -5,7 +5,7 @@ The reference's SQL dialect is DataFusion's default function registry
 their saved queries over expects DataFusion's function NAMES to
 resolve. Most of the library overlaps Spark name-for-name (md5, upper,
 coalesce, date_trunc, ...); this module carries the names that don't,
-with two mechanisms, cheapest first:
+with three mechanisms, cheapest first:
 
 - **Pure renames** (identical argument order and semantics):
   substituted in the SQL text by ``sql.prepare_statement`` — zero
@@ -15,7 +15,11 @@ with two mechanisms, cheapest first:
   where arguments need reordering or composition (``strpos``,
   ``digest``, ``date_bin``): the body is a pure Catalyst expression, so
   it inlines into the caller's plan and constant-folds / codegens like
-  a builtin — no UDF evaluation barrier, no Python.
+  a builtin — no UDF evaluation barrier, no Python (plan-gated in
+  tests/test_plans.py::test_compat_sql_udfs_inline_into_codegen).
+- **Structural rewrites** for syntax Spark cannot express as a
+  function: ``extract(epoch FROM x)`` / ``date_part('epoch', x)``
+  become exact epoch-micros arithmetic (balanced-paren scan).
 
 Known non-carryable divergence (documented, loud rather than silent):
 

@@ -184,8 +184,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
             UNION
             SELECT w.member, e.dst FROM walk w JOIN edges e ON w.node = e.src
+        ),
+        comp AS (
+            SELECT member, min(node) AS component FROM walk GROUP BY member
+        ),
+        q AS (
+            SELECT doc_id,
+                   round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                         + len(list_filter(string_split(text, ' '),
+                                           w -> list_contains(['the','a','of','to','and'], w)))
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+                         + 1e-9, 4) AS quality
+            FROM documents
         )
-        SELECT member, min(node) AS component FROM walk GROUP BY member
+        SELECT c.member, c.component,
+               first_value(c.member) OVER (
+                   PARTITION BY c.component
+                   ORDER BY q.quality DESC, c.member ASC
+               ) AS rep_doc
+        FROM comp c JOIN q ON q.doc_id = c.member
     """,
     tags=("dedup", "clustering"),
     # bench=False: the fixpoint loop materializes per-round caches, so a
@@ -195,13 +212,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
     doc="Connected-components clustering of the MinHash-LSH near-dup pair "
     "graph (min-label propagation, one shuffle join per round, no driver "
-    "graph state — operators/dedup.py:connected_components). Pairwise "
-    "near-dup decisions are inconsistent under transitivity; production "
-    "dedup keeps one representative per component. Oracle: DuckDB "
-    "recursive reachability closure over the same (engine-portable) "
-    "candidate pairs.",
+    "graph state — operators/dedup.py:connected_components), plus the "
+    "production keep-one step: rep_doc = the highest-quality member of "
+    "each component (text.quality_score, ties to the lowest doc_id), so "
+    "downstream dedup is `keep rows WHERE member = rep_doc`. The quality "
+    "join is member-sized (dup docs only, far smaller than the corpus) "
+    "and the per-component window partitions by component id — both "
+    "scale with the duplicate set, not the corpus. Oracle: DuckDB "
+    "recursive reachability closure + the same quality formula and "
+    "window over the engine-portable candidate pairs.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import text as tx
+
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.7)
-    return dd.connected_components(pairs)
+    comp = dd.connected_components(pairs)
+    quality = docs.select(
+        F.col("doc_id").alias("member"), tx.quality_score("text").alias("__q")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("__q").desc(), F.col("member").asc())
+    return (
+        comp.join(quality, "member")
+        .select("member", "component", F.first("member").over(w).alias("rep_doc"))
+    )

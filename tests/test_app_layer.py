@@ -623,3 +623,45 @@ def test_batch_size_knobs_reach_apps(spark):
         }
     )
     assert cfg.flightsql.stream_batch_rows == 77
+
+
+def test_copy_options_parser_roundtrip_fuzz():
+    """Property: any supported key with any quoted value round-trips
+    through _parse_copy_options regardless of quoting style, '=' vs
+    space separators, or commas/spaces inside quoted values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_dft_spark.sql import _COPY_OPTION_KEYS, _parse_copy_options
+
+    keys = sorted(_COPY_OPTION_KEYS)
+    values = st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N", "P", "Zs"), blacklist_characters="'"),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.sampled_from(keys), values, st.booleans(), st.booleans(), st.booleans()),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def check(pairs):
+        frags, want = [], {}
+        for key, val, quote_key, prefix, use_eq in pairs:
+            k = f"format.{key}" if prefix else key
+            k = f"'{k}'" if quote_key else k
+            sep = " = " if use_eq else " "
+            frags.append(f"{k}{sep}'{val}'")
+            if key == "compression":
+                import re as _re
+
+                val = _re.sub(r"\(\d+\)$", "", val.strip())
+            want[_COPY_OPTION_KEYS[key]] = val
+        assert _parse_copy_options(", ".join(frags)) == want
+
+    check()

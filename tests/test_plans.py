@@ -191,3 +191,29 @@ def test_delta_read_scans_plain_parquet(spark, tmp_path):
     plan = ex.formatted_plan(df)
     assert "Scan parquet" in plan, plan
     assert ex.pushed_filters(df), plan
+
+
+def test_compat_sql_udfs_inline_into_codegen(spark, sf_dir):
+    """The dialect shim's SQL UDFs must plan as inlined Catalyst
+    expressions — no BatchEvalPython / ArrowEvalPython barrier, no UDF
+    node at all — so a ported DataFusion query keeps whole-stage
+    codegen and pushdown (functions/compat.py's contract)."""
+    from datafusion_dft_spark.catalog import register_views
+    from datafusion_dft_spark.functions.compat import register_compat_functions
+    from datafusion_dft_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    register_compat_functions(spark)
+    df = execute_sql(
+        spark,
+        "SELECT strpos(n_name, 'N') AS p, "
+        "date_bin(INTERVAL '1' HOUR, TIMESTAMP '2024-01-01 10:30:00') AS b, "
+        "extract(epoch FROM TIMESTAMP '2024-01-01') AS e "
+        "FROM nation WHERE strpos(n_name, '_') > 0",
+    )[-1]
+    plan = ex.formatted_plan(df)
+    for barrier in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert barrier not in plan, plan
+    # the filter's locate() expression reaches the scan as a pushable
+    # predicate region (at minimum it planned as a plain Filter)
+    assert "locate" in plan.lower() or "Filter" in plan, plan
