@@ -150,11 +150,56 @@ def _balanced_end(sql: str, start: int) -> int:
     raise ValueError(f"unbalanced parentheses after position {start} in: {sql[:80]!r}")
 
 
+def _masked_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of quoted strings and comments — regions the
+    rewrites must never touch. Tracks ' \" ` literals (with backslash
+    escapes), ``--`` line comments, and ``/* */`` block comments."""
+    spans: list[tuple[int, int]] = []
+    j, n = 0, len(sql)
+    while j < n:
+        ch = sql[j]
+        if ch in ("'", '"', "`"):
+            start, quote = j, ch
+            j += 1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == quote:
+                    j += 1
+                    break
+                j += 1
+            spans.append((start, j))
+        elif ch == "-" and sql[j : j + 2] == "--":
+            start = j
+            while j < n and sql[j] != "\n":
+                j += 1
+            spans.append((start, j))
+        elif ch == "/" and sql[j : j + 2] == "/*":
+            start = j
+            close = sql.find("*/", j + 2)
+            j = n if close < 0 else close + 2
+            spans.append((start, j))
+        else:
+            j += 1
+    return spans
+
+
+def _in_spans(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(s <= pos < e for s, e in spans)
+
+
 def _rewrite_epoch_extract(sql: str) -> str:
+    pos = 0
     while True:
-        m = _EPOCH_OPEN_RE.search(sql)
+        m = _EPOCH_OPEN_RE.search(sql, pos)
         if not m:
             return sql
+        # a match inside a literal/comment is DATA, not a call — and
+        # hard-failing on it (unbalanced-paren) would reject valid SQL
+        if _in_spans(m.start(), _masked_spans(sql)):
+            pos = m.end()
+            continue
         end = _balanced_end(sql, m.end())
         inner = sql[m.end():end]
         sql = (
@@ -165,18 +210,23 @@ def _rewrite_epoch_extract(sql: str) -> str:
             + f"(unix_micros(CAST(({inner}) AS TIMESTAMP)) / CAST(1000000 AS DOUBLE))"
             + sql[end + 1 :]
         )
+        pos = 0  # offsets shifted; rescan
 
 
 def rewrite_function_names(sql: str) -> str:
     """Substitute DataFusion function names with their Spark spellings.
 
-    Word-boundary + open-paren match, same convention as the JSON
-    rewrites in ``sql.py`` — a rename token inside a string literal
-    followed by ``(`` is the accepted (vanishingly unlikely) false
-    positive of the regex approach used across this frontend.
-    """
+    Word-boundary + open-paren match, skipping quoted strings and
+    comments (``_masked_spans``) so literal text containing a rename
+    token is never altered."""
     sql = _rewrite_epoch_extract(sql)
-    return _RENAME_RE.sub(lambda m: RENAMES[m.group(1).lower()] + "(", sql)
+    spans = _masked_spans(sql)
+    return _RENAME_RE.sub(
+        lambda m: m.group(0)
+        if _in_spans(m.start(), spans)
+        else RENAMES[m.group(1).lower()] + "(",
+        sql,
+    )
 
 
 def register_compat_functions(spark: SparkSession) -> None:

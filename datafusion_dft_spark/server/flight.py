@@ -165,6 +165,15 @@ class DftFlightServer(fl.FlightServerBase):
 
     # ------------------------------------------------------------- helpers
 
+    def _failure(self, e: Exception, prefix: str) -> "fl.FlightServerError":
+        """Count the failure and wrap it as a client-safe error.
+        Truncate the message — a full Java stack trace blows the
+        client's gRPC metadata size limit and turns a clean error into
+        RESOURCE_EXHAUSTED."""
+        self.metrics["requests_failed"] += 1
+        first_line = str(e).split("\n")[0][:512]
+        return fl.FlightServerError(f"{prefix}: {first_line}")
+
     def _record(self, start: float, request_id: str | None, path: str, sql: str | None, status: int, rows: int | None = None) -> None:
         ms = int((time.perf_counter() - start) * 1000)
         try:
@@ -386,10 +395,8 @@ class DftFlightServer(fl.FlightServerBase):
                 # a failed export must land in observability + the failed
                 # metric like any other error (it used to fail inside
                 # get_flight_info's recorded path before deferral)
-                self.metrics["requests_failed"] += 1
                 self._record(start, request_id, "/do_get_statement", None, 13)
-                first_line = str(e).split("\n")[0][:512]
-                raise fl.FlightServerError(f"COPY execution failed: {first_line}") from e
+                raise self._failure(e, "COPY execution failed") from e
         cap = self._flight_conf.result_limit
         if cap and cap > 0:
             df = df.limit(cap)
@@ -406,13 +413,9 @@ class DftFlightServer(fl.FlightServerBase):
             except Exception as e:
                 # mid-stream failure (Spark task error, client reset):
                 # record it as such instead of a success with a partial
-                # row count. Truncate the message — a full Java stack
-                # trace blows the client's gRPC metadata size limit and
-                # turns a clean error into RESOURCE_EXHAUSTED.
+                # row count
                 status = 13
-                self.metrics["requests_failed"] += 1
-                first_line = str(e).split("\n")[0][:512]
-                raise fl.FlightServerError(f"query execution failed: {first_line}") from e
+                raise self._failure(e, "query execution failed") from e
             finally:
                 self._record(start, request_id, "/do_get_statement", None, status, rows=n)
 

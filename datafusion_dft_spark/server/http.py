@@ -315,7 +315,7 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
                 # probe both before falling back to a raw passthrough.
                 def pick(r, *keys):
                     for k in keys:
-                        if r.get(k) is not None:
+                        if r.get(k):  # '' (Spark's empty namespace) == absent
                             return r[k]
                     return None
 
@@ -325,9 +325,13 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
                     if name is None:
                         # unknown shape: raw passthrough beats nulls
                         return {"tables": rows}, len(rows)
-                    ttype = pick(r, "table_type", "type")
-                    if ttype is None:
-                        ttype = "TEMPORARY" if r.get("isTemporary") else "TABLE"
+                    # collapse to the documented TABLE/TEMPORARY vocabulary
+                    # (the local path derives it from isTemporary; a
+                    # DataFusion backend says 'BASE TABLE'/'VIEW')
+                    raw_type = pick(r, "table_type", "type") or (
+                        "TEMPORARY" if r.get("isTemporary") else "TABLE"
+                    )
+                    ttype = "TEMPORARY" if "TEMP" in raw_type.upper() else "TABLE"
                     tables.append(
                         {
                             "catalog": pick(r, "table_catalog", "catalog"),

@@ -19,6 +19,25 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# COPY OPTIONS vocabulary, owned here by the writer: DataFusion key ->
+# (Spark writer option, formats it applies to). sql._parse_copy_options
+# derives its key map from this table, and write_any validates
+# applicability from it — one table, no drift between "known key" and
+# "applies to this format".
+COPY_OPTIONS: dict[str, tuple[str, frozenset[str]]] = {
+    "compression": ("compression", frozenset({"parquet", "csv", "json"})),
+    "delimiter": ("sep", frozenset({"csv"})),
+    "has_header": ("header", frozenset({"csv"})),
+    "quote": ("quote", frozenset({"csv"})),
+    "escape": ("escape", frozenset({"csv"})),
+    "null_value": ("nullValue", frozenset({"csv"})),
+    "date_format": ("dateFormat", frozenset({"csv", "json"})),
+    "timestamp_format": ("timestampFormat", frozenset({"csv", "json"})),
+}
+_OPTION_FORMATS: dict[str, frozenset[str]] = {
+    spark_name: formats for spark_name, formats in COPY_OPTIONS.values()
+}
+
 READ_FORMATS = {
     ".parquet": "parquet",
     ".csv": "csv",
@@ -187,22 +206,12 @@ def write_any(
         # drops sep= silently) — enforce applicability here so a
         # delimiter on a parquet export fails loudly instead of being
         # dropped (the same contract as unknown-key rejection).
-        _OPTION_FORMATS = {
-            "compression": {"parquet", "csv", "json"},
-            "sep": {"csv"},
-            "header": {"csv"},
-            "quote": {"csv"},
-            "escape": {"csv"},
-            "nullValue": {"csv"},
-            "dateFormat": {"csv", "json"},
-            "timestampFormat": {"csv", "json"},
-        }
         for opt in options:
-            allowed = _OPTION_FORMATS.get(opt, set())
+            allowed = _OPTION_FORMATS.get(opt, frozenset())
             if fmt not in allowed:
                 raise ValueError(
                     f"COPY OPTIONS: {opt!r} does not apply to {fmt} "
-                    f"(valid for: {', '.join(sorted(allowed))})"
+                    f"(valid for: {', '.join(sorted(allowed)) or 'no format'})"
                 )
     if partition_by:
         if single_file:

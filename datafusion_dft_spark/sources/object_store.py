@@ -138,6 +138,21 @@ def s3_conf_entries(cfg: S3Config) -> dict[str, str]:
             f"S3 config for bucket {cfg.bucket_name!r} sets one half of a "
             f"static key pair but not {missing}"
         )
+    # A session token alone pins TemporaryAWSCredentialsProvider, which
+    # needs the key pair too — in pinned (non-chain) mode that's a
+    # guaranteed opaque s3a failure at first read, so fail at config
+    # time instead. In chain mode the provider list falls through to
+    # env/instance credentials, so a token-only entry is survivable.
+    if (
+        cfg.aws_session_token
+        and not cfg.aws_access_key_id
+        and not cfg.use_credential_chain
+    ):
+        raise ValueError(
+            f"S3 config for bucket {cfg.bucket_name!r} sets aws_session_token "
+            "without the static key pair (required by the temporary-credential "
+            "provider); add the key pair or enable use_credential_chain"
+        )
     has_static = bool(
         cfg.aws_access_key_id or cfg.aws_secret_access_key or cfg.aws_session_token
     )

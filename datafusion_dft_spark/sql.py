@@ -297,16 +297,12 @@ def _rewrite_copy(spark: SparkSession, stmt: str) -> str | None:
 # DataFusion OPTIONS key (bare/'quoted', 'format.'-prefixed or not) ->
 # Spark DataFrameWriter option name. Anything else raises — silently
 # dropping a compression/header request would corrupt the contract.
-_COPY_OPTION_KEYS = {
-    "compression": "compression",
-    "delimiter": "sep",
-    "has_header": "header",
-    "quote": "quote",
-    "escape": "escape",
-    "null_value": "nullValue",
-    "date_format": "dateFormat",
-    "timestamp_format": "timestampFormat",
-}
+# Derived from the writer-owned table (sources/io.py COPY_OPTIONS):
+# key -> Spark option name here, key -> applicable formats there —
+# one vocabulary, two views.
+from .sources.io import COPY_OPTIONS as _IO_COPY_OPTIONS  # noqa: E402
+
+_COPY_OPTION_KEYS = {k: spark_name for k, (spark_name, _) in _IO_COPY_OPTIONS.items()}
 # One key-value pair: key then value, '='- or space-separated, each
 # quoted or bare. NOT split on commas first — a quoted value may BE a
 # comma (``delimiter ','``), so pairs are consumed left-to-right with

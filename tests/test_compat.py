@@ -159,3 +159,22 @@ def test_epoch_extract_differential(spark, duckcon):
         "extract(epoch FROM DATE '1970-01-02') AS d",
     )
     assert r.neg == -60.0 and r.d == 86400.0
+
+
+def test_rewrites_never_touch_literals_or_comments():
+    """Rewrite tokens inside string literals or comments are DATA: the
+    epoch rewrite must neither crash (unbalanced-paren on a literal
+    without a closing paren) nor rewrite literal text, and renames must
+    leave literals alone too."""
+    s1 = "SELECT 'see extract(epoch FROM ts here' AS note"
+    assert rewrite_function_names(s1) == s1  # no crash, no change
+    s2 = "SELECT 'call was extract(epoch FROM ts)' AS note"
+    assert rewrite_function_names(s2) == s2  # literal NOT rewritten
+    s3 = "SELECT 1 /* extract(epoch FROM ts */ AS x"
+    assert rewrite_function_names(s3) == s3
+    s4 = "SELECT 'make_array(1)' AS lit, make_array(1) AS real"
+    assert rewrite_function_names(s4) == "SELECT 'make_array(1)' AS lit, array(1) AS real"
+    # real call AFTER a literal still rewrites
+    s5 = "SELECT 'x' AS a, extract(epoch FROM ts) AS e FROM t"
+    out = rewrite_function_names(s5)
+    assert "unix_micros" in out and "'x'" in out

@@ -208,3 +208,18 @@ def test_s3_partial_static_key_pair_raises():
         s3_conf_entries(S3Config(bucket_name="b", aws_secret_access_key="S"))
     with _pytest.raises(ValueError, match="aws_secret_access_key"):
         s3_conf_entries(S3Config(bucket_name="b", aws_access_key_id="K"))
+
+
+def test_s3_token_only_pinned_mode_raises():
+    """aws_session_token without the key pair pins the temporary-
+    credential provider, which cannot work — config-time error in
+    pinned mode; chain mode falls through and stays allowed."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="aws_session_token"):
+        s3_conf_entries(S3Config(bucket_name="b", aws_session_token="t"))
+    # chain mode: survivable (falls through to env/instance providers)
+    out = s3_conf_entries(
+        S3Config(bucket_name="b", aws_session_token="t", use_credential_chain=True)
+    )
+    assert "TemporaryAWSCredentialsProvider" in out["spark.hadoop.fs.s3a.bucket.b.aws.credentials.provider"]
