@@ -255,6 +255,29 @@ def minhash_signatures(
     )
 
 
+def _band_hash_array(rows: int, bands: int, method: str):
+    """Array column of per-band hashes over a ``sig`` signature column
+    — the banding derivation shared by the self-join and incremental
+    LSH variants (identical hashes, so their buckets are compatible)."""
+    if method == "md5":
+        return F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+    return F.array(
+        *[
+            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -277,26 +300,8 @@ def minhash_lsh_pairs(
 
     rows = num_perm // bands
     sig = track_cache(minhash_signatures(df, id_col, text_col, k, num_perm, method=method).cache())
-    if method == "md5":
-        band_arr = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
-                    )
-                )
-                for b in range(bands)
-            ]
-        )
-    else:
-        band_arr = F.array(
-            *[
-                F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                for b in range(bands)
-            ]
-        )
     banded = sig.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "bandhash")
+        F.col(id_col), F.posexplode(_band_hash_array(rows, bands, method)).alias("band", "bandhash")
     )
     left = banded.select(F.col(id_col).alias("doc1"), "band", "bandhash")
     right = banded.select(F.col(id_col).alias("doc2"), "band", "bandhash")
@@ -308,6 +313,77 @@ def minhash_lsh_pairs(
     )
     s1 = sig.select(F.col(id_col).alias("doc1"), F.col("sig").alias("sig1"))
     s2 = sig.select(F.col(id_col).alias("doc2"), F.col("sig").alias("sig2"))
+    agree = F.size(
+        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_perm) + 1e-9, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc1", "doc2", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.7,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    method: str = "md5",
+) -> DataFrame:
+    """Near-dup pairs between an incoming BATCH and an existing corpus.
+
+    The production increment shape: a daily batch lands against a
+    100 TB deduped corpus, and the question is "which batch docs
+    duplicate anything (corpus or batch)?" — re-running the full
+    self-join (`minhash_lsh_pairs` over corpus ∪ batch) would re-pay
+    the corpus×corpus candidate mass for pairs that cannot contain a
+    batch doc. Here the banded BATCH side (broadcast — it is small by
+    definition of an increment) probes the banded corpus stream plus
+    itself: the corpus is scanned once, never self-joined, and cost
+    scales with |batch| × collision rate. Band hashes are identical to
+    `minhash_lsh_pairs` (shared ``_band_hash_array``), so the result
+    equals the full self-join's pairs restricted to those touching a
+    batch doc (property-tested in tests/test_dedup.py).
+
+    Returns (doc1, doc2, est_jaccard) with doc1 < doc2, doc1 or doc2
+    from the batch. Ids must be disjoint between batch and corpus.
+    """
+    rows = num_perm // bands
+    sig_new = minhash_signatures(new_df, id_col, text_col, k, num_perm, method=method)
+    sig_corpus = minhash_signatures(
+        corpus_df, id_col, text_col, k, num_perm, method=method
+    )
+    band_arr = _band_hash_array(rows, bands, method)
+
+    def banded(sig):
+        return sig.select(
+            F.col(id_col), F.posexplode(band_arr).alias("band", "bandhash")
+        )
+
+    probe = banded(sig_new).select(F.col(id_col).alias("doc_a"), "band", "bandhash")
+    build = (
+        banded(sig_corpus)
+        .unionByName(banded(sig_new))
+        .select(F.col(id_col).alias("doc_b"), "band", "bandhash")
+    )
+    cand = (
+        build.join(F.broadcast(probe), ["band", "bandhash"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc1"),
+            F.greatest("doc_a", "doc_b").alias("doc2"),
+        )
+        .distinct()
+    )
+    sig_all = sig_new.unionByName(sig_corpus)
+    s1 = sig_all.select(F.col(id_col).alias("doc1"), F.col("sig").alias("sig1"))
+    s2 = sig_all.select(F.col(id_col).alias("doc2"), F.col("sig").alias("sig2"))
     agree = F.size(
         F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
     )

@@ -174,3 +174,28 @@ def test_simhash_pairs_duplicate_ids_never_self_pair(spark):
     strs = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
     with _pytest.raises(TypeError, match="integral id column"):
         dd.simhash_pairs(strs, "doc_id", "text")
+
+
+def test_minhash_incremental_equals_full_restricted(spark, sf_dir):
+    """The incremental batch-vs-corpus variant must produce EXACTLY the
+    full self-join's pairs restricted to pairs touching a batch doc —
+    same band hashes, same rerank, no candidates lost by splitting."""
+    from datafusion_dft_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # deterministic ~20% batch split on the id (content-independent)
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 != 0")
+    inc = {
+        (r.doc1, r.doc2, r.est_jaccard)
+        for r in dd.minhash_lsh_pairs_incremental(
+            batch, corpus, "doc_id", "text", k=5, threshold=0.7
+        ).collect()
+    }
+    full = {
+        (r.doc1, r.doc2, r.est_jaccard)
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.7).collect()
+    }
+    want = {t for t in full if t[0] % 5 == 0 or t[1] % 5 == 0}
+    assert inc == want
+    assert inc  # the split must actually exercise cross pairs
