@@ -413,6 +413,70 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_dup_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 24,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs between an incoming BATCH and a corpus.
+
+    The increment counterpart of ``cosine_dup_pairs`` (the
+    ``minhash_lsh_pairs_incremental`` shape applied to sign-LSH):
+    the banded BATCH side broadcasts and probes one pass over the
+    banded corpus plus itself on (table, bucket), so the corpus is
+    never self-joined and candidate cost scales with |batch| ×
+    collision rate. Identical planes (md5-derived, shared
+    ``signatures``) mean recall equals the unbounded self-join's for
+    batch-touching pairs — property-tested in tests/test_similarity.py.
+
+    Returns (id1, id2, cosine) with id1 < id2, at least one side from
+    the batch. Ids must be disjoint between batch and corpus.
+    """
+    dim = dim or _dim_of(new_df, vec_col)
+    sigs = signatures(F.col("v"), dim, n_planes, n_tables)
+
+    def prep(df):
+        return df.select(
+            F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+        ).filter(valid_vec("v", dim))
+
+    raw_new, raw_corpus = prep(new_df), prep(corpus_df)
+
+    def banded(raw):
+        return raw.select("vid", F.posexplode(sigs).alias("table", "bucket"))
+
+    probe = banded(raw_new).select(F.col("vid").alias("id_a"), "table", "bucket")
+    build = (
+        banded(raw_corpus)
+        .unionByName(banded(raw_new))
+        .select(F.col("vid").alias("id_b"), "table", "bucket")
+    )
+    cand = (
+        build.join(F.broadcast(probe), ["table", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id1"),
+            F.greatest("id_a", "id_b").alias("id2"),
+        )
+        .distinct()
+    )
+    base = raw_new.unionByName(raw_corpus)
+    v1 = base.select(F.col("vid").alias("id1"), F.col("v").alias("v1"))
+    v2 = base.select(F.col("vid").alias("id2"), F.col("v").alias("v2"))
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cosine", F.round(cosine_batch(F.col("v1"), F.col("v2")) + 1e-9, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def _collect_matrix(raw: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray]:
     """Materialize (ids, matrix) for a bounded corpus, Arrow-first.
 

@@ -239,3 +239,33 @@ def test_planes_memoized_and_bit_identical():
     assert np.array_equal(got, ref)
     assert sim._planes(7, 3, 2) is got  # memoized
     assert not got.flags.writeable  # shared array is immutable
+
+
+def test_cosine_incremental_equals_unbounded_restricted(spark, emb):
+    """Batch-vs-corpus incremental dedup must equal the unbounded full
+    self-join restricted to batch-touching pairs — same planes, same
+    rerank, no recall lost by splitting the corpus."""
+    import numpy as np
+
+    base = emb.limit(30).collect()
+    rng = np.random.RandomState(11)
+    rows = []
+    for r in base:
+        v = np.array(r.embedding, dtype=np.float32)
+        rows.append((int(r.vec_id), [float(x) for x in v]))
+        noisy = v + rng.randn(len(v)).astype(np.float32) * 0.02 * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((int(r.vec_id) + 100_000, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    batch = df.filter("vec_id % 3 = 0")  # hits originals AND perturbed ids
+    corpus = df.filter("vec_id % 3 != 0")
+    inc = {
+        (r.id1, r.id2, r.cosine)
+        for r in sim.cosine_dup_pairs_incremental(batch, corpus, threshold=0.95).collect()
+    }
+    full = {
+        (r.id1, r.id2, r.cosine)
+        for r in sim.cosine_dup_pairs(df, threshold=0.95, strategy="unbounded").collect()
+    }
+    want = {t for t in full if t[0] % 3 == 0 or t[1] % 3 == 0}
+    assert inc == want
+    assert inc  # the perturbed pairs must actually appear
