@@ -311,6 +311,16 @@ def minhash_lsh_pairs(
         .select("doc1", "doc2")
         .distinct()
     )
+    return _signature_rerank(cand, sig, id_col, num_perm, threshold)
+
+
+def _signature_rerank(
+    cand: DataFrame, sig: DataFrame, id_col: str, num_perm: int, threshold: float
+) -> DataFrame:
+    """Exact signature-agreement rerank shared by the self-join and
+    incremental variants — ONE formula (same +1e-9 nudge, same 4 dp
+    rounding), so the property-tested equality between the two cannot
+    desynchronize."""
     s1 = sig.select(F.col(id_col).alias("doc1"), F.col("sig").alias("sig1"))
     s2 = sig.select(F.col(id_col).alias("doc2"), F.col("sig").alias("sig2"))
     agree = F.size(
@@ -352,13 +362,30 @@ def minhash_lsh_pairs_incremental(
     batch doc (property-tested in tests/test_dedup.py).
 
     Returns (doc1, doc2, est_jaccard) with doc1 < doc2, doc1 or doc2
-    from the batch. Ids must be disjoint between batch and corpus.
+    from the batch. Batch and corpus ids must be disjoint — an
+    overlapping id (a batch replayed after merging) would silently
+    duplicate or mis-rerank pairs, so it raises instead (the check is
+    an id-only join over the CACHED signatures: near-free).
     """
+    from ..session import track_cache
+
     rows = num_perm // bands
-    sig_new = minhash_signatures(new_df, id_col, text_col, k, num_perm, method=method)
-    sig_corpus = minhash_signatures(
-        corpus_df, id_col, text_col, k, num_perm, method=method
+    # Each signature relation has three consumers (banding, rerank s1,
+    # rerank s2) — cache both, like the self-join variant, or the
+    # corpus shingle+signature pass re-executes per consumer and the
+    # "corpus scanned once" contract is fiction.
+    sig_new = track_cache(
+        minhash_signatures(new_df, id_col, text_col, k, num_perm, method=method).cache()
     )
+    sig_corpus = track_cache(
+        minhash_signatures(corpus_df, id_col, text_col, k, num_perm, method=method).cache()
+    )
+    overlap = sig_new.select(id_col).join(sig_corpus.select(id_col), id_col)
+    if overlap.limit(1).count():
+        raise ValueError(
+            "minhash_lsh_pairs_incremental: batch and corpus share ids — "
+            "was this batch already merged into the corpus?"
+        )
     band_arr = _band_hash_array(rows, bands, method)
 
     def banded(sig):
@@ -382,18 +409,7 @@ def minhash_lsh_pairs_incremental(
         .distinct()
     )
     sig_all = sig_new.unionByName(sig_corpus)
-    s1 = sig_all.select(F.col(id_col).alias("doc1"), F.col("sig").alias("sig1"))
-    s2 = sig_all.select(F.col(id_col).alias("doc2"), F.col("sig").alias("sig2"))
-    agree = F.size(
-        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
-    )
-    return (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        .withColumn("est_jaccard", F.round(agree / F.lit(num_perm) + 1e-9, 4))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc1", "doc2", "est_jaccard")
-    )
+    return _signature_rerank(cand, sig_all, id_col, num_perm, threshold)
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "doc2") -> DataFrame:

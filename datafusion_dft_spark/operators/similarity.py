@@ -402,6 +402,13 @@ def cosine_dup_pairs(
         ).alias("pr")
     ).select("pr.id1", "pr.id2")
     cand = pairs.distinct()  # the same pair surfaces from every agreeing table
+    return _exact_cosine_rerank(cand, base, threshold)
+
+
+def _exact_cosine_rerank(cand: DataFrame, base: DataFrame, threshold: float) -> DataFrame:
+    """Vector-rehydration exact rerank shared by the self-join and
+    incremental variants — ONE formula (same +1e-9 nudge, same 4 dp
+    rounding), so their property-tested equality cannot desynchronize."""
     v1 = base.select(F.col("vid").alias("id1"), F.col("v").alias("v1"))
     v2 = base.select(F.col("vid").alias("id2"), F.col("v").alias("v2"))
     return (
@@ -435,17 +442,33 @@ def cosine_dup_pairs_incremental(
     batch-touching pairs — property-tested in tests/test_similarity.py.
 
     Returns (id1, id2, cosine) with id1 < id2, at least one side from
-    the batch. Ids must be disjoint between batch and corpus.
+    the batch. Batch and corpus ids must be disjoint — overlap raises
+    (id-only join over the cached relations, near-free).
     """
+    from ..session import track_cache
+
     dim = dim or _dim_of(new_df, vec_col)
     sigs = signatures(F.col("v"), dim, n_planes, n_tables)
 
     def prep(df):
-        return df.select(
+        # _right_size: a single-row-group parquet corpus would scan as
+        # ONE task and serialize the signature pandas-UDF pass through
+        # one worker — the same hygiene the unbounded self-join applies.
+        # Each relation has three consumers (banding, rerank v1, v2), so
+        # cache like the minhash variant.
+        raw = df.select(
             F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
         ).filter(valid_vec("v", dim))
+        raw = track_cache(raw.cache())
+        return _right_size(raw, raw.count())
 
     raw_new, raw_corpus = prep(new_df), prep(corpus_df)
+    overlap = raw_new.select("vid").join(raw_corpus.select("vid"), "vid")
+    if overlap.limit(1).count():
+        raise ValueError(
+            "cosine_dup_pairs_incremental: batch and corpus share ids — "
+            "was this batch already merged into the corpus?"
+        )
 
     def banded(raw):
         return raw.select("vid", F.posexplode(sigs).alias("table", "bucket"))
@@ -466,15 +489,7 @@ def cosine_dup_pairs_incremental(
         .distinct()
     )
     base = raw_new.unionByName(raw_corpus)
-    v1 = base.select(F.col("vid").alias("id1"), F.col("v").alias("v1"))
-    v2 = base.select(F.col("vid").alias("id2"), F.col("v").alias("v2"))
-    return (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn("cosine", F.round(cosine_batch(F.col("v1"), F.col("v2")) + 1e-9, 4))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
-    )
+    return _exact_cosine_rerank(cand, base, threshold)
 
 
 def _collect_matrix(raw: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray]:

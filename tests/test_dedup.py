@@ -199,3 +199,11 @@ def test_minhash_incremental_equals_full_restricted(spark, sf_dir):
     want = {t for t in full if t[0] % 5 == 0 or t[1] % 5 == 0}
     assert inc == want
     assert inc  # the split must actually exercise cross pairs
+
+
+def test_minhash_incremental_rejects_overlapping_ids(spark, sf_dir):
+    from datafusion_dft_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(20)
+    with pytest.raises(ValueError, match="share ids"):
+        dd.minhash_lsh_pairs_incremental(docs, docs, "doc_id", "text")
