@@ -345,6 +345,7 @@ def minhash_lsh_pairs_incremental(
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
     method: str = "md5",
+    check_id_overlap: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between an incoming BATCH and an existing corpus.
 
@@ -364,8 +365,16 @@ def minhash_lsh_pairs_incremental(
     Returns (doc1, doc2, est_jaccard) with doc1 < doc2, doc1 or doc2
     from the batch. Batch and corpus ids must be disjoint — an
     overlapping id (a batch replayed after merging) would silently
-    duplicate or mis-rerank pairs, so it raises instead (the check is
-    an id-only join over the CACHED signatures: near-free).
+    duplicate or mis-rerank pairs, so it raises instead. The check is
+    an id-only join over the CACHED signatures — near-free once the
+    cache is warm, but a daily-increment job starting COLD pays a full
+    corpus signature build just to run the guard (the same build the
+    pair join needs next, so nothing is wasted — it only moves the
+    cost to an eager driver-synchronous job at construction time).
+    Callers that guarantee disjointness structurally (e.g. the split
+    itself partitions one relation) can pass
+    ``check_id_overlap=False`` to skip the eager job and stay fully
+    lazy.
     """
     from ..session import track_cache
 
@@ -380,12 +389,13 @@ def minhash_lsh_pairs_incremental(
     sig_corpus = track_cache(
         minhash_signatures(corpus_df, id_col, text_col, k, num_perm, method=method).cache()
     )
-    overlap = sig_new.select(id_col).join(sig_corpus.select(id_col), id_col)
-    if overlap.limit(1).count():
-        raise ValueError(
-            "minhash_lsh_pairs_incremental: batch and corpus share ids — "
-            "was this batch already merged into the corpus?"
-        )
+    if check_id_overlap:
+        overlap = sig_new.select(id_col).join(sig_corpus.select(id_col), id_col)
+        if overlap.limit(1).count():
+            raise ValueError(
+                "minhash_lsh_pairs_incremental: batch and corpus share ids — "
+                "was this batch already merged into the corpus?"
+            )
     band_arr = _band_hash_array(rows, bands, method)
 
     def banded(sig):
@@ -591,19 +601,50 @@ def simhash_pairs(
       >= 2 agreeing chunks always share a pair-band.
     - r=1 (d = C-1): the plain one-chunk banding.
 
-    Contract: ``id_col`` must be an integral column (the vectorized
-    verify packs ids into int64 arrays and the output schema is long),
-    and ids are expected unique. A duplicated id never self-pairs
+    Contract: ids are expected unique. A duplicated id never self-pairs
     (dropped in the verify), but two rows sharing an id can emit
-    duplicate (doc1, doc2) rows — dedupe ids upstream.
+    duplicate (doc1, doc2) rows — dedupe ids upstream. Integral ids run
+    natively (the vectorized verify packs ids into int64 arrays and the
+    output schema is long); non-integral ids (string doc ids etc.) are
+    transparently surrogate-keyed via ``xxhash64`` and mapped back, so
+    the output carries the original id type — at the cost of one eager
+    collision-guard job over the distinct ids plus two map-back joins.
     """
     if max_hamming >= SIMHASH_CHUNKS:
         raise ValueError("pigeonhole bands require max_hamming < number of chunks")
     id_type = df.schema[id_col].dataType.simpleString()
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(
-            f"simhash_pairs requires an integral id column, got {id_col}: {id_type} "
-            "(cast or surrogate-key upstream)"
+        # Surrogate-key path: xxhash64(id) is deterministic across jobs
+        # (unlike monotonically_increasing_id, which can reassign on
+        # recomputation and silently mispair). A 64-bit collision would
+        # merge two docs into one key, so guard eagerly: distinct ids
+        # must equal distinct surrogates. Pair order (doc1 < doc2) is
+        # re-canonicalized on the ORIGINAL id type after map-back.
+        keyed = df.select(
+            F.col(id_col), F.xxhash64(F.col(id_col).cast("string")).alias("__sk"), F.col(text_col)
+        )
+        id_map = keyed.select(id_col, "__sk").distinct()
+        counts = id_map.agg(
+            F.count("*").alias("n_ids"), F.countDistinct("__sk").alias("n_sk")
+        ).first()
+        if counts["n_ids"] != counts["n_sk"]:
+            raise ValueError(
+                "xxhash64 surrogate collision across distinct ids; "
+                "provide an integral id column instead"
+            )
+        pairs = simhash_pairs(
+            keyed.select("__sk", text_col), "__sk", text_col, max_hamming, method
+        )
+        m1 = id_map.select(F.col("__sk").alias("doc1"), F.col(id_col).alias("__id1"))
+        m2 = id_map.select(F.col("__sk").alias("doc2"), F.col(id_col).alias("__id2"))
+        return (
+            pairs.join(m1, "doc1")
+            .join(m2, "doc2")
+            .select(
+                F.least("__id1", "__id2").alias("doc1"),
+                F.greatest("__id1", "__id2").alias("doc2"),
+                "hamming",
+            )
         )
     from itertools import combinations
 

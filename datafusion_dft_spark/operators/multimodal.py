@@ -79,8 +79,18 @@ def _byte_sums(arr) -> "object":
     slices is ~8N.
     """
     import numpy as np
+    import pyarrow as pa
 
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    # binary carries int32 offsets, large_binary int64 — misreading one
+    # as the other silently produces garbage sums, so branch explicitly
+    # and refuse anything else (e.g. fixed_size_binary has no offsets).
+    if pa.types.is_binary(arr.type) or pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        raise TypeError(f"_byte_sums expects a (large_)binary array, got {arr.type}")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset : arr.offset + len(arr) + 1
     ]
     buf = arr.buffers()[2]

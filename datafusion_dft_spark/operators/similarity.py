@@ -429,6 +429,7 @@ def cosine_dup_pairs_incremental(
     n_planes: int = 12,
     n_tables: int = 24,
     dim: int | None = None,
+    check_id_overlap: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs between an incoming BATCH and a corpus.
 
@@ -442,8 +443,12 @@ def cosine_dup_pairs_incremental(
     batch-touching pairs — property-tested in tests/test_similarity.py.
 
     Returns (id1, id2, cosine) with id1 < id2, at least one side from
-    the batch. Batch and corpus ids must be disjoint — overlap raises
-    (id-only join over the cached relations, near-free).
+    the batch. Batch and corpus ids must be disjoint — overlap raises.
+    The guard joins id-only over the cached relations: near-free warm,
+    but a cold daily-increment job pays the corpus signature build at
+    construction time (the pair join reuses it, so nothing is wasted —
+    the cost just becomes eager). Callers with structural disjointness
+    can pass ``check_id_overlap=False`` to stay fully lazy.
     """
     from ..session import track_cache
 
@@ -463,12 +468,13 @@ def cosine_dup_pairs_incremental(
         return _right_size(raw, raw.count())
 
     raw_new, raw_corpus = prep(new_df), prep(corpus_df)
-    overlap = raw_new.select("vid").join(raw_corpus.select("vid"), "vid")
-    if overlap.limit(1).count():
-        raise ValueError(
-            "cosine_dup_pairs_incremental: batch and corpus share ids — "
-            "was this batch already merged into the corpus?"
-        )
+    if check_id_overlap:
+        overlap = raw_new.select("vid").join(raw_corpus.select("vid"), "vid")
+        if overlap.limit(1).count():
+            raise ValueError(
+                "cosine_dup_pairs_incremental: batch and corpus share ids — "
+                "was this batch already merged into the corpus?"
+            )
 
     def banded(raw):
         return raw.select("vid", F.posexplode(sigs).alias("table", "bucket"))

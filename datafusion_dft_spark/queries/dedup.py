@@ -109,17 +109,56 @@ MINHASH_PAIRS_ORACLE = f"""
 
 @query(
     "dedup_minhash_lsh",
-    oracle=MINHASH_PAIRS_ORACLE,
+    oracle=f"""
+        WITH pairs AS ({MINHASH_PAIRS_ORACLE}),
+        batch AS (
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        )
+        SELECT 'full' AS method, doc1, doc2, est_jaccard FROM pairs
+        UNION ALL
+        SELECT 'incremental' AS method, doc1, doc2, est_jaccard FROM pairs
+        WHERE doc1 IN (SELECT doc_id FROM batch)
+           OR doc2 IN (SELECT doc_id FROM batch)
+    """,
     tags=("dedup", "minhash", "lsh"),
     doc="MinHash (64 perms) + LSH (16 bands x 4): candidate near-dup pairs with "
-    "signature-estimated Jaccard >= 0.7. The O(n^2)-free scale path. One md5 "
-    "per shingle + universal-hash integer permutations make every stage "
-    "engine-portable, so the full sketch pipeline is differentially verified "
-    "against DuckDB — the doc_min_k_sketch pattern applied to MinHash.",
+    "signature-estimated Jaccard >= 0.7, BOTH formulations method-tagged in "
+    "one query (the dedup_embedding_cosine consolidation pattern — registry "
+    "stays at 50): 'full' = the banded self-join over the whole corpus; "
+    "'incremental' = the production daily-increment shape "
+    "(minhash_lsh_pairs_incremental — an md5-stride ~19% batch probes the "
+    "remaining corpus plus itself, corpus scanned once, never self-joined; "
+    "plan-gated in tests/test_plans.py). The DuckDB oracle recomputes the "
+    "increment split INDEPENDENTLY (same md5-stride predicate over "
+    "documents, then restricts its own full pair replay to batch-touching "
+    "pairs) — it never sees the Spark banding, so a shared-banding bug "
+    "cannot cancel out the way it could in the pytest equivalence property. "
+    "One md5 per shingle + universal-hash integer permutations make every "
+    "stage engine-portable — the doc_min_k_sketch pattern applied to "
+    "MinHash.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.7)
+    full = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.7)
+    stride = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_batch = stride.isin("0", "1", "2")
+    # check_id_overlap=False: the split partitions one relation, so
+    # disjointness holds structurally — no eager guard job needed.
+    inc = dd.minhash_lsh_pairs_incremental(
+        docs.filter(is_batch),
+        docs.filter(~is_batch),
+        "doc_id",
+        "text",
+        k=5,
+        threshold=0.7,
+        check_id_overlap=False,
+    )
+    return full.select(
+        F.lit("full").alias("method"), "doc1", "doc2", "est_jaccard"
+    ).unionByName(
+        inc.select(F.lit("incremental").alias("method"), "doc1", "doc2", "est_jaccard")
+    )
 
 
 @query(

@@ -192,17 +192,26 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'bounded' AS method, id1, id2, cosine FROM pairs
         UNION ALL
         SELECT 'unbounded' AS method, id1, id2, cosine FROM pairs
+        UNION ALL
+        SELECT 'incremental' AS method, id1, id2, cosine FROM pairs
+        WHERE id1 IN (SELECT vec_id FROM aug
+                      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2'))
+           OR id2 IN (SELECT vec_id FROM aug
+                      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2'))
     """,
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH candidates + "
-    "exact rerank, BOTH formulations method-tagged in one query "
+    "exact rerank, ALL THREE formulations method-tagged in one query "
     "(consolidated for the driver's 50-query cap, the ann_pruned_topk "
     "pattern): 'bounded' = driver LSH bucketing over an Arrow-collected "
     "matrix + distributed two-tier verify; 'unbounded' = the fully "
     "distributed single-shuffle banded self-join — the actual 100 TB "
     "path, which a test-SF corpus would never select on its own, so it "
     "is pinned via strategy='unbounded' to get its own differential "
-    "verification instead of only a pytest equivalence check. The "
+    "verification instead of only a pytest equivalence check; "
+    "'incremental' = the daily batch-vs-corpus increment "
+    "(cosine_dup_pairs_incremental over an md5-stride split, oracle "
+    "restriction recomputed independently in DuckDB). The "
     "natural corpus has no qualifying pairs at test SF, which made the "
     "oracle vacuously pass on 0 == 0 rows; both engines therefore seed "
     "five deterministic near-duplicates (vec_id<5 perturbed by +0.05 on "
@@ -245,10 +254,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded = sim.cosine_dup_pairs(
         aug, threshold=0.95, dim=_DIM, nrows=nrows, strategy="unbounded"
     )
+    # 'incremental' = the production daily-increment shape
+    # (cosine_dup_pairs_incremental): an md5-stride ~19% batch probes
+    # the remaining corpus plus itself — corpus scanned once, never
+    # self-joined. The oracle recomputes the same stride split
+    # independently and restricts its exhaustive pair join to
+    # batch-touching pairs, so the increment path gets its own
+    # differential row instead of only the pytest equivalence property.
+    stride = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    is_batch = stride.isin("0", "1", "2")
+    incremental = sim.cosine_dup_pairs_incremental(
+        aug.filter(is_batch),
+        aug.filter(~is_batch),
+        threshold=0.95,
+        dim=_DIM,
+        check_id_overlap=False,  # the split partitions one relation
+    )
     return bounded.select(
         F.lit("bounded").alias("method"), "id1", "id2", "cosine"
     ).unionByName(
         unbounded.select(F.lit("unbounded").alias("method"), "id1", "id2", "cosine")
+    ).unionByName(
+        incremental.select(F.lit("incremental").alias("method"), "id1", "id2", "cosine")
     )
 
 

@@ -206,11 +206,21 @@ class DftFlightServer(fl.FlightServerBase):
         each DoGet runs it fresh: GetFlightInfo/get_schema never write,
         and re-fetching the ticket re-copies (execute-per-run). The
         schema needs no execution — COPY always yields ``count BIGINT``.
-        A script with a COPY in the middle still plans eagerly: its
-        result schema can depend on the side effect having happened."""
+        A script with a COPY in a NON-final position is rejected: its
+        result schema can depend on the side effect having happened, so
+        it can neither be planned schema-only (GetFlightInfo would
+        perform the write — and a get_schema + get_flight_info sequence
+        would copy twice) nor deferred (the final statement's schema is
+        unknowable without executing the COPY)."""
         stmts = split_statements(sql)
         if stmts and contains_copy(stmts[-1]):
             return _DeferredCopyScript(self._spark, sql)
+        if any(contains_copy(s) for s in stmts):
+            raise fl.FlightServerError(
+                "COPY is only supported as the final statement of a script "
+                "(GetFlightInfo is schema-only; a mid-script COPY would "
+                "execute during planning)"
+            )
         return self._sql_to_df(sql)
 
     def _parse_command(self, raw: bytes) -> tuple[dict, bool]:
@@ -273,7 +283,10 @@ class DftFlightServer(fl.FlightServerBase):
             # service.rs:400-432 — basic server info as a one-row relation.
             # The protobuf command's repeated `info` selects a subset
             # (FlightSql.proto SqlInfo codes 0-3 map onto these columns);
-            # absent/empty or all-unknown requests return everything.
+            # an absent/empty info list returns everything, but an
+            # explicit request matching NO known code returns an empty
+            # (zero-row) result — FlightSQL subset semantics, not a
+            # fallback to unrelated data.
             from .. import __version__
 
             known = [
@@ -283,10 +296,15 @@ class DftFlightServer(fl.FlightServerBase):
                 (3, "false AS read_only"),
             ]
             req = cmd.get("info") or []
-            sel = [expr for code, expr in known if code in req] or [
-                expr for _, expr in known
-            ]
-            return "SELECT " + ", ".join(sel)
+            if not req:
+                sel = [expr for _, expr in known]
+            else:
+                sel = [expr for code, expr in known if code in req]
+            if sel:
+                return "SELECT " + ", ".join(sel)
+            return (
+                "SELECT " + ", ".join(expr for _, expr in known) + " WHERE false"
+            )
         if t == "xdbc_type_info":
             # service.rs:434-485 — XDBC metadata for the supported types.
             rows = [

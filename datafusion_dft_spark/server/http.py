@@ -61,6 +61,34 @@ def _df_to_json_rows(df, limit: int) -> list[dict]:
     ]
 
 
+def _drain_flight(reader, need: int | None):
+    """Buffer Flight stream batches until ``need`` rows arrive (None =
+    all), then cancel the remainder of the stream. Keeps HTTP-server
+    memory bounded by offset+limit rows instead of the full routed
+    result (the flight server's own result_limit defaults to uncapped,
+    so a routed ``SELECT *`` over a large table would otherwise
+    materialize entirely in this process)."""
+    import pyarrow as pa
+
+    batches, got = [], 0
+    while True:
+        if need is not None and got >= need:
+            try:
+                reader.cancel()
+            except Exception:
+                pass
+            break
+        try:
+            chunk = reader.read_chunk()
+        except StopIteration:
+            break
+        if chunk.data is None:
+            continue
+        batches.append(chunk.data)
+        got += chunk.data.num_rows
+    return pa.Table.from_batches(batches, schema=reader.schema)
+
+
 def _flight_exec(
     fc,
     sql: str,
@@ -99,12 +127,19 @@ def _flight_exec(
     client = fl.FlightClient(_grpc_location(fc.connection_url))
     try:
         table = None
-        for stmt in split_statements(sql):
+        stmts = split_statements(sql)
+        for i, stmt in enumerate(stmts):
             desc = fl.FlightDescriptor.for_command(
                 encode_command({"type": "statement", "query": stmt})
             )
             info = client.get_flight_info(desc, options())
-            table = client.do_get(info.endpoints[0].ticket, options()).read_all()
+            reader = client.do_get(info.endpoints[0].ticket, options())
+            if i < len(stmts) - 1:
+                # intermediate results are discarded; the DoGet RPC has
+                # already run any deferred COPY, so no rows are needed
+                _drain_flight(reader, 0)
+            else:
+                table = _drain_flight(reader, None if limit is None else offset + limit)
     finally:
         client.close()
     if table is None:

@@ -14,7 +14,20 @@ query in the registry.
 
 Row counts per scale factor mirror the corpus ratios:
 lineitem 6M*sf, orders 1.5M*sf, customer 150k*sf, part 200k*sf,
-supplier 10k*sf, nation 25, region 5.
+supplier 10k*sf, partsupp 4*part, nation 25, region 5.
+
+Value domains follow the PUBLIC TPC-H specification (the reference's
+``generate-tpch`` delegates to the official-dbgen-compatible tpchgen
+crate, src/tpch.rs:201-339): real nation names with the spec's region
+mapping, three-syllable part types, Brand#MN tied to Manufacturer#M,
+color-word part names, and the spec's partsupp supplier-spread
+formula — so the reference's own embedded TPC-H query texts
+(src/server/http/tpch.rs), which filter on 'GERMANY', '%BRASS',
+'forest%', 'Brand#45', 'Customer…Complaints', select real rows on a
+generated database instead of passing vacuously. Columns are a
+SUPERSET of the driver corpus schemas (FIXTURES.md): everything the
+driver corpus has, plus the spec columns those query texts touch
+(p_mfgr/p_container, s_address/s_phone/s_comment, partsupp).
 """
 
 from __future__ import annotations
@@ -25,13 +38,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+# Official TPC-H nation -> region mapping (spec 4.2.3, public).
+NATIONS = [
+    ("ALGERIA", 0), ("ARGENTINA", 1), ("BRAZIL", 1), ("CANADA", 1),
+    ("EGYPT", 4), ("ETHIOPIA", 0), ("FRANCE", 3), ("GERMANY", 3),
+    ("INDIA", 2), ("INDONESIA", 2), ("IRAN", 4), ("IRAQ", 4),
+    ("JAPAN", 2), ("JORDAN", 4), ("KENYA", 0), ("MOROCCO", 0),
+    ("MOZAMBIQUE", 0), ("PERU", 1), ("CHINA", 2), ("ROMANIA", 3),
+    ("SAUDI ARABIA", 4), ("VIETNAM", 2), ("RUSSIA", 3),
+    ("UNITED KINGDOM", 3), ("UNITED STATES", 1),
+]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 STATUSES = ["F", "O", "P"]
 RETURNFLAGS = ["A", "N", "R"]
-PART_ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
-PART_NOUN = ["bolt", "gear", "gizmo", "ring", "widget"]
-PART_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+# TPC-H spec 4.2.2.13: P_TYPE = syl1 + ' ' + syl2 + ' ' + syl3.
+TYPE_SYL1 = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+TYPE_SYL2 = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
+TYPE_SYL3 = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+CONTAINER_SYL1 = ["SM", "LG", "MED", "JUMBO", "WRAP"]
+CONTAINER_SYL2 = ["CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM"]
+# TPC-H spec P_NAME color words (92, public spec appendix).
+COLORS = (
+    "almond antique aquamarine azure beige bisque black blanched blue blush "
+    "brown burlywood burnished chartreuse chiffon chocolate coral cornflower "
+    "cornsilk cream cyan dark deep dim dodger drab firebrick floral forest "
+    "frosted gainsboro ghost goldenrod green grey honeydew hot indian ivory "
+    "khaki lace lavender lawn lemon light lime linen magenta maroon medium "
+    "metallic midnight mint misty moccasin navajo navy olive orange orchid "
+    "pale papaya peach peru pink plum powder puff purple red rose rosy royal "
+    "saddle salmon sandy seashell sienna sky slate smoke snow spring steel "
+    "tan thistle tomato turquoise violet wheat white yellow"
+).split()
 
 
 def _h(tag: str) -> F.Column:
@@ -68,14 +106,36 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
     )
     nation = spark.range(25).select(
         F.col("id").cast("int").alias("n_nationkey"),
-        F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
-        (_h("n_region") % 5).cast("int").alias("n_regionkey"),
+        F.element_at(
+            F.array(*[F.lit(n) for n, _ in NATIONS]), F.col("id").cast("int") + 1
+        ).alias("n_name"),
+        F.element_at(
+            F.array(*[F.lit(r) for _, r in NATIONS]), F.col("id").cast("int") + 1
+        ).cast("int").alias("n_regionkey"),
     )
     supplier = spark.range(n_supp).select(
         (F.col("id") + 1).alias("s_suppkey"),
         F.concat(F.lit("Supplier#"), F.col("id") + 1).alias("s_name"),
         (_h("s_nation") % 25).cast("int").alias("s_nationkey"),
         _money("s_bal", -999.99, 9999.99).alias("s_acctbal"),
+        F.concat(F.lit("addr "), _h("s_addr") % 10_000_000).alias("s_address"),
+        F.format_string(
+            "%d-%03d-%03d-%04d",
+            (_h("s_nation") % 25) + 10,
+            (_h("s_ph1") % 1000).cast("int"),
+            (_h("s_ph2") % 1000).cast("int"),
+            (_h("s_ph3") % 10000).cast("int"),
+        ).alias("s_phone"),
+        # ~3% carry the spec's BBB complaint marker so Q16's
+        # '%Customer%Complaints%' NOT IN subquery is non-empty at
+        # small scale factors (the spec plants 5 per 10k suppliers —
+        # zero at sf<=0.1).
+        F.when(
+            _h("s_cmt") % 33 == 0,
+            F.concat(F.lit("sly Customer deposits Complaints "), _h("s_cmtx") % 100),
+        )
+        .otherwise(F.concat(F.lit("quiet packages wake "), _h("s_cmtx") % 100))
+        .alias("s_comment"),
     )
     customer = spark.range(n_cust).select(
         (F.col("id") + 1).alias("c_custkey"),
@@ -84,13 +144,42 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         _money("c_bal", -999.99, 9999.99).alias("c_acctbal"),
         _pick("c_seg", SEGMENTS).alias("c_mktsegment"),
     )
+    mfgr = _h("p_mfgr") % 5 + 1
     part = spark.range(n_part).select(
         (F.col("id") + 1).alias("p_partkey"),
-        F.concat_ws(" ", _pick("p_adj", PART_ADJ), _pick("p_noun", PART_NOUN)).alias("p_name"),
-        F.concat(F.lit("Brand#"), (_h("p_brand") % 25 + 1)).alias("p_brand"),
-        _pick("p_type", PART_TYPES).alias("p_type"),
+        # spec-style color-word name; 'forest%' (Q20) matches ~1/92
+        F.concat_ws(" ", _pick("p_c1", COLORS), _pick("p_c2", COLORS)).alias("p_name"),
+        F.concat(F.lit("Manufacturer#"), mfgr).alias("p_mfgr"),
+        # spec 4.2.2: Brand#MN where M is the manufacturer digit
+        F.concat(F.lit("Brand#"), mfgr * 10 + (_h("p_brandn") % 5 + 1)).alias("p_brand"),
+        F.concat_ws(
+            " ", _pick("p_t1", TYPE_SYL1), _pick("p_t2", TYPE_SYL2), _pick("p_t3", TYPE_SYL3)
+        ).alias("p_type"),
         (_h("p_size") % 50 + 1).cast("int").alias("p_size"),
+        F.concat_ws(" ", _pick("p_k1", CONTAINER_SYL1), _pick("p_k2", CONTAINER_SYL2)).alias(
+            "p_container"
+        ),
         _money("p_price", 900.0, 2000.0).alias("p_retailprice"),
+    )
+    # spec 4.2.3: each part has 4 supplier rows; suppkey spread so a
+    # part's suppliers land in different key regions of the supplier
+    # table (the official dbgen formula, modulo our 0-based row id).
+    partsupp = spark.range(n_part * 4).select(
+        (F.col("id") / 4 + 1).cast("long").alias("ps_partkey"),
+        (
+            (
+                (F.col("id") / 4).cast("long")
+                + (F.col("id") % 4)
+                * (
+                    F.lit(n_supp // 4)
+                    + ((F.col("id") / 4).cast("long") % n_supp)
+                )
+            )
+            % n_supp
+            + 1
+        ).alias("ps_suppkey"),
+        (_h("ps_qty") % 9999 + 1).cast("int").alias("ps_availqty"),
+        _money("ps_cost", 1.0, 1000.0).alias("ps_supplycost"),
     )
     orders = spark.range(n_ord).select(
         (F.col("id") + 1).alias("o_orderkey"),
@@ -111,7 +200,10 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         ((_h("l_tax") % 9) / 100.0).alias("l_tax"),
         _pick("l_rflag", RETURNFLAGS).alias("l_returnflag"),
         _pick("l_lstatus", ["F", "O"]).alias("l_linestatus"),
-        _date("l_ship", "1995-01-02", 2500).alias("l_shipdate"),
+        # spec range [1992-01-02, ~1998-11]: the embedded Q20 text
+        # windows on calendar-1994 shipments — a 1995+ start would
+        # make its correlated sum NULL everywhere (vacuous query)
+        _date("l_ship", "1992-01-02", 2500).alias("l_shipdate"),
     )
     n_events = max(int(1_000_000 * scale_factor), 50)
     n_docs = max(int(50_000 * scale_factor), 20)
@@ -155,6 +247,7 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         "supplier": supplier,
         "customer": customer,
         "part": part,
+        "partsupp": partsupp,
         "orders": orders,
         "lineitem": lineitem,
         "events": events,

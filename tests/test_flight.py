@@ -181,6 +181,34 @@ def test_statement_copy_deferred_to_do_get(client, tmp_path):
     assert out.stat().st_mtime_ns != mtime
 
 
+def test_mid_script_copy_rejected(client, tmp_path):
+    """A COPY in a NON-final position cannot be planned schema-only:
+    GetFlightInfo would perform the write (and get_schema +
+    get_flight_info would copy twice) — reject, and write nothing
+    (advisor r7)."""
+    out = tmp_path / "mid.parquet"
+    desc = _cmd(
+        {"type": "statement", "query": f"COPY region TO '{out}'; SELECT 1 AS one"}
+    )
+    with pytest.raises(pa.ArrowException, match="final statement"):
+        client.get_flight_info(desc)
+    assert not out.exists(), "mid-script COPY executed during planning"
+    with pytest.raises(pa.ArrowException, match="final statement"):
+        client.get_schema(desc)
+    assert not out.exists()
+
+
+def test_sql_info_subset_semantics(client):
+    """An explicit info list selects a subset; all-unknown codes return
+    an EMPTY result, not everything (FlightSQL subset semantics,
+    advisor r7)."""
+    partial = _fetch(client, _cmd({"type": "sql_info", "info": [1, 500]}))
+    assert partial.schema.names == ["server_version"]
+    assert partial.num_rows == 1
+    unknown = _fetch(client, _cmd({"type": "sql_info", "info": [500, 9999]}))
+    assert unknown.num_rows == 0
+
+
 def test_list_actions(client):
     kinds = {a.type for a in client.list_actions()}
     assert kinds == {

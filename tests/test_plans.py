@@ -139,6 +139,65 @@ def test_minhash_bucket_join_is_equi(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan), plan
 
 
+def _stride_split(df, id_col):
+    from pyspark.sql import functions as F
+
+    stride = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    is_batch = stride.isin("0", "1", "2")
+    return df.filter(is_batch), df.filter(~is_batch)
+
+
+def test_minhash_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
+    """The increment path's candidate generation must be ONE band join
+    with the BATCH side broadcast — the corpus stream is scanned once
+    and never self-joined (the whole point of the daily-increment
+    formulation: cost ∝ batch x collision rate, never corpus²)."""
+    import re
+
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    batch, corpus = _stride_split(docs, "doc_id")
+    inc = dd.minhash_lsh_pairs_incremental(
+        batch, corpus, "doc_id", "text", k=5, threshold=0.7, check_id_overlap=False
+    )
+    sp = ex.simple_plan(inc)
+    band_joins = re.findall(r"(\w+Join) \[band#", sp)
+    assert band_joins == ["BroadcastHashJoin"], (band_joins, sp)
+    assert "CartesianProduct" not in sp, sp
+
+
+def test_cosine_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
+    """Same contract for the embedding increment: one (table, bucket)
+    join, batch side broadcast, corpus never self-joined."""
+    import re
+
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    batch, corpus = _stride_split(emb, "vec_id")
+    inc = sim.cosine_dup_pairs_incremental(
+        batch, corpus, threshold=0.95, dim=64, check_id_overlap=False
+    )
+    sp = ex.simple_plan(inc)
+    table_joins = re.findall(r"(\w+Join) \[table#", sp)
+    assert table_joins == ["BroadcastHashJoin"], (table_joins, sp)
+    assert "CartesianProduct" not in sp, sp
+
+
+def test_minhash_driver_query_runs_both_formulations(spark, sf_dir):
+    """The driver-checked dedup_minhash_lsh is the method-tagged union
+    of the full self-join AND the incremental batch-vs-corpus path —
+    both band joins must be present in one plan."""
+    import re
+
+    df = _build("dedup_minhash_lsh", spark, sf_dir)
+    sp = ex.simple_plan(df)
+    assert len(re.findall(r"Join \[band#", sp)) >= 2, sp
+
+
 def test_documents_scan_prunes_columns(spark, sf_dir):
     """Sketches read (doc_id, text) — the documents scan must not drag
     the other columns through the shingle explosion."""

@@ -141,3 +141,66 @@ def test_http_auth_constant_time_compare(spark, sf_dir):
     assert c.post("/sql", json=body, headers={"Authorization": "Bearer sekret-tokeX"}).status_code == 401
     assert c.post("/sql", json=body, headers={"Authorization": "Bearer sekret-token-longer"}).status_code == 401
     assert c.post("/sql", json=body, headers={"Authorization": "Bearer sekret-token"}).status_code == 200
+
+
+def test_byte_sums_large_binary_offsets():
+    """large_binary carries int64 offsets — reading them as int32 would
+    silently misparse (advisor r7); both widths must agree, and
+    offset-less types must refuse."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_dft_spark.operators.multimodal import _byte_sums
+
+    payloads = [b"", b"\x01\x02", b"\xff" * 5, None, b"abc"]
+    want = [0, 3, 255 * 5, 0, ord("a") + ord("b") + ord("c")]
+    small = pa.array(payloads, type=pa.binary())
+    large = pa.array(payloads, type=pa.large_binary())
+    assert list(np.asarray(_byte_sums(small))) == want
+    assert list(np.asarray(_byte_sums(large))) == want
+    # sliced large array keeps correct offsets interpretation
+    assert list(np.asarray(_byte_sums(large.slice(1, 2)))) == want[1:3]
+    with pytest.raises(TypeError, match="binary"):
+        _byte_sums(pa.array([1, 2], type=pa.int64()))
+
+
+def test_drain_flight_stops_after_need_rows():
+    """The flightsql-routed HTTP path must stream do_get and stop at
+    offset+limit rows instead of read_all() (advisor r7, medium)."""
+    import pyarrow as pa
+
+    from datafusion_dft_spark.server.http import _drain_flight
+
+    class FakeChunk:
+        def __init__(self, data):
+            self.data = data
+
+    class FakeReader:
+        schema = pa.schema([("x", pa.int64())])
+
+        def __init__(self, n_batches, rows_each):
+            self._batches = [
+                pa.record_batch([pa.array(range(rows_each), pa.int64())], schema=self.schema)
+                for _ in range(n_batches)
+            ]
+            self.read = 0
+            self.cancelled = False
+
+        def read_chunk(self):
+            if self.read >= len(self._batches):
+                raise StopIteration
+            b = self._batches[self.read]
+            self.read += 1
+            return FakeChunk(b)
+
+        def cancel(self):
+            self.cancelled = True
+
+    r = FakeReader(100, 10)
+    t = _drain_flight(r, 25)  # offset+limit = 25 -> 3 batches of 10
+    assert t.num_rows == 30 and r.read == 3 and r.cancelled
+    r2 = FakeReader(4, 10)
+    assert _drain_flight(r2, None).num_rows == 40 and not r2.cancelled
+    r3 = FakeReader(7, 10)
+    t3 = _drain_flight(r3, 0)  # intermediate statement: no rows needed
+    assert t3.num_rows == 0 and r3.read == 0 and r3.cancelled
