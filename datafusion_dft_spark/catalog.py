@@ -42,6 +42,15 @@ _EXT_FORMAT = {
     ".jsonl": "json",
 }
 
+# (catalog, schema) pairs seen by register_db. The reference exposes a
+# THREE-level namespace (``dft.tpch.part``, src/db.rs:54-150); Spark's
+# session catalog is two-level, so register_db flattens the catalog
+# level away and records the pair here so the SQL frontend can strip
+# known ``catalog.`` prefixes from query text (sql.py
+# ``_rewrite_catalog_prefixes``) — the reference's own embedded TPC-H
+# texts (src/server/http/tpch.rs) then run unchanged.
+REGISTERED_CATALOG_SCHEMAS: set[tuple[str, str]] = set()
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -189,6 +198,7 @@ def register_db(spark: SparkSession, root: str) -> list[str]:
     for catalog_dir in sorted(p for p in rootp.iterdir() if p.is_dir()):
         for schema_dir in sorted(p for p in catalog_dir.iterdir() if p.is_dir()):
             schema = schema_dir.name
+            REGISTERED_CATALOG_SCHEMAS.add((catalog_dir.name, schema))
             for table_dir in sorted(p for p in schema_dir.iterdir() if p.is_dir()):
                 fmt = sniff_format(table_dir)
                 if fmt is None:

@@ -85,6 +85,32 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
+def _rewrite_catalog_prefixes(sql: str) -> str:
+    """Strip known three-level catalog prefixes down to Spark's two.
+
+    The reference resolves ``{catalog}.{schema}.{table}`` from its
+    directory database (src/db.rs:54-150); ``register_db`` flattens the
+    catalog level into Spark's session catalog and records each
+    (catalog, schema) pair. Here ``dft.tpch.part`` becomes
+    ``tpch.part`` — only for pairs actually registered, only outside
+    string literals/comments/backticks, so an unrelated column or
+    literal named ``dft`` is never touched.
+    """
+    from .catalog import REGISTERED_CATALOG_SCHEMAS
+    from .functions.compat import _in_spans, _masked_spans
+
+    for cat, schema in REGISTERED_CATALOG_SCHEMAS:
+        pat = re.compile(
+            rf"(?i)\b{re.escape(cat)}\s*\.\s*({re.escape(schema)})\s*\.", re.UNICODE
+        )
+        spans = _masked_spans(sql)
+        sql = pat.sub(
+            lambda m: m.group(0) if _in_spans(m.start(), spans) else m.group(1) + ".",
+            sql,
+        )
+    return sql
+
+
 def _rewrite_url_tables(sql: str) -> str:
     """``FROM 'file.parquet'`` → ``FROM parquet.`file.parquet```."""
 
@@ -365,6 +391,7 @@ def prepare_statement(spark: SparkSession, stmt: str) -> str:
     cp = _rewrite_copy(spark, stmt)
     if cp is not None:
         return cp
+    stmt = _rewrite_catalog_prefixes(stmt)
     stmt = _rewrite_url_tables(stmt)
     stmt = _rewrite_json_functions(stmt)
     stmt = rewrite_function_names(stmt)

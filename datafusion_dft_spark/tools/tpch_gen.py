@@ -161,23 +161,34 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         ),
         _money("p_price", 900.0, 2000.0).alias("p_retailprice"),
     )
-    # spec 4.2.3: each part has 4 supplier rows; suppkey spread so a
-    # part's suppliers land in different key regions of the supplier
-    # table (the official dbgen formula, modulo our 0-based row id).
+    # spec 4.2.3: each part has 4 supplier rows; suppkey spread per the
+    # official dbgen formula  (ps_partkey + i*(S/4 + (ps_partkey-1)/S)) % S + 1
+    # with INTEGER division in the stride (a modulo there lets the four
+    # rows of a part collide onto one suppkey, breaking the
+    # (ps_partkey, ps_suppkey) primary key the spec guarantees).  At
+    # spec ratios (P = 20*S, S >= 10000) the stride S/4 + p0/S can never
+    # satisfy d*stride ≡ 0 (mod S) for d in 1..3, so the four keys are
+    # distinct; our toy floors (S as low as 5, P/S up to 20) CAN hit a
+    # bad residue (e.g. S=10, stride=5 collides i=0 with i=2), so guard:
+    # if the spec stride lands on a bad residue fall back to S//4, which
+    # is collision-free for all S >= 4 (1 <= d*(S//4) <= 3S/4 < S).
+    def _ps_suppkey(p0: F.Column, i: F.Column) -> F.Column:
+        """Supplier key of the part's i-th (0..3) partsupp row."""
+        base = max(1, n_supp // 4)
+        cand = F.lit(base) + F.floor(p0 / n_supp)
+        bad = (
+            ((cand % n_supp) == 0)
+            | (((cand * 2) % n_supp) == 0)
+            | (((cand * 3) % n_supp) == 0)
+        )
+        stride = F.when(bad, F.lit(base)).otherwise(cand)
+        return (p0 + i * stride) % n_supp + 1
+
     partsupp = spark.range(n_part * 4).select(
         (F.col("id") / 4 + 1).cast("long").alias("ps_partkey"),
-        (
-            (
-                (F.col("id") / 4).cast("long")
-                + (F.col("id") % 4)
-                * (
-                    F.lit(n_supp // 4)
-                    + ((F.col("id") / 4).cast("long") % n_supp)
-                )
-            )
-            % n_supp
-            + 1
-        ).alias("ps_suppkey"),
+        _ps_suppkey((F.col("id") / 4).cast("long"), F.col("id") % 4).alias(
+            "ps_suppkey"
+        ),
         (_h("ps_qty") % 9999 + 1).cast("int").alias("ps_availqty"),
         _money("ps_cost", 1.0, 1000.0).alias("ps_supplycost"),
     )
@@ -186,13 +197,21 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         (_h("o_cust") % n_cust + 1).alias("o_custkey"),
         _pick("o_status", STATUSES).alias("o_orderstatus"),
         _money("o_total", 1000.0, 500000.0).alias("o_totalprice"),
-        _date("o_date", "1995-01-01", 2400).alias("o_orderdate"),
+        # spec range starts 1992-01-01 (O_ORDERDATE uniform
+        # [STARTDATE, ENDDATE-151]); the embedded Q4/Q5 texts window on
+        # calendar-1994 orders — a 1995+ start makes them vacuous
+        _date("o_date", "1992-01-01", 2400).alias("o_orderdate"),
         _pick("o_prio", PRIORITIES).alias("o_orderpriority"),
     )
+    # spec 4.2.3: a lineitem's supplier is one of its part's FOUR
+    # partsupp suppliers (l_suppkey FK into partsupp, not independent) —
+    # without this, Q2/Q9/Q20-style lineitem⋈partsupp correlations are
+    # vacuously empty because random (l_partkey, l_suppkey) pairs never
+    # hit a partsupp row.
     lineitem = spark.range(n_li).select(
         (_h("l_order") % n_ord + 1).alias("l_orderkey"),
         (_h("l_part") % n_part + 1).alias("l_partkey"),
-        (_h("l_supp") % n_supp + 1).alias("l_suppkey"),
+        _ps_suppkey(_h("l_part") % n_part, _h("l_supp") % 4).alias("l_suppkey"),
         (_h("l_line") % 7 + 1).cast("int").alias("l_linenumber"),
         (_h("l_qty") % 50 + 1).cast("double").alias("l_quantity"),
         _money("l_price", 900.0, 100000.0).alias("l_extendedprice"),

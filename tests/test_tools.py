@@ -16,7 +16,7 @@ def test_generated_db_layout_registers(spark, tmp_path):
 
     generate(spark, str(tmp_path / "db"), scale_factor=0.0001, layout="db")
     names = register_db(spark, str(tmp_path / "db" / "tables"))
-    assert len(names) == 10  # 7 relational + events/documents/embeddings
+    assert len(names) == 11  # 8 relational (incl. partsupp) + events/documents/embeddings
     # registered under schema 'tpch' (catalog dir 'dft'); query one
     tname = [n for n in names if "lineitem" in n][0]
     n = spark.sql(f"SELECT count(*) AS n FROM {tname}").collect()[0].n
@@ -62,3 +62,64 @@ def test_rehearsal_generator_schema_parity(spark, sf_dir, tmp_path):
         assert [(f.name, f.dataType.simpleString()) for f in got] == [
             (f.name, f.dataType.simpleString()) for f in want
         ], t
+
+
+def test_partsupp_primary_key_unique(spark):
+    """(ps_partkey, ps_suppkey) is a primary key (spec 4.2.3) — the
+    dbgen supplier-spread stride must give each part 4 DISTINCT
+    suppliers even at toy scale floors where the spec stride can land
+    on a residue with d*stride ≡ 0 (mod S)."""
+    from pyspark.sql import functions as F
+
+    for sf in (0.0001, 0.001, 0.01):
+        ps = gen_tables(spark, sf)["partsupp"]
+        dup = (
+            ps.groupBy("ps_partkey", "ps_suppkey")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0, f"sf={sf}: {dup} duplicate (partkey, suppkey) pairs"
+        per_part = ps.groupBy("ps_partkey").agg(
+            F.count("*").alias("n"), F.countDistinct("ps_suppkey").alias("d")
+        )
+        bad = per_part.filter((F.col("n") != 4) | (F.col("d") != 4)).count()
+        assert bad == 0, f"sf={sf}: parts without 4 distinct suppliers"
+
+
+def test_part_brand_tied_to_manufacturer(spark):
+    """Spec 4.2.2: Brand#MN where M is the part's Manufacturer#M digit."""
+    from pyspark.sql import functions as F
+
+    part = gen_tables(spark, 0.001)["part"]
+    mismatch = part.filter(
+        F.substring("p_brand", 7, 1) != F.substring("p_mfgr", 14, 1)
+    ).count()
+    assert mismatch == 0
+    brands = {r[0] for r in part.select("p_brand").distinct().collect()}
+    assert brands <= {f"Brand#{m}{n}" for m in range(1, 6) for n in range(1, 6)}
+
+
+def test_nation_region_spec_mapping(spark):
+    """The 25 nations carry the official spec region assignment."""
+    nation = gen_tables(spark, 0.001)["nation"]
+    got = {(r.n_name, r.n_regionkey) for r in nation.collect()}
+    assert ("GERMANY", 3) in got and ("CANADA", 1) in got and ("CHINA", 2) in got
+    assert len(got) == 25
+    region = gen_tables(spark, 0.001)["region"]
+    assert {(r.r_regionkey, r.r_name) for r in region.collect()} == {
+        (0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST")
+    }
+
+
+def test_supplier_spread_follows_spec_at_scale(spark):
+    """At spec-ratio sizes the stride fallback must never trigger: the
+    emitted suppkeys equal the official dbgen formula exactly."""
+    ps = gen_tables(spark, 0.01)["partsupp"].collect()
+    n_supp = 100
+    for r in ps[:400]:
+        p0 = r.ps_partkey - 1
+        expect = {
+            (p0 + i * (n_supp // 4 + p0 // n_supp)) % n_supp + 1 for i in range(4)
+        }
+        assert r.ps_suppkey in expect, (r.ps_partkey, r.ps_suppkey)
