@@ -32,6 +32,8 @@ does).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,6 +41,18 @@ from pyspark.sql import functions as F
 
 NUM_PERM = 64
 BANDS = 16
+
+# Incremental dedup broadcasts the banded BATCH side. An "increment"
+# is small by definition — but a backfill-sized batch fed through the
+# same entry point would broadcast gigabytes to every executor and OOM
+# the job, so above this many batch rows the probe join degrades to a
+# plain shuffled equi-join on the band keys (same result, one extra
+# shuffle of the banded corpus). At the default 16 bands a row is
+# (id, band, bandhash) ~ 40 bytes, so 100k batch ids ~ 1.6M banded
+# rows ~ 65 MB broadcast — the sane ceiling for a 1000-executor fleet.
+_INCR_BROADCAST_MAX_BATCH = int(
+    os.environ.get("SPARK_GRAFT_INCR_BROADCAST_MAX_BATCH", "100000")
+)
 ROWS_PER_BAND = NUM_PERM // BANDS
 # Universal-hash permutation family over the 32-bit base hash:
 # h_i = (A_i * h + B_i) mod P with P the largest 32-bit prime. A_i < 2^31
@@ -346,6 +360,7 @@ def minhash_lsh_pairs_incremental(
     bands: int = BANDS,
     method: str = "md5",
     check_id_overlap: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs between an incoming BATCH and an existing corpus.
 
@@ -354,10 +369,14 @@ def minhash_lsh_pairs_incremental(
     duplicate anything (corpus or batch)?" — re-running the full
     self-join (`minhash_lsh_pairs` over corpus ∪ batch) would re-pay
     the corpus×corpus candidate mass for pairs that cannot contain a
-    batch doc. Here the banded BATCH side (broadcast — it is small by
-    definition of an increment) probes the banded corpus stream plus
-    itself: the corpus is scanned once, never self-joined, and cost
-    scales with |batch| × collision rate. Band hashes are identical to
+    batch doc. Here the banded BATCH side probes the banded corpus
+    stream plus itself: the corpus is scanned once, never self-joined,
+    and cost scales with |batch| × collision rate. ``broadcast`` pins
+    the probe strategy — ``True`` broadcasts the banded batch (one
+    corpus pass, zero corpus shuffle: the daily-increment plan),
+    ``False`` shuffles the band equi-join (the backfill plan), and
+    ``None`` (default) broadcasts only while the batch is within
+    ``_INCR_BROADCAST_MAX_BATCH`` rows. Band hashes are identical to
     `minhash_lsh_pairs` (shared ``_band_hash_array``), so the result
     equals the full self-join's pairs restricted to those touching a
     batch doc (property-tested in tests/test_dedup.py).
@@ -409,8 +428,16 @@ def minhash_lsh_pairs_incremental(
         .unionByName(banded(sig_new))
         .select(F.col(id_col).alias("doc_b"), "band", "bandhash")
     )
+    # Broadcast the batch only while it actually is increment-sized; a
+    # backfill routed through this entry point falls back to a shuffled
+    # band join instead of OOMing every executor. The count hits the
+    # cached signatures the pair join needs next, so it is not an extra
+    # corpus pass.
+    if broadcast is None:
+        broadcast = sig_new.count() <= _INCR_BROADCAST_MAX_BATCH
+    probe_side = F.broadcast(probe) if broadcast else probe
     cand = (
-        build.join(F.broadcast(probe), ["band", "bandhash"])
+        build.join(probe_side, ["band", "bandhash"])
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.least("doc_a", "doc_b").alias("doc1"),
@@ -620,7 +647,12 @@ def simhash_pairs(
         # merge two docs into one key, so guard eagerly: distinct ids
         # must equal distinct surrogates. Pair order (doc1 < doc2) is
         # re-canonicalized on the ORIGINAL id type after map-back.
-        keyed = df.select(
+        # NULL ids are dropped up front: NULL hashes to the xxhash64
+        # seed (sharing a surrogate with any colliding real id), and in
+        # the map-back least/greatest would skip the null side and emit
+        # doc1 == doc2 / half-null rows, violating the pair contract —
+        # the integral path's int64 packing already excludes them.
+        keyed = df.filter(F.col(id_col).isNotNull()).select(
             F.col(id_col), F.xxhash64(F.col(id_col).cast("string")).alias("__sk"), F.col(text_col)
         )
         id_map = keyed.select(id_col, "__sk").distinct()

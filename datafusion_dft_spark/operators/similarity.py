@@ -430,15 +430,19 @@ def cosine_dup_pairs_incremental(
     n_tables: int = 24,
     dim: int | None = None,
     check_id_overlap: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs between an incoming BATCH and a corpus.
 
     The increment counterpart of ``cosine_dup_pairs`` (the
     ``minhash_lsh_pairs_incremental`` shape applied to sign-LSH):
-    the banded BATCH side broadcasts and probes one pass over the
-    banded corpus plus itself on (table, bucket), so the corpus is
-    never self-joined and candidate cost scales with |batch| ×
-    collision rate. Identical planes (md5-derived, shared
+    the banded BATCH side probes one pass over the banded corpus plus
+    itself on (table, bucket), so the corpus is never self-joined and
+    candidate cost scales with |batch| × collision rate. ``broadcast``
+    pins the probe strategy (``True`` broadcast / ``False`` shuffled
+    equi-join); ``None`` broadcasts only while the batch is within
+    ``_INCR_BROADCAST_MAX_BATCH`` rows — an increment broadcasts, a
+    backfill shuffles. Identical planes (md5-derived, shared
     ``signatures``) mean recall equals the unbounded self-join's for
     batch-touching pairs — property-tested in tests/test_similarity.py.
 
@@ -465,9 +469,10 @@ def cosine_dup_pairs_incremental(
             F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
         ).filter(valid_vec("v", dim))
         raw = track_cache(raw.cache())
-        return _right_size(raw, raw.count())
+        n = raw.count()
+        return _right_size(raw, n), n
 
-    raw_new, raw_corpus = prep(new_df), prep(corpus_df)
+    (raw_new, n_new), (raw_corpus, _) = prep(new_df), prep(corpus_df)
     if check_id_overlap:
         overlap = raw_new.select("vid").join(raw_corpus.select("vid"), "vid")
         if overlap.limit(1).count():
@@ -485,8 +490,17 @@ def cosine_dup_pairs_incremental(
         .unionByName(banded(raw_new))
         .select(F.col("vid").alias("id_b"), "table", "bucket")
     )
+    # Same size guard as the minhash increment: broadcast is the right
+    # plan only while the batch IS an increment; a backfill-sized batch
+    # degrades to a shuffled (table, bucket) equi-join instead of
+    # shipping the banded batch to every executor.
+    if broadcast is None:
+        from .dedup import _INCR_BROADCAST_MAX_BATCH
+
+        broadcast = n_new <= _INCR_BROADCAST_MAX_BATCH
+    probe_side = F.broadcast(probe) if broadcast else probe
     cand = (
-        build.join(F.broadcast(probe), ["table", "bucket"])
+        build.join(probe_side, ["table", "bucket"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("id1"),

@@ -153,6 +153,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         threshold=0.7,
         check_id_overlap=False,
+        # broadcast=True pinned: this row's batch is a ~19% stride of a
+        # corpus the driver runs at sf<=0.1 (and the rehearsal at sf10
+        # stays under _INCR_BROADCAST_MAX_BATCH) — always in budget, so
+        # skip the auto-guard's eager batch count. Unknown-size callers
+        # should leave broadcast=None and let the operator decide.
+        broadcast=True,
     )
     return full.select(
         F.lit("full").alias("method"), "doc1", "doc2", "est_jaccard"

@@ -269,6 +269,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.95,
         dim=_DIM,
         check_id_overlap=False,  # the split partitions one relation
+        broadcast=True,  # ~19% stride batch is always in budget here
     )
     return bounded.select(
         F.lit("bounded").alias("method"), "id1", "id2", "cosine"

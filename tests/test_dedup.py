@@ -193,6 +193,30 @@ def test_simhash_pairs_string_ids_surrogate_keyed(spark, sf_dir):
     assert all(a < b for a, b, _ in got)
 
 
+def test_simhash_surrogate_path_drops_null_ids(spark, sf_dir):
+    """NULL ids in the non-integral path are dropped, never paired:
+    least/greatest over a null side would emit doc1 == doc2 or
+    half-null rows (Spark's null-skipping), and NULL shares xxhash64's
+    seed hash with colliding ids (advisor r8)."""
+    from datafusion_dft_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(100)
+    strs = docs.select(
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .otherwise(F.format_string("d%06d", "doc_id"))
+        .alias("doc_id"),
+        "text",
+    )
+    out = dd.simhash_pairs(strs, "doc_id", "text", max_hamming=6).collect()
+    for r in out:
+        assert r.doc1 is not None and r.doc2 is not None
+        assert r.doc1 < r.doc2
+    # the non-null rows still pair exactly as if the nulls were absent
+    clean = strs.filter("doc_id IS NOT NULL")
+    want = {(r.doc1, r.doc2) for r in dd.simhash_pairs(clean, "doc_id", "text", max_hamming=6).collect()}
+    assert {(r.doc1, r.doc2) for r in out} == want
+
+
 def test_minhash_incremental_equals_full_restricted(spark, sf_dir):
     """The incremental batch-vs-corpus variant must produce EXACTLY the
     full self-join's pairs restricted to pairs touching a batch doc —

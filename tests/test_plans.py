@@ -151,7 +151,10 @@ def test_minhash_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
     """The increment path's candidate generation must be ONE band join
     with the BATCH side broadcast — the corpus stream is scanned once
     and never self-joined (the whole point of the daily-increment
-    formulation: cost ∝ batch x collision rate, never corpus²)."""
+    formulation: cost ∝ batch x collision rate, never corpus²).
+    Broadcast is asserted here because the test batch is far inside
+    ``_INCR_BROADCAST_MAX_BATCH``; over-budget batches legitimately
+    shuffle instead (test_incremental_over_budget_batch_shuffles)."""
     import re
 
     from datafusion_dft_spark.catalog import load_tables
@@ -170,7 +173,8 @@ def test_minhash_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
 
 def test_cosine_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
     """Same contract for the embedding increment: one (table, bucket)
-    join, batch side broadcast, corpus never self-joined."""
+    join, batch side broadcast (in-budget batch), corpus never
+    self-joined."""
     import re
 
     from datafusion_dft_spark.catalog import load_tables
@@ -185,6 +189,59 @@ def test_cosine_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
     table_joins = re.findall(r"(\w+Join) \[table#", sp)
     assert table_joins == ["BroadcastHashJoin"], (table_joins, sp)
     assert "CartesianProduct" not in sp, sp
+
+
+def test_incremental_over_budget_batch_shuffles(spark, sf_dir, monkeypatch):
+    """A backfill-sized batch must NOT broadcast: above
+    ``_INCR_BROADCAST_MAX_BATCH`` the auto strategy degrades both
+    increment paths to a shuffled band equi-join (same result, no
+    executor-wide batch replication). Budget forced to 0 so the sf
+    test batch counts as over-budget; results must equal the broadcast
+    plan's (checked on the minhash path)."""
+    import re
+
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators import dedup as dd
+    from datafusion_dft_spark.operators import similarity as sim
+
+    monkeypatch.setattr(dd, "_INCR_BROADCAST_MAX_BATCH", 0)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    batch, corpus = _stride_split(docs, "doc_id")
+    # Over budget the hint is dropped — the join strategy is Spark's
+    # choice again (a tiny sf batch would STILL broadcast on stats, so
+    # turn autoBroadcast off to observe that no hint forces it).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        inc = dd.minhash_lsh_pairs_incremental(
+            batch, corpus, "doc_id", "text", k=5, threshold=0.7, check_id_overlap=False
+        )
+        sp = ex.simple_plan(inc)
+        band_joins = re.findall(r"(\w+Join) \[band#", sp)
+        assert band_joins and "BroadcastHashJoin" not in band_joins, (band_joins, sp)
+
+        # pinning broadcast=True must still force the hint through
+        pinned = dd.minhash_lsh_pairs_incremental(
+            batch, corpus, "doc_id", "text", k=5, threshold=0.7,
+            check_id_overlap=False, broadcast=True,
+        )
+        psp = ex.simple_plan(pinned)
+        assert re.findall(r"(\w+Join) \[band#", psp) == ["BroadcastHashJoin"], psp
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, pinned.collect())
+        )
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        vbatch, vcorpus = _stride_split(emb, "vec_id")
+        vinc = sim.cosine_dup_pairs_incremental(
+            vbatch, vcorpus, threshold=0.95, dim=64, check_id_overlap=False
+        )
+        vsp = ex.simple_plan(vinc)
+        table_joins = re.findall(r"(\w+Join) \[table#", vsp)
+        assert table_joins and "BroadcastHashJoin" not in table_joins, (table_joins, vsp)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_minhash_driver_query_runs_both_formulations(spark, sf_dir):
