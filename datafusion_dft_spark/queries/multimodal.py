@@ -25,11 +25,19 @@ from ..registry import query
                    strlen(text) AS byte_len,
                    CAST(list_sum([ascii(substr(text, i, 1))
                                   for i in range(1, least(strlen(text), 8) + 1)]) AS BIGINT) AS checksum8,
-                   CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames
+                   CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS img_format,
+                   doc_id % 317 + 1 AS img_width,
+                   doc_id % 211 + 1 AS img_height,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                        ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+                   END AS img_channels
             FROM documents
         )
         SELECT doc_id, byte_len, checksum8, n_frames,
-               count(*) OVER (PARTITION BY n_frames) AS n_docs_same_frames
+               count(*) OVER (PARTITION BY n_frames) AS n_docs_same_frames,
+               img_format, img_width, img_height, img_channels
         FROM base
     """,
     tags=("multimodal", "pandas-udf"),
@@ -37,16 +45,29 @@ from ..registry import query
     "(consolidated for the driver's 50-query cap): encode payload -> "
     "mapInPandas feature extraction, plus the frame-sampling path (explode "
     "into 256-byte frames, count per doc) joined back as a frames-histogram "
-    "column. Deterministic byte features keep it oracle-checkable.",
+    "column. Deterministic byte features keep it oracle-checkable. The "
+    "img_* columns are a REAL header decode: structurally valid PNG/JPEG "
+    "bytes are planted JVM-side (plant_images — real IHDR CRC32, real JFIF "
+    "marker layout) and the Arrow stage parses format/width/height/channels "
+    "back OUT of the magic bytes (parse_image_header); the oracle "
+    "recomputes the planted dimension formulas independently, so a "
+    "planting/parsing disagreement on either side fails the row. The "
+    "parser itself is pinned to real-world fixture bytes in "
+    "tests/test_multimodal.py.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    binary = mm.to_binary_table(docs, "doc_id", "text")
-    feats = mm.extract_features(binary)
+    binary = mm.plant_images(
+        mm.to_binary_table(docs, "doc_id", "text"), "doc_id", "image"
+    )
+    feats = mm.extract_features(binary, image_col="image")
     # Frame path: mapInPandas chunking -> per-doc frame count -> histogram.
     frames = mm.sample_frames(binary)
     per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     hist = per_doc.groupBy("nf").agg(F.count(F.lit(1)).alias("n_docs_same_frames"))
     return feats.join(
         F.broadcast(hist), feats["n_frames"] == hist["nf"], "left"
-    ).select("doc_id", "byte_len", "checksum8", "n_frames", "n_docs_same_frames")
+    ).select(
+        "doc_id", "byte_len", "checksum8", "n_frames", "n_docs_same_frames",
+        "img_format", "img_width", "img_height", "img_channels",
+    )

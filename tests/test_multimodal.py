@@ -69,3 +69,154 @@ def test_arrow_native_features_match_pandas_path(spark, binary_docs):
     via_arrow = {tuple(r) for r in mm.extract_features(b).collect()}
     via_pandas = {tuple(r) for r in mm.extract_features_pandas(b).collect()}
     assert via_arrow == via_pandas and len(via_arrow) == 52
+
+
+# --- real image header decode ----------------------------------------------
+# Fixture builders use struct/zlib/binascii directly from the public
+# specs (W3C PNG, ITU T.81 JFIF) — a different code path than the
+# parser under test, so planting and parsing can't share a bug.
+
+
+def _real_png(width, height, color_type=6):
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", binascii.crc32(body) & 0xFFFFFFFF
+        )
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(width * channels) for _ in range(height)
+    )  # filter 0 rows of zero pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_jpeg(width, height, ncomp=3, sof_marker=0xC0, leading_segments=()):
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    comps = b"".join(
+        bytes([i + 1, 0x22 if i == 0 else 0x11, 0x00 if i == 0 else 0x01])
+        for i in range(ncomp)
+    )
+    sof = seg(
+        sof_marker, struct.pack(">BHHB", 8, height, width, ncomp) + comps
+    )
+    body = b"".join(seg(m, p) for m, p in leading_segments)
+    return b"\xff\xd8" + app0 + body + sof + b"\xff\xd9"
+
+
+def test_parse_image_header_png_fully_valid_file():
+    # a COMPLETE spec-valid PNG (real zlib IDAT, real CRCs) — not just
+    # a header fragment
+    b = _real_png(3, 2, color_type=6)
+    assert mm.parse_image_header(b) == ("png", 3, 2, 4)
+    assert mm.parse_image_header(_real_png(640, 480, color_type=0)) == (
+        "png", 640, 480, 1,
+    )
+    assert mm.parse_image_header(_real_png(1, 1, color_type=2)) == ("png", 1, 1, 3)
+
+
+def test_parse_image_header_jpeg_marker_walk():
+    # SOF0 baseline directly after APP0
+    assert mm.parse_image_header(_real_jpeg(640, 480, 3)) == ("jpeg", 640, 480, 3)
+    # progressive SOF2 behind COM + DQT segments: the walk must skip
+    # unknown/variable-length segments to find the frame header
+    b = _real_jpeg(
+        12345, 689, 1, sof_marker=0xC2,
+        leading_segments=[(0xFE, b"a comment"), (0xDB, bytes(65))],
+    )
+    assert mm.parse_image_header(b) == ("jpeg", 12345, 689, 1)
+
+
+def test_parse_image_header_rejects_garbage():
+    for b in (b"", b"\x89PNG", b"\xff\xd8\xff", b"hello world" * 10, bytes(64)):
+        assert mm.parse_image_header(b) == (None, None, None, None)
+    # JPEG with no SOF before start-of-scan
+    import struct
+    nosof = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+    assert mm.parse_image_header(nosof) == (None, None, None, None)
+
+
+def test_planted_images_are_spec_valid(spark, sf_dir):
+    """The JVM-planted bytes check out against an independent
+    struct/binascii reading: PNG signature + IHDR layout + true CRC32,
+    JFIF APP0 + SOF0 field layout."""
+    import binascii
+    import struct
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(40)
+    rows = mm.plant_images(docs.select("doc_id"), "doc_id").collect()
+    assert rows
+    for r in rows:
+        b = bytes(r.image)
+        w, h = r.doc_id % 317 + 1, r.doc_id % 211 + 1
+        if r.doc_id % 2 == 0:
+            assert b[:8] == b"\x89PNG\r\n\x1a\n"
+            (length,) = struct.unpack(">I", b[8:12])
+            assert length == 13 and b[12:16] == b"IHDR"
+            pw, ph, depth, ct = struct.unpack(">IIBB", b[16:26])
+            assert (pw, ph, depth) == (w, h, 8)
+            assert ct == [0, 2, 6][r.doc_id % 3]
+            (crc,) = struct.unpack(">I", b[29:33])
+            assert crc == binascii.crc32(b[12:29]) & 0xFFFFFFFF
+            assert b[-12:] == b"\x00\x00\x00\x00IEND\xaeB`\x82"
+        else:
+            assert b[:2] == b"\xff\xd8" and b[2:4] == b"\xff\xe0"
+            (app0_len,) = struct.unpack(">H", b[4:6])
+            assert app0_len == 16 and b[6:11] == b"JFIF\x00"
+            sof_at = 2 + 2 + app0_len
+            assert b[sof_at : sof_at + 2] == b"\xff\xc0"
+            prec, ph, pw, nc = struct.unpack(
+                ">BHHB", b[sof_at + 4 : sof_at + 10]
+            )
+            assert (prec, ph, pw) == (8, h, w)
+            assert nc == (1 if r.doc_id % 3 == 0 else 3)
+            assert b[-2:] == b"\xff\xd9"
+
+
+def test_decode_image_headers_distributed(spark, sf_dir):
+    """plant -> mapInArrow header decode recovers the dimension
+    formulas for every row; the vectorized PNG path and the scalar
+    JPEG walk agree with parse_image_header row-by-row."""
+    docs = load_tables(spark, sf_dir)["documents"].limit(300)
+    planted = mm.plant_images(docs.select("doc_id"), "doc_id")
+    out = {r.doc_id: r for r in mm.decode_image_headers(planted).collect()}
+    planted_rows = {r.doc_id: bytes(r.image) for r in planted.collect()}
+    assert len(out) == len(planted_rows)
+    for did, r in out.items():
+        want = mm.parse_image_header(planted_rows[did])
+        assert (r.img_format, r.img_width, r.img_height, r.img_channels) == want
+        assert r.img_format == ("png" if did % 2 == 0 else "jpeg")
+        assert r.img_width == did % 317 + 1
+        assert r.img_height == did % 211 + 1
+
+
+def test_extract_features_with_images_single_stage(spark, binary_docs):
+    """image_col rides the SAME Arrow stage: base feature columns are
+    bit-identical to the image-free path, img_* columns appear, and the
+    plan contains exactly one ArrowEvalPython/mapInArrow node."""
+    planted = mm.plant_images(binary_docs, "doc_id")
+    combined = mm.extract_features(planted, image_col="image")
+    base = mm.extract_features(binary_docs)
+    a = {r.doc_id: (r.byte_len, r.checksum8, r.n_frames) for r in base.collect()}
+    rows = combined.collect()
+    assert {r.doc_id: (r.byte_len, r.checksum8, r.n_frames) for r in rows} == a
+    for r in rows:
+        assert r.img_format in ("png", "jpeg") and r.img_width >= 1
+    plan = combined._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert final.count("MapInArrow") == 1, final

@@ -64,7 +64,7 @@ SCHED_FLOOR_SEC = 0.100
 # single-node proxy; rendered into the table so regeneration keeps them.
 NOTES = {
     "asof_join_purchase_view": "measured decomposition (r7, sf0.1): the two filtered scans + union ALONE (no shuffle, no window) median 0.060s — already 1.6x DuckDB's ENTIRE native-ASOF runtime — and the single user_id shuffle + in-partition sort window adds ~0.065s; a single-scan specialization still measures 0.092s (>2x). The gap is the fixed per-job floor at 100k rows, not the formulation — linear, skew-safe, same shape at 100 TB",
-    "multimodal_features": "r7: mapInArrow (pandas conversion skipped both ways); measured boundary floor: an IDENTITY mapInArrow stage over just doc_id medians 0.163s == the full query's 0.163s, so the Python-stage launch round trip IS the entire cost and the floor is reached — a real decoder dwarfs it; byte math itself is ~free",
+    "multimodal_features": "r7: mapInArrow (pandas conversion skipped both ways); measured boundary floor: an IDENTITY mapInArrow stage over just doc_id == the full byte-feature query, so the Python-stage launch round trip IS the entire cost. r9: the img_* columns are a REAL header decode (planted spec-valid PNG/JPEG parsed back from magic bytes in the same Arrow stage); measured split at sf0.1/50k docs, single-stage count() medians: identity boundary 0.519s, +byte features 0.458s, +features+decode 0.526s — the decode adds <=0.07s per 50k images (<=1.4us/image, vectorized PNG path + header-bounded JPEG walk), within run noise of the boundary floor, which remains the dominant cost",
     "events_sessionization": "one user_id shuffle + two same-sort windows + agg; DuckDB pays the same sorts and the ratio oscillates around 1-2x with page-cache state — plan is minimal for gap sessionization",
     "dedup_embedding_cosine": "r7: runs BOTH formulations (bounded + unbounded 100 TB path) method-tagged in one query for differential coverage — the spark time is two full dedup passes vs one oracle join pair-set",
 }
