@@ -206,12 +206,23 @@ class DftFlightServer(fl.FlightServerBase):
         each DoGet runs it fresh: GetFlightInfo/get_schema never write,
         and re-fetching the ticket re-copies (execute-per-run). The
         schema needs no execution — COPY always yields ``count BIGINT``.
-        A script with a COPY in a NON-final position is rejected: its
-        result schema can depend on the side effect having happened, so
-        it can neither be planned schema-only (GetFlightInfo would
-        perform the write — and a get_schema + get_flight_info sequence
-        would copy twice) nor deferred (the final statement's schema is
-        unknowable without executing the COPY)."""
+
+        Non-final COPY handling is two-branched ON PURPOSE:
+
+        - final statement IS a COPY → the WHOLE script defers, so
+          earlier COPYs are fine too ('COPY a TO x; COPY b TO y' is
+          accepted): every statement — including each COPY — executes
+          inside each DoGet, consistent with execute-per-run (yes,
+          re-fetching the ticket re-runs ALL the copies, same as it
+          re-runs the final one).
+        - final statement is NOT a COPY → a mid-script COPY is
+          rejected: the final statement's schema can depend on the
+          side effect having happened, so the script can neither be
+          planned schema-only (GetFlightInfo would perform the write —
+          and a get_schema + get_flight_info sequence would copy
+          twice) nor deferred (the final schema is unknowable without
+          executing the COPY).
+        """
         stmts = split_statements(sql)
         if stmts and contains_copy(stmts[-1]):
             return _DeferredCopyScript(self._spark, sql)

@@ -70,6 +70,14 @@ def _drain_flight(reader, need: int | None):
     materialize entirely in this process)."""
     import pyarrow as pa
 
+    # Read the schema BEFORE any cancel: on a real FlightStreamReader
+    # this blocks until the server's first stream message arrives, so
+    # (a) the result schema is in hand even when we then cancel with
+    # zero rows buffered (accessing .schema on an already-cancelled
+    # stream can raise FlightCancelledError), and (b) the server-side
+    # do_get handler has demonstrably started producing before we
+    # cancel it.
+    schema = reader.schema
     batches, got = [], 0
     while True:
         if need is not None and got >= need:
@@ -86,7 +94,7 @@ def _drain_flight(reader, need: int | None):
             continue
         batches.append(chunk.data)
         got += chunk.data.num_rows
-    return pa.Table.from_batches(batches, schema=reader.schema)
+    return pa.Table.from_batches(batches, schema=schema)
 
 
 def _flight_exec(
@@ -135,9 +143,16 @@ def _flight_exec(
             info = client.get_flight_info(desc, options())
             reader = client.do_get(info.endpoints[0].ticket, options())
             if i < len(stmts) - 1:
-                # intermediate results are discarded; the DoGet RPC has
-                # already run any deferred COPY, so no rows are needed
-                _drain_flight(reader, 0)
+                # Intermediate results are discarded — but a COPY sent
+                # as its own single-statement command is a deferred
+                # script whose WRITE runs inside the server's do_get:
+                # cancelling before the stream completes could abort
+                # the write mid-flight, so COPY statements drain fully
+                # (their result is one count row — draining is free).
+                # Plain statements stop at the schema message.
+                from ..sql import contains_copy
+
+                _drain_flight(reader, None if contains_copy(stmt) else 0)
             else:
                 table = _drain_flight(reader, None if limit is None else offset + limit)
     finally:

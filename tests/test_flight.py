@@ -590,3 +590,21 @@ def test_statement_copy_failure_recorded(flight_server, client, tmp_path):
     with pytest.raises(fl.FlightError, match="COPY execution failed"):
         client.do_get(info.endpoints[0].ticket).read_all()
     assert flight_server.metrics["requests_failed"] == failed_before + 1
+
+
+def test_copy_final_script_defers_earlier_copies(client, tmp_path):
+    """'COPY a; COPY b' (final statement IS a COPY) is the OTHER branch
+    of the two-branch contract: the whole script defers, planning
+    writes nothing, and each DoGet executes BOTH copies (advisor r8 —
+    behavior pinned so the docstring's contract can't silently
+    regress)."""
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    desc = _cmd(
+        {"type": "statement", "query": f"COPY region TO '{a}'; COPY nation TO '{b}'"}
+    )
+    info = client.get_flight_info(desc)
+    assert [(f.name, str(f.type)) for f in info.schema] == [("count", "int64")]
+    assert not a.exists() and not b.exists()  # schema-only planning
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("count").to_pylist() == [25]  # nation count (final)
+    assert a.exists() and b.exists()  # BOTH side effects ran in DoGet

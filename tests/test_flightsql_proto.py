@@ -284,3 +284,100 @@ def test_e2e_stock_adbc_client(spark, sf_dir):
                 assert "nation" in names
     finally:
         server.shutdown()
+
+
+CLOSE_URL = (
+    b"type.googleapis.com/arrow.flight.protocol.sql.ActionClosePreparedStatementRequest"
+)
+
+
+def test_golden_close_prepared_statement_bytes(proto_server):
+    """Any{ActionClosePreparedStatementRequest{handle}} assembled by
+    hand from the wire spec — decoded by the codec AND accepted
+    end-to-end by the server's ClosePreparedStatement action (which
+    must echo the handle it decoded in its not-found error)."""
+    handle = "golden-handle-123"
+    inner = b"\x0a" + bytes([len(handle)]) + handle.encode()  # field 1, wire 2
+    golden = (
+        b"\x0a" + bytes([len(CLOSE_URL)]) + CLOSE_URL   # Any.type_url
+        + b"\x12" + bytes([len(inner)]) + inner          # Any.value
+    )
+    assert fsp.parse_action_close(golden) == handle
+    assert (
+        fsp.pack_any(
+            "ActionClosePreparedStatementRequest", fsp.encode_fields([(1, handle)])
+        )
+        == golden
+    )
+    # e2e: the server decodes these exact bytes (unknown handle -> the
+    # typed error must name the handle recovered from the golden)
+    with pytest.raises(fl.FlightError, match="golden-handle-123"):
+        list(proto_server.do_action(fl.Action("ClosePreparedStatement", golden)))
+
+
+PREPQ_URL = (
+    b"type.googleapis.com/arrow.flight.protocol.sql.CommandPreparedStatementQuery"
+)
+
+
+def test_golden_parameter_binding_envelope(proto_server):
+    """CommandPreparedStatementQuery{prepared_statement_handle} is the
+    descriptor a stock client sends on DoPut to BIND PARAMETERS to a
+    prepared statement. Golden bytes hand-assembled from the wire spec;
+    the codec must decode them, and the server's query-only DoPut
+    rejection must identify the command by name (not an opaque
+    NotImplementedError)."""
+    handle = "prep-42"
+    inner = b"\x0a\x07" + handle.encode()  # field 1, wire 2, len 7
+    golden = (
+        b"\x0a" + bytes([len(PREPQ_URL)]) + PREPQ_URL
+        + b"\x12" + bytes([len(inner)]) + inner
+    )
+    assert fsp.command_to_dict(golden) == {
+        "type": "prepared_statement",
+        "handle": handle,
+    }
+    assert fsp.encode_command({"type": "prepared_statement", "handle": handle}) == golden
+    # e2e: parameter-binding DoPut with the golden descriptor gets the
+    # typed query-only rejection naming CommandPreparedStatementQuery
+    import pyarrow as pa
+
+    desc = fl.FlightDescriptor.for_command(golden)
+    schema = pa.schema([("p1", pa.int64())])
+    with pytest.raises(fl.FlightError, match="CommandPreparedStatementQuery"):
+        writer, reader = proto_server.do_put(desc, schema)
+        writer.write_table(pa.table({"p1": [1]}))
+        writer.close()
+        reader.read()
+
+
+def test_golden_action_create_result_with_parameter_schema():
+    """ActionCreatePreparedStatementResult{handle, dataset_schema,
+    parameter_schema} — the reply envelope of the prepare/bind flow —
+    decoded from hand-assembled bytes including the OPTIONAL field 3
+    that our server never emits (clients of parameter-ful servers do)."""
+    import pyarrow as pa
+
+    ds = pa.schema([("n", pa.int64())]).serialize().to_pybytes()
+    ps = pa.schema([("p1", pa.string())]).serialize().to_pybytes()
+
+    def ld(n):  # length-delimited varint (these payloads are < 16384)
+        return bytes([n & 0x7F | 0x80, n >> 7]) if n >= 128 else bytes([n])
+
+    handle = b"h1"
+    inner = (
+        b"\x0a" + ld(len(handle)) + handle      # 1: prepared_statement_handle
+        + b"\x12" + ld(len(ds)) + ds            # 2: dataset_schema
+        + b"\x1a" + ld(len(ps)) + ps            # 3: parameter_schema
+    )
+    url = (
+        b"type.googleapis.com/arrow.flight.protocol.sql."
+        b"ActionCreatePreparedStatementResult"
+    )
+    golden = b"\x0a" + ld(len(url)) + url + b"\x12" + ld(len(inner)) + inner
+    got = fsp.decode_action_create_result(golden)
+    assert got["prepared_statement_handle"] == "h1"
+    assert pa.ipc.read_schema(pa.py_buffer(got["dataset_schema"])).names == ["n"]
+    assert pa.ipc.read_schema(pa.py_buffer(got["parameter_schema"])).names == ["p1"]
+    # and our encoder round-trips the same triple back to these bytes
+    assert fsp.encode_action_create_result("h1", ds, ps) == golden

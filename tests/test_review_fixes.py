@@ -204,3 +204,70 @@ def test_drain_flight_stops_after_need_rows():
     r3 = FakeReader(7, 10)
     t3 = _drain_flight(r3, 0)  # intermediate statement: no rows needed
     assert t3.num_rows == 0 and r3.read == 0 and r3.cancelled
+
+
+def test_drain_flight_reads_schema_before_cancel():
+    """A real FlightStreamReader raises FlightCancelledError from
+    .schema once the stream is cancelled before the schema message —
+    _drain_flight must capture the schema FIRST even on the need=0
+    cancel-immediately path (advisor r8, high)."""
+    import pyarrow as pa
+
+    from datafusion_dft_spark.server.http import _drain_flight
+
+    class OrderReader:
+        def __init__(self):
+            self.cancelled = False
+            self.read = 0
+
+        @property
+        def schema(self):
+            if self.cancelled:
+                raise RuntimeError("stream cancelled before schema message")
+            return pa.schema([("x", pa.int64())])
+
+        def read_chunk(self):
+            raise StopIteration
+
+        def cancel(self):
+            self.cancelled = True
+
+    r = OrderReader()
+    t = _drain_flight(r, 0)
+    assert t.num_rows == 0 and r.cancelled  # no raise: schema read first
+    # need=0 as a FINAL statement (offset=0, limit=0) takes the same path
+    assert _drain_flight(OrderReader(), 0).schema.names == ["x"]
+
+
+def test_routed_intermediate_copy_fully_drains(spark, sf_dir, tmp_path):
+    """A COPY sent as an intermediate statement of a routed script must
+    be drained to completion, not cancelled: the write runs inside the
+    server's do_get stream (advisor r8, high). Verified end-to-end
+    against the in-process FlightSQL server: the copied file must exist
+    and be complete even though the COPY is not the final statement."""
+    import pytest
+
+    pytest.importorskip("pyarrow.flight")
+
+    from datafusion_dft_spark.catalog import register_views
+    from datafusion_dft_spark.config import AppConfig
+    from datafusion_dft_spark.server.flight import DftFlightServer
+    from datafusion_dft_spark.server.http import _flight_exec
+
+    register_views(spark, sf_dir)
+    server = DftFlightServer(spark, "grpc://127.0.0.1:0")
+    try:
+        out = str(tmp_path / "region_out.parquet")
+        fc = AppConfig().flightsql_client
+        fc.connection_url = f"grpc://127.0.0.1:{server.port}"
+        rows, _schema = _flight_exec(
+            fc,
+            f"COPY region TO '{out}'; SELECT 1 AS ok",
+            limit=None,
+        )
+        assert rows == [{"ok": 1}]
+        assert spark.read.parquet(out).count() == 5, (
+            "intermediate COPY was cancelled before writing"
+        )
+    finally:
+        server.shutdown()
