@@ -130,35 +130,41 @@ def _replay_log(path: str, version: int | None) -> tuple[T.StructType, list[str]
 
     schema_json: str | None = None
     partition_cols: list[str] = []
+    configuration: dict = {}
     active: dict[str, dict] = {}
 
     def apply(action: dict) -> None:
-        nonlocal schema_json, partition_cols
+        nonlocal schema_json, partition_cols, configuration
         if "protocol" in action:
             # Delta spec ("Protocol Evolution"): a reader MUST refuse tables
             # whose minReaderVersion it does not implement. This replay
-            # implements reader version 1 only — version 2 adds column
-            # mapping (add.path no longer names the logical columns) and
-            # version 3 adds readerFeatures (e.g. deletionVectors, where
-            # replaying `add` as a plain parquet scan resurrects deleted
-            # rows). Refusing loudly here is mandated; silently wrong
-            # answers are not. The delta-spark jars path handles these
-            # (reference enforces the same via delta-rs,
-            # extensions/deltalake.rs:34-51).
+            # implements reader versions 1 and 2 (2 = column mapping —
+            # physical parquet names resolved through the schema field
+            # metadata, see _read_delta_python), and version 3 ONLY when
+            # every listed readerFeature is columnMapping. Anything else
+            # (deletionVectors above all, where replaying `add` as a
+            # plain parquet scan would resurrect deleted rows) is
+            # refused loudly, as the spec mandates; silently wrong
+            # answers are not an option. The delta-spark jars path
+            # handles the full protocol (reference enforces the same via
+            # delta-rs, extensions/deltalake.rs:34-51).
             proto = action["protocol"]
             ver = proto.get("minReaderVersion") or 1
-            feats = [f for f in (proto.get("readerFeatures") or []) if f is not None]
-            if ver > 1 or feats:
+            feats = {f for f in (proto.get("readerFeatures") or []) if f is not None}
+            unsupported = feats - {"columnMapping"}
+            if ver > 3 or unsupported:
                 raise DeltaNotAvailable(
                     f"Delta table requires minReaderVersion={ver}"
-                    + (f" with readerFeatures={feats}" if feats else "")
+                    + (f" with readerFeatures={sorted(feats)}" if feats else "")
                     + " — the pure-Python log replay implements reader "
-                    "protocol 1 only (no column mapping / deletion "
-                    "vectors); install delta-spark jars to read this table"
+                    "protocols 1-2 plus the columnMapping feature only "
+                    "(no deletion vectors); install delta-spark jars to "
+                    "read this table"
                 )
         elif "metaData" in action:
             schema_json = action["metaData"]["schemaString"]
             partition_cols = list(action["metaData"].get("partitionColumns") or [])
+            configuration = dict(action["metaData"].get("configuration") or {})
         elif "add" in action:
             add = dict(action["add"])
             # Belt-and-braces: a DV-carrying add must never scan as plain
@@ -202,27 +208,82 @@ def _replay_log(path: str, version: int | None) -> tuple[T.StructType, list[str]
     if schema_json is None:
         raise DeltaNotAvailable(f"no metaData action in {log_dir}")
     schema = T.StructType.fromJson(json.loads(schema_json))
-    return schema, partition_cols, list(active.values())
+    return schema, partition_cols, list(active.values()), configuration
+
+
+def _physical_name(f: T.StructField) -> str:
+    """Delta column mapping ('name' mode): the parquet column name lives
+    in the field metadata; unmapped fields keep their logical name."""
+    return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Rewrite a logical type so every nested struct field carries its
+    physical name — arrays/maps recurse, leaves pass through."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(_physical_name(f), _physical_type(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def _read_delta_python(spark: SparkSession, path: str, version: int | None) -> DataFrame:
-    schema, partition_cols, adds = _replay_log(path, version)
+    schema, partition_cols, adds, config = _replay_log(path, version)
+    mode = config.get("delta.columnMapping.mode", "none") or "none"
+    if mode not in ("none", "name"):
+        raise DeltaNotAvailable(
+            f"Delta column mapping mode {mode!r} is not supported by the "
+            "pure-Python replay ('name' mode is; 'id' mode needs parquet "
+            "field-id resolution) — install delta-spark jars"
+        )
+    mapped = mode == "name"
+    # logical -> physical top-level names ('none' mode: identity)
+    phys = {f.name: _physical_name(f) if mapped else f.name for f in schema.fields}
     data_fields = [f for f in schema.fields if f.name not in partition_cols]
-    data_schema = T.StructType(data_fields)
+    if mapped:
+        data_schema = T.StructType(
+            [
+                T.StructField(phys[f.name], _physical_type(f.dataType), f.nullable)
+                for f in data_fields
+            ]
+        )
+    else:
+        data_schema = T.StructType(data_fields)
     if not adds:
         return spark.createDataFrame([], schema)
     # Group files by partition tuple; each group is one parquet scan with
     # the partition values attached as literals (cast through the declared
     # types) — Spark sees ordinary parquet relations, so pruning/pushdown
-    # apply per group.
+    # apply per group. Under column mapping, add.partitionValues is keyed
+    # by the PHYSICAL partition column name (Delta spec, column mapping).
     by_part: dict[tuple, list[str]] = {}
     for add in adds:
         pv = add.get("partitionValues", {}) or {}
-        key = tuple(pv.get(c) for c in partition_cols)
+        key = tuple(pv.get(phys[c]) for c in partition_cols)
         by_part.setdefault(key, []).append(os.path.join(path, add["path"]))
     parts: list[DataFrame] = []
     for key, files in sorted(by_part.items()):
         df = spark.read.schema(data_schema).parquet(*files)
+        if mapped:
+            # physical -> logical: top-level via alias, nested struct
+            # fields via cast to the logical type (struct casts match
+            # by position, so identical structure + new names renames)
+            # df[name] (not F.col) — physical names are uuid-ish
+            # ("col-6b8d...") and would misparse as arithmetic
+            df = df.select(
+                *[df[phys[f.name]].cast(f.dataType).alias(f.name) for f in data_fields]
+            )
         for c, raw in zip(partition_cols, key):
             typ = schema[c].dataType
             df = df.withColumn(c, F.lit(raw).cast(typ))

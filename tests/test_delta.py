@@ -291,22 +291,133 @@ def test_unsupported_reader_protocol_raises(spark, v3_table):
         read_delta(spark, v3_table)
 
 
-def test_column_mapping_protocol_raises(spark, tmp_path):
-    """minReaderVersion=2 (column mapping) also refuses."""
+CM_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaaa1111"}},
+            {"name": "info", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "score", "type": "double", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-nested33"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbbb2222"}},
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 4,
+                          "delta.columnMapping.physicalName": "col-cccc4444"}},
+        ],
+    }
+)
+
+
+def _cm_metadata(mode: str) -> dict:
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000004",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": CM_SCHEMA_JSON,
+            "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "4"},
+        }
+    }
+
+
+def _cm_write_file(root, rel: str, ids: list[int]) -> int:
+    """Data files under column mapping carry PHYSICAL column names."""
+    dest = root / rel
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "col-aaaa1111": pa.array(ids, pa.int64()),
+            "col-bbbb2222": pa.array(
+                [{"col-nested33": float(i) / 2} for i in ids],
+                pa.struct([pa.field("col-nested33", pa.float64())]),
+            ),
+        }),
+        dest,
+    )
+    return os.path.getsize(dest)
+
+
+def test_column_mapped_table_reads(spark, tmp_path):
+    """'name'-mode column mapping (minReaderVersion=2): physical parquet
+    names — including NESTED struct fields — resolve back to logical
+    names, and partitionValues are looked up by the partition column's
+    PHYSICAL name (r7 judge task; Delta spec 'Column Mapping')."""
     root = tmp_path / "cm_table"
     log_dir = root / "_delta_log"
     log_dir.mkdir(parents=True)
+    sz_a = _cm_write_file(root, "a.parquet", [1, 2])
+    sz_b = _cm_write_file(root, "b.parquet", [3])
     _write_commit(
         str(log_dir),
         0,
         [
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-            {"metaData": {"id": "00000000-0000-0000-0000-000000000004",
-                          "schemaString": SCHEMA_JSON,
-                          "partitionColumns": []}},
+            _cm_metadata("name"),
+            {"add": {"path": "a.parquet",
+                     "partitionValues": {"col-cccc4444": "x"},
+                     "size": sz_a, "dataChange": True}},
+            {"add": {"path": "b.parquet",
+                     "partitionValues": {"col-cccc4444": "y"},
+                     "size": sz_b, "dataChange": True}},
         ],
     )
-    with pytest.raises(DeltaNotAvailable, match="minReaderVersion=2"):
+    df = read_delta(spark, str(root))
+    assert df.columns == ["id", "info", "part"]
+    assert df.schema["info"].dataType.fieldNames() == ["score"]
+    rows = {r.id: (r.info.score, r.part) for r in df.collect()}
+    assert rows == {1: (0.5, "x"), 2: (1.0, "x"), 3: (1.5, "y")}
+
+
+def test_column_mapping_protocol3_feature_reads(spark, tmp_path):
+    """Protocol 3 whose ONLY readerFeature is columnMapping is readable;
+    deletionVectors still refuses (test_unsupported_reader_protocol)."""
+    root = tmp_path / "cm3_table"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+    sz = _cm_write_file(root, "a.parquet", [7])
+    _write_commit(
+        str(log_dir),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            _cm_metadata("name"),
+            {"add": {"path": "a.parquet",
+                     "partitionValues": {"col-cccc4444": "z"},
+                     "size": sz, "dataChange": True}},
+        ],
+    )
+    rows = read_delta(spark, str(root)).collect()
+    assert [(r.id, r.part) for r in rows] == [(7, "z")]
+
+
+def test_column_mapping_id_mode_refuses(spark, tmp_path):
+    """'id' mode needs parquet field-id resolution — refuse loudly
+    rather than matching physical names that may not exist."""
+    root = tmp_path / "cmid_table"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+    sz = _cm_write_file(root, "a.parquet", [1])
+    _write_commit(
+        str(log_dir),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_metadata("id"),
+            {"add": {"path": "a.parquet",
+                     "partitionValues": {"col-cccc4444": "x"},
+                     "size": sz, "dataChange": True}},
+        ],
+    )
+    with pytest.raises(DeltaNotAvailable, match="'id'"):
         read_delta(spark, str(root))
 
 
