@@ -85,6 +85,99 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
+_VIEW_COLS_RE = re.compile(
+    r"(?is)^\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+)"
+    r"([\w.`]+)\s*\(([\w\s,`]+)\)\s*AS\s+(.*)$"
+)
+
+
+def _split_projection(query: str) -> tuple[str, list[str], str] | None:
+    """Split ``SELECT <items> FROM <rest>`` at paren depth 0.
+
+    Returns (select_head, items, rest_from_FROM) or None when the shape
+    doesn't match (leading WITH, set operations before FROM, star, ...).
+    """
+    m = re.match(r"(?is)^\s*(select\s+(?:all\s+|distinct\s+)?)", query)
+    if not m:
+        return None
+    head = m.group(1)
+    i, n = m.end(), len(query)
+    depth = 0
+    items, buf = [], []
+    in_q: str | None = None
+    while i < n:
+        ch = query[i]
+        if in_q:
+            buf.append(ch)
+            if ch == in_q:
+                in_q = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            in_q = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            if ch == ",":
+                items.append("".join(buf).strip())
+                buf = []
+                i += 1
+                continue
+            if (
+                query[i : i + 4].lower() == "from"
+                and (i + 4 >= n or not (query[i + 4].isalnum() or query[i + 4] in "_`"))
+                and (not buf or not (buf[-1].isalnum() or buf[-1] in "_`"))
+            ):
+                items.append("".join(buf).strip())
+                return head, items, query[i:]
+        buf.append(ch)
+        i += 1
+    return None
+
+
+def _rewrite_view_column_aliases(sql: str) -> str:
+    """``CREATE VIEW v (a, b) AS <query>`` → aliases spliced into the
+    SELECT list itself.
+
+    DataFusion (and the SQL standard) name the view's columns from the
+    list even when the SELECT has unaliased expressions; Spark refuses
+    a PERMANENT view with any unaliased output expression
+    (CREATE_PERMANENT_VIEW_WITHOUT_ALIAS — the reference's own TPC-H
+    Q15 text trips it), and the check recurses through subquery
+    column-alias lists and outer re-aliases, so the ONLY accepted form
+    is an alias on each item of the innermost projection. Each item is
+    parenthesized (any pre-existing item alias is overridden, per the
+    standard's column-list semantics) and aliased positionally.
+    """
+    m = _VIEW_COLS_RE.match(sql)
+    if not m:
+        return sql
+    head, name, cols, query = m.groups()
+    col_list = [c.strip().strip("`") for c in cols.split(",") if c.strip()]
+    split = _split_projection(query)
+    if split is None:
+        return sql  # unhandled shape — let Spark report its own error
+    sel_head, items, rest = split
+    star = any(it == "*" or re.match(r"(?s)^[\w.`]+\.\*$", it) for it in items)
+    if len(items) != len(col_list) or star:
+        raise ValueError(
+            f"view {name}: column list has {len(col_list)} names but the "
+            f"projection has {len(items)} items (star projections cannot "
+            "take a view column list here)"
+        )
+    aliased = []
+    for item, alias in zip(items, col_list):
+        im = re.match(r"(?is)^(.*?)\s+as\s+[`\w]+\s*$", item)
+        body = im.group(1) if im else item
+        aliased.append(f"({body}) AS `{alias}`")
+    return f"{head}{name} AS {sel_head}{', '.join(aliased)} {rest}"
+
+
 def _rewrite_catalog_prefixes(sql: str) -> str:
     """Strip known three-level catalog prefixes down to Spark's two.
 
@@ -392,6 +485,7 @@ def prepare_statement(spark: SparkSession, stmt: str) -> str:
     if cp is not None:
         return cp
     stmt = _rewrite_catalog_prefixes(stmt)
+    stmt = _rewrite_view_column_aliases(stmt)
     stmt = _rewrite_url_tables(stmt)
     stmt = _rewrite_json_functions(stmt)
     stmt = rewrite_function_names(stmt)

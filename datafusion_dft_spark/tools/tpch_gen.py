@@ -27,7 +27,12 @@ formula — so the reference's own embedded TPC-H query texts
 generated database instead of passing vacuously. Columns are a
 SUPERSET of the driver corpus schemas (FIXTURES.md): everything the
 driver corpus has, plus the spec columns those query texts touch
-(p_mfgr/p_container, s_address/s_phone/s_comment, partsupp).
+(p_mfgr/p_container, s_address/s_phone/s_comment, partsupp; since r9
+also o_shippriority/o_comment, c_address/c_phone/c_comment, and
+l_commitdate/l_receiptdate/l_shipmode/l_shipinstruct, plus FK-valid
+l_suppkey and the spec o_orderdate range) — enough that EVERY
+non-empty embedded query text Q1-Q22 runs non-vacuously; the whole
+suite is hash-compared against DuckDB in tests/test_tpch_verbatim.py.
 """
 
 from __future__ import annotations
@@ -58,6 +63,9 @@ TYPE_SYL2 = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
 TYPE_SYL3 = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
 CONTAINER_SYL1 = ["SM", "LG", "MED", "JUMBO", "WRAP"]
 CONTAINER_SYL2 = ["CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM"]
+# spec 4.2.2.13: L_SHIPMODE / L_SHIPINSTRUCT value sets (public).
+SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+SHIPINSTRUCTS = ["DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN"]
 # TPC-H spec P_NAME color words (92, public spec appendix).
 COLORS = (
     "almond antique aquamarine azure beige bisque black blanched blue blush "
@@ -93,7 +101,27 @@ def _date(tag: str, start: str, days: int) -> F.Column:
     )
 
 
-def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]:
+def gen_tables(
+    spark: SparkSession, scale_factor: float, money: str = "double"
+) -> dict[str, DataFrame]:
+    """money="decimal" stores TPC-H money/rate/quantity columns as
+    DECIMAL(12,2) (the spec's type). The driver corpus uses double, so
+    that stays the default — but decimal is what makes the embedded
+    Q15 text deterministic: ``total_revenue = (select max(...))``
+    needs the view's SUM recomputed twice inside one query to agree
+    EXACTLY, and double sums in Spark vary at the ULP with shuffle
+    merge order (run-to-run!), while decimal sums are exact. The
+    verbatim differential suite generates with money="decimal"."""
+    if money not in ("double", "decimal"):
+        raise ValueError(f"money must be 'double' or 'decimal', got {money!r}")
+
+    def _m(tag: str, lo: float, hi: float) -> F.Column:
+        c = _money(tag, lo, hi)
+        return c.cast("decimal(12,2)") if money == "decimal" else c
+
+    def _rate(c: F.Column) -> F.Column:
+        return c.cast("decimal(12,2)") if money == "decimal" else c
+
     n_li = max(int(6_000_000 * scale_factor), 100)
     n_ord = max(int(1_500_000 * scale_factor), 25)
     n_cust = max(int(150_000 * scale_factor), 10)
@@ -117,7 +145,7 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         (F.col("id") + 1).alias("s_suppkey"),
         F.concat(F.lit("Supplier#"), F.col("id") + 1).alias("s_name"),
         (_h("s_nation") % 25).cast("int").alias("s_nationkey"),
-        _money("s_bal", -999.99, 9999.99).alias("s_acctbal"),
+        _m("s_bal", -999.99, 9999.99).alias("s_acctbal"),
         F.concat(F.lit("addr "), _h("s_addr") % 10_000_000).alias("s_address"),
         F.format_string(
             "%d-%03d-%03d-%04d",
@@ -141,8 +169,20 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         (F.col("id") + 1).alias("c_custkey"),
         F.concat(F.lit("Customer#"), F.col("id") + 1).alias("c_name"),
         (_h("c_nation") % 25).cast("int").alias("c_nationkey"),
-        _money("c_bal", -999.99, 9999.99).alias("c_acctbal"),
+        _m("c_bal", -999.99, 9999.99).alias("c_acctbal"),
         _pick("c_seg", SEGMENTS).alias("c_mktsegment"),
+        F.concat(F.lit("addr "), _h("c_addr") % 10_000_000).alias("c_address"),
+        # spec 4.2.2.9: country code = nationkey + 10 (Q22 substrings it)
+        F.format_string(
+            "%d-%03d-%03d-%04d",
+            (_h("c_nation") % 25) + 10,
+            (_h("c_ph1") % 1000).cast("int"),
+            (_h("c_ph2") % 1000).cast("int"),
+            (_h("c_ph3") % 10000).cast("int"),
+        ).alias("c_phone"),
+        F.concat(F.lit("steady pending ideas sleep "), _h("c_cmt") % 100).alias(
+            "c_comment"
+        ),
     )
     mfgr = _h("p_mfgr") % 5 + 1
     part = spark.range(n_part).select(
@@ -159,7 +199,7 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         F.concat_ws(" ", _pick("p_k1", CONTAINER_SYL1), _pick("p_k2", CONTAINER_SYL2)).alias(
             "p_container"
         ),
-        _money("p_price", 900.0, 2000.0).alias("p_retailprice"),
+        _m("p_price", 900.0, 2000.0).alias("p_retailprice"),
     )
     # spec 4.2.3: each part has 4 supplier rows; suppkey spread per the
     # official dbgen formula  (ps_partkey + i*(S/4 + (ps_partkey-1)/S)) % S + 1
@@ -190,18 +230,30 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
             "ps_suppkey"
         ),
         (_h("ps_qty") % 9999 + 1).cast("int").alias("ps_availqty"),
-        _money("ps_cost", 1.0, 1000.0).alias("ps_supplycost"),
+        _m("ps_cost", 1.0, 1000.0).alias("ps_supplycost"),
     )
+    # spec 4.2.3: O_CUSTKEY is never a multiple of 3 — one third of
+    # customers have NO orders (Q13's zero-spike, Q22's NOT EXISTS).
+    # j-th (0-based) natural not divisible by 3 is j + j//2 + 1.
+    _cj = _h("o_cust") % max(n_cust - n_cust // 3, 1)
     orders = spark.range(n_ord).select(
         (F.col("id") + 1).alias("o_orderkey"),
-        (_h("o_cust") % n_cust + 1).alias("o_custkey"),
+        (_cj + F.floor(_cj / 2) + 1).alias("o_custkey"),
         _pick("o_status", STATUSES).alias("o_orderstatus"),
-        _money("o_total", 1000.0, 500000.0).alias("o_totalprice"),
+        _m("o_total", 1000.0, 500000.0).alias("o_totalprice"),
         # spec range starts 1992-01-01 (O_ORDERDATE uniform
         # [STARTDATE, ENDDATE-151]); the embedded Q4/Q5 texts window on
         # calendar-1994 orders — a 1995+ start makes them vacuous
         _date("o_date", "1992-01-01", 2400).alias("o_orderdate"),
         _pick("o_prio", PRIORITIES).alias("o_orderpriority"),
+        F.lit(0).cast("int").alias("o_shippriority"),  # spec: constant 0
+        # ~1.5% carry the Q13 exclusion pattern '%special%requests%'
+        F.when(
+            _h("o_cmt") % 66 == 0,
+            F.concat(F.lit("special packages requests "), _h("o_cmtx") % 100),
+        )
+        .otherwise(F.concat(F.lit("quick final deposits "), _h("o_cmtx") % 100))
+        .alias("o_comment"),
     )
     # spec 4.2.3: a lineitem's supplier is one of its part's FOUR
     # partsupp suppliers (l_suppkey FK into partsupp, not independent) —
@@ -213,16 +265,29 @@ def gen_tables(spark: SparkSession, scale_factor: float) -> dict[str, DataFrame]
         (_h("l_part") % n_part + 1).alias("l_partkey"),
         _ps_suppkey(_h("l_part") % n_part, _h("l_supp") % 4).alias("l_suppkey"),
         (_h("l_line") % 7 + 1).cast("int").alias("l_linenumber"),
-        (_h("l_qty") % 50 + 1).cast("double").alias("l_quantity"),
-        _money("l_price", 900.0, 100000.0).alias("l_extendedprice"),
-        ((_h("l_disc") % 11) / 100.0).alias("l_discount"),
-        ((_h("l_tax") % 9) / 100.0).alias("l_tax"),
+        _rate((_h("l_qty") % 50 + 1).cast("double")).alias("l_quantity"),
+        _m("l_price", 900.0, 100000.0).alias("l_extendedprice"),
+        _rate((_h("l_disc") % 11) / 100.0).alias("l_discount"),
+        _rate((_h("l_tax") % 9) / 100.0).alias("l_tax"),
         _pick("l_rflag", RETURNFLAGS).alias("l_returnflag"),
         _pick("l_lstatus", ["F", "O"]).alias("l_linestatus"),
         # spec range [1992-01-02, ~1998-11]: the embedded Q20 text
         # windows on calendar-1994 shipments — a 1995+ start would
         # make its correlated sum NULL everywhere (vacuous query)
         _date("l_ship", "1992-01-02", 2500).alias("l_shipdate"),
+        # spec: commitdate = orderdate + [30,90], receiptdate =
+        # shipdate + [1,30]; anchored to shipdate here (lineitems are
+        # hash-generated, not per-order) so Q4's l_commitdate <
+        # l_receiptdate and Q21's l_receiptdate > l_commitdate select
+        # realistic ~half/~quarter slices
+        F.date_add(
+            _date("l_ship", "1992-01-02", 2500), (_h("l_cmit") % 61 - 30).cast("int")
+        ).cast("timestamp").alias("l_commitdate"),
+        F.date_add(
+            _date("l_ship", "1992-01-02", 2500), (_h("l_rcpt") % 30 + 1).cast("int")
+        ).cast("timestamp").alias("l_receiptdate"),
+        _pick("l_smode", SHIPMODES).alias("l_shipmode"),
+        _pick("l_sinst", SHIPINSTRUCTS).alias("l_shipinstruct"),
     )
     n_events = max(int(1_000_000 * scale_factor), 50)
     n_docs = max(int(50_000 * scale_factor), 20)
@@ -280,15 +345,17 @@ def generate(
     output_dir: str,
     scale_factor: float = 0.01,
     layout: str = "flat",
+    money: str = "double",
 ) -> list[str]:
     """Write the generated tables as parquet.
 
     layout="flat": ``{dir}/{table}.parquet`` (driver-corpus shape);
     layout="db":   ``{dir}/tables/dft/tpch/{table}/`` (reference's
                    directory-database shape, src/tpch.rs:87-96).
+    money="decimal": spec DECIMAL(12,2) money columns (see gen_tables).
     """
     written = []
-    for name, df in gen_tables(spark, scale_factor).items():
+    for name, df in gen_tables(spark, scale_factor, money=money).items():
         if layout == "db":
             path = os.path.join(output_dir, "tables", "dft", "tpch", name)
             df.write.mode("overwrite").parquet(path)

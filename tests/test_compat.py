@@ -178,3 +178,50 @@ def test_rewrites_never_touch_literals_or_comments():
     s5 = "SELECT 'x' AS a, extract(epoch FROM ts) AS e FROM t"
     out = rewrite_function_names(s5)
     assert "unix_micros" in out and "'x'" in out
+
+
+def test_view_column_alias_list_rewrite(spark):
+    """CREATE VIEW v (a, b) AS SELECT <unaliased exprs> — the SQL
+    standard / DataFusion form the reference's Q15 uses. Spark refuses
+    permanent views with ANY unaliased output expression (and the check
+    recurses through subquery column-alias lists), so the shim splices
+    the aliases into the innermost SELECT list itself."""
+    from datafusion_dft_spark.sql import (
+        _rewrite_view_column_aliases,
+        execute_sql,
+    )
+
+    out = _rewrite_view_column_aliases(
+        "create view v0 (a, total) as select id, sum(id * (1 - id)) "
+        "from range(5) group by id"
+    )
+    assert "(id) AS `a`" in out and "(sum(id * (1 - id))) AS `total`" in out
+    # multiplication inside an item must NOT be mistaken for a star
+    assert "view column list" not in out
+
+    # end-to-end: permanent view in a database, queried, dropped
+    spark.sql("CREATE DATABASE IF NOT EXISTS viewtest")
+    prev = spark.catalog.currentDatabase()
+    spark.catalog.setCurrentDatabase("viewtest")
+    try:
+        execute_sql(
+            spark,
+            "create view rev0 (k, total) as select id % 2, sum(id) "
+            "from range(10) group by id % 2; ",
+        )
+        rows = {r.k: r.total for r in spark.sql("SELECT * FROM rev0").collect()}
+        assert rows == {0: 20, 1: 25}
+    finally:
+        spark.sql("DROP VIEW IF EXISTS rev0")
+        spark.catalog.setCurrentDatabase(prev)
+
+    # statements without a column list pass through untouched
+    same = "create view v1 as select 1 AS x"
+    assert _rewrite_view_column_aliases(same) == same
+    # mismatched arity fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="column list has 1"):
+        _rewrite_view_column_aliases(
+            "create view v2 (a) as select id, id+1 from range(3)"
+        )
