@@ -238,18 +238,51 @@ def _physical_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _fieldid_field(f: T.StructField) -> T.StructField:
+    """Delta column mapping ('id' mode): keep the LOGICAL name but tag
+    the field with Spark's ``parquet.field.id`` metadata key (from the
+    Delta ``delta.columnMapping.id``), recursing into nested types —
+    Spark's parquet reader then matches file columns by field id
+    instead of name (``spark.sql.parquet.fieldId.read.enabled``), which
+    is exactly the id-mode resolution rule: file column NAMES are
+    free to differ per file (e.g. after renames), ids are stable."""
+    meta = dict(f.metadata or {})
+    fid = meta.get("delta.columnMapping.id")
+    out_meta = {"parquet.field.id": int(fid)} if fid is not None else {}
+    return T.StructField(f.name, _fieldid_type(f.dataType), f.nullable, out_meta)
+
+
+def _fieldid_type(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType([_fieldid_field(f) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_fieldid_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _fieldid_type(dt.keyType),
+            _fieldid_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _read_delta_python(spark: SparkSession, path: str, version: int | None) -> DataFrame:
     schema, partition_cols, adds, config = _replay_log(path, version)
     mode = config.get("delta.columnMapping.mode", "none") or "none"
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise DeltaNotAvailable(
             f"Delta column mapping mode {mode!r} is not supported by the "
-            "pure-Python replay ('name' mode is; 'id' mode needs parquet "
-            "field-id resolution) — install delta-spark jars"
+            "pure-Python replay ('none'/'name'/'id' are) — install "
+            "delta-spark jars"
         )
     mapped = mode == "name"
-    # logical -> physical top-level names ('none' mode: identity)
-    phys = {f.name: _physical_name(f) if mapped else f.name for f in schema.fields}
+    # partitionValues are keyed by the PHYSICAL partition column name in
+    # BOTH mapping modes (Delta spec, Column Mapping — 'id' mode still
+    # writes physicalName metadata and uses it for partition values).
+    phys = {
+        f.name: _physical_name(f) if mode != "none" else f.name
+        for f in schema.fields
+    }
     data_fields = [f for f in schema.fields if f.name not in partition_cols]
     if mapped:
         data_schema = T.StructType(
@@ -258,6 +291,13 @@ def _read_delta_python(spark: SparkSession, path: str, version: int | None) -> D
                 for f in data_fields
             ]
         )
+    elif mode == "id":
+        data_schema = T.StructType([_fieldid_field(f) for f in data_fields])
+        # Must hold at ACTION time (the scan is lazy), so set it on the
+        # session rather than scoping it to this call. It only changes
+        # behavior for read schemas that carry parquet.field.id
+        # metadata — ordinary reads are unaffected.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     else:
         data_schema = T.StructType(data_fields)
     if not adds:

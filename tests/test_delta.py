@@ -375,6 +375,68 @@ def test_column_mapped_table_reads(spark, tmp_path):
     assert rows == {1: (0.5, "x"), 2: (1.0, "x"), 3: (1.5, "y")}
 
 
+def _cm_write_file_ids(root, rel: str, ids: list[int], names: dict) -> int:
+    """'id'-mode data file: parquet FIELD IDS carry the mapping; column
+    names are whatever the writer used at the time (they differ across
+    files after renames — resolution must ignore them entirely)."""
+    dest = root / rel
+    dest.parent.mkdir(parents=True, exist_ok=True)
+
+    def fid(n):
+        return {b"PARQUET:field_id": str(n).encode()}
+
+    nested = pa.field("n_score", pa.float64(), metadata=fid(3))
+    tbl = pa.table({
+        names["id"]: pa.array(ids, pa.int64()),
+        names["info"]: pa.array(
+            [{"n_score": float(i) / 2} for i in ids], pa.struct([nested])
+        ),
+    })
+    tbl = tbl.cast(pa.schema([
+        pa.field(names["id"], pa.int64(), metadata=fid(1)),
+        pa.field(names["info"], pa.struct([nested]), metadata=fid(2)),
+    ]))
+    pq.write_table(tbl, dest)
+    return os.path.getsize(dest)
+
+
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """'id'-mode column mapping: parquet columns resolve by FIELD ID
+    (spark.sql.parquet.fieldId.read.enabled over a schema tagged with
+    parquet.field.id from delta.columnMapping.id) — the two data files
+    deliberately use DIFFERENT column names for the same field ids (the
+    post-rename layout id mode exists for), so any name-based
+    resolution fails loudly; partitionValues still key by the PHYSICAL
+    name (Delta spec, Column Mapping)."""
+    root = tmp_path / "cmid_table"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+    sz_a = _cm_write_file_ids(
+        root, "a.parquet", [1, 2], {"id": "old_id_name", "info": "old_info"}
+    )
+    sz_b = _cm_write_file_ids(
+        root, "b.parquet", [3], {"id": "renamed_id", "info": "renamed_info"}
+    )
+    _write_commit(
+        str(log_dir),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_metadata("id"),
+            {"add": {"path": "a.parquet",
+                     "partitionValues": {"col-cccc4444": "x"},
+                     "size": sz_a, "dataChange": True}},
+            {"add": {"path": "b.parquet",
+                     "partitionValues": {"col-cccc4444": "y"},
+                     "size": sz_b, "dataChange": True}},
+        ],
+    )
+    df = read_delta(spark, str(root))
+    assert df.columns == ["id", "info", "part"]
+    rows = {r.id: (r.info.score, r.part) for r in df.collect()}
+    assert rows == {1: (0.5, "x"), 2: (1.0, "x"), 3: (1.5, "y")}
+
+
 def test_column_mapping_protocol3_feature_reads(spark, tmp_path):
     """Protocol 3 whose ONLY readerFeature is columnMapping is readable;
     deletionVectors still refuses (test_unsupported_reader_protocol)."""
@@ -399,10 +461,10 @@ def test_column_mapping_protocol3_feature_reads(spark, tmp_path):
     assert [(r.id, r.part) for r in rows] == [(7, "z")]
 
 
-def test_column_mapping_id_mode_refuses(spark, tmp_path):
-    """'id' mode needs parquet field-id resolution — refuse loudly
-    rather than matching physical names that may not exist."""
-    root = tmp_path / "cmid_table"
+def test_column_mapping_unknown_mode_refuses(spark, tmp_path):
+    """An unrecognized future mapping mode must refuse loudly, never
+    fall back to name matching that may resolve nothing."""
+    root = tmp_path / "cmfuture_table"
     log_dir = root / "_delta_log"
     log_dir.mkdir(parents=True)
     sz = _cm_write_file(root, "a.parquet", [1])
@@ -411,13 +473,13 @@ def test_column_mapping_id_mode_refuses(spark, tmp_path):
         0,
         [
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-            _cm_metadata("id"),
+            _cm_metadata("hypothetical"),
             {"add": {"path": "a.parquet",
                      "partitionValues": {"col-cccc4444": "x"},
                      "size": sz, "dataChange": True}},
         ],
     )
-    with pytest.raises(DeltaNotAvailable, match="'id'"):
+    with pytest.raises(DeltaNotAvailable, match="hypothetical"):
         read_delta(spark, str(root))
 
 
