@@ -42,14 +42,18 @@ _EXT_FORMAT = {
     ".jsonl": "json",
 }
 
-# (catalog, schema) pairs seen by register_db. The reference exposes a
-# THREE-level namespace (``dft.tpch.part``, src/db.rs:54-150); Spark's
-# session catalog is two-level, so register_db flattens the catalog
-# level away and records the pair here so the SQL frontend can strip
-# known ``catalog.`` prefixes from query text (sql.py
-# ``_rewrite_catalog_prefixes``) — the reference's own embedded TPC-H
-# texts (src/server/http/tpch.rs) then run unchanged.
-REGISTERED_CATALOG_SCHEMAS: set[tuple[str, str]] = set()
+# (catalog, schema) -> registering root, from register_db. The
+# reference exposes a THREE-level namespace (``dft.tpch.part``,
+# src/db.rs:54-150); Spark's session catalog is two-level, so
+# register_db flattens the catalog level away and records the pair here
+# so the SQL frontend can strip known ``catalog.`` prefixes from query
+# text (sql.py ``_rewrite_catalog_prefixes``) — the reference's own
+# embedded TPC-H texts (src/server/http/tpch.rs) then run unchanged.
+# Keyed by root so re-registering a root REPLACES its pairs instead of
+# accreting stale ones forever (a server re-pointed at a new database
+# must stop rewriting prefixes the old one defined). Iterating yields
+# the (catalog, schema) keys, so consumers treat it as a set of pairs.
+REGISTERED_CATALOG_SCHEMAS: dict[tuple[str, str], str] = {}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -195,10 +199,13 @@ def register_db(spark: SparkSession, root: str) -> list[str]:
     registered: list[str] = []
     if not rootp.is_dir():
         return registered
+    canon = str(rootp.resolve())
+    for pair in [p for p, r in REGISTERED_CATALOG_SCHEMAS.items() if r == canon]:
+        del REGISTERED_CATALOG_SCHEMAS[pair]  # re-scan replaces, never accretes
     for catalog_dir in sorted(p for p in rootp.iterdir() if p.is_dir()):
         for schema_dir in sorted(p for p in catalog_dir.iterdir() if p.is_dir()):
             schema = schema_dir.name
-            REGISTERED_CATALOG_SCHEMAS.add((catalog_dir.name, schema))
+            REGISTERED_CATALOG_SCHEMAS[(catalog_dir.name, schema)] = canon
             for table_dir in sorted(p for p in schema_dir.iterdir() if p.is_dir()):
                 fmt = sniff_format(table_dir)
                 if fmt is None:

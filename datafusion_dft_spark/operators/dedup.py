@@ -392,8 +392,11 @@ def minhash_lsh_pairs_incremental(
     cost to an eager driver-synchronous job at construction time).
     Callers that guarantee disjointness structurally (e.g. the split
     itself partitions one relation) can pass
-    ``check_id_overlap=False`` to skip the eager job and stay fully
-    lazy.
+    ``check_id_overlap=False`` to skip that eager job. Note the
+    default ``broadcast=None`` ALSO runs an eager job (a batch-side
+    count over the cached signatures, to pick broadcast vs shuffle) —
+    fully lazy construction requires pinning ``broadcast`` explicitly
+    as well.
     """
     from ..session import track_cache
 

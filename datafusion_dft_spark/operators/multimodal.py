@@ -91,23 +91,32 @@ def parse_image_header(b: bytes):
         return "png", w, h, ch
     if len(b) >= 4 and b[0] == 0xFF and b[1] == 0xD8:
         i, n = 2, len(b)
-        while i + 4 <= n and b[i] == 0xFF:
-            marker = b[i + 1]
+        while i < n and b[i] == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
+            # a marker — the marker byte is the first non-FF of the run
+            m = i
+            while m < n and b[m] == 0xFF:
+                m += 1
+            if m >= n:
+                break
+            marker = b[m]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers carry no length
+                i = m + 1  # standalone markers carry no length
                 continue
             if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
                 break
-            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if m + 3 > n:
+                break
+            seglen = int.from_bytes(b[m + 1 : m + 3], "big")
             if seglen < 2:
                 break  # corrupt length — refuse to walk garbage
             if marker in _JPEG_SOF_MARKERS:
-                if i + 10 > n:
+                if m + 9 > n:
                     break
-                h = int.from_bytes(b[i + 5 : i + 7], "big")
-                w = int.from_bytes(b[i + 7 : i + 9], "big")
-                return "jpeg", w, h, b[i + 9]
-            i += 2 + seglen
+                h = int.from_bytes(b[m + 4 : m + 6], "big")
+                w = int.from_bytes(b[m + 6 : m + 8], "big")
+                return "jpeg", w, h, b[m + 8]
+            i = m + 1 + seglen
     return None, None, None, None
 
 
@@ -178,19 +187,22 @@ def _parse_image_arrays(arr):
         first = np.zeros(n, dtype=np.uint8)
     jpeg_cand = np.nonzero((lens >= 4) & (fmt == None) & (first == 0xFF))[0]  # noqa: E711
     for i in jpeg_cand:
+        # Copy only a header-sized prefix out of the Arrow buffer — a
+        # full .tobytes() would materialize every multi-MB payload for
+        # a walk that reads a few hundred bytes. SOF beyond 64 KiB
+        # (oversized APPn/EXIF segments) retries on the full payload.
+        prefix = min(lens[i], 65536)
         f, w, h, c = parse_image_header(
-            data[starts[i] : starts[i] + lens[i]].tobytes()
+            data[starts[i] : starts[i] + prefix].tobytes()
         )
+        if f is None and lens[i] > prefix:
+            f, w, h, c = parse_image_header(
+                data[starts[i] : starts[i] + lens[i]].tobytes()
+            )
         if f is not None:
             fmt[i], width[i], height[i] = f, w, h
             channels[i] = -1 if c is None else c
     return fmt, width, height, channels
-
-
-IMAGE_HEADER_SCHEMA = (
-    "doc_id long, img_format string, img_width long, img_height long, "
-    "img_channels long"
-)
 
 
 def decode_image_headers(
@@ -202,8 +214,21 @@ def decode_image_headers(
     ``mapInArrow`` stage — the bytes never leave the executor, no codec
     library, PNG rows fully vectorized. Unrecognized payloads yield
     NULL format/dims rather than erroring: at 100 TB a corrupt member
-    must not kill the stage."""
+    must not kill the stage. The id column passes through under its own
+    name and type (string ids work the same as the dedup operators')."""
     import pyarrow as pa
+    from pyspark.sql import types as T
+
+    id_field = binary_df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("img_format", T.StringType()),
+            T.StructField("img_width", T.LongType()),
+            T.StructField("img_height", T.LongType()),
+            T.StructField("img_channels", T.LongType()),
+        ]
+    )
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
@@ -217,10 +242,10 @@ def decode_image_headers(
                     pa.array([None if x < 0 else x for x in h], pa.int64()),
                     pa.array([None if x < 0 else x for x in ch], pa.int64()),
                 ],
-                names=["doc_id", "img_format", "img_width", "img_height", "img_channels"],
+                names=[id_col, "img_format", "img_width", "img_height", "img_channels"],
             )
 
-    return binary_df.mapInArrow(run, schema=IMAGE_HEADER_SCHEMA)
+    return binary_df.mapInArrow(run, schema=out_schema)
 
 
 def plant_images(

@@ -452,7 +452,10 @@ def cosine_dup_pairs_incremental(
     but a cold daily-increment job pays the corpus signature build at
     construction time (the pair join reuses it, so nothing is wasted —
     the cost just becomes eager). Callers with structural disjointness
-    can pass ``check_id_overlap=False`` to stay fully lazy.
+    can pass ``check_id_overlap=False`` to skip that job; the default
+    ``broadcast=None`` also runs an eager batch count to pick the probe
+    strategy, so fully lazy construction needs ``broadcast`` pinned
+    explicitly too.
     """
     from ..session import track_cache
 

@@ -142,6 +142,8 @@ def _flight_exec(
             )
             info = client.get_flight_info(desc, options())
             reader = client.do_get(info.endpoints[0].ticket, options())
+            from ..sql import contains_copy
+
             if i < len(stmts) - 1:
                 # Intermediate results are discarded — but a COPY sent
                 # as its own single-statement command is a deferred
@@ -150,11 +152,17 @@ def _flight_exec(
                 # the write mid-flight, so COPY statements drain fully
                 # (their result is one count row — draining is free).
                 # Plain statements stop at the schema message.
-                from ..sql import contains_copy
-
                 _drain_flight(reader, None if contains_copy(stmt) else 0)
             else:
-                table = _drain_flight(reader, None if limit is None else offset + limit)
+                # Same hazard as the intermediate case: a final COPY's
+                # write runs inside the server's do_get, so a tiny
+                # offset+limit (e.g. limit=0) must not cancel the
+                # stream before the write completes — drain fully and
+                # slice afterwards (the COPY result is one count row).
+                need = None if limit is None else offset + limit
+                if contains_copy(stmt):
+                    need = None
+                table = _drain_flight(reader, need)
     finally:
         client.close()
     if table is None:

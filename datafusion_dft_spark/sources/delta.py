@@ -109,7 +109,9 @@ def _as_dict(pv) -> dict:
     return {}
 
 
-def _replay_log(path: str, version: int | None) -> tuple[T.StructType, list[str], list[dict]]:
+def _replay_log(
+    path: str, version: int | None
+) -> tuple[T.StructType, list[str], list[dict], dict]:
     """Reconstruct the snapshot at ``version`` (default: latest).
 
     Starts from the newest checkpoint at or below the target version

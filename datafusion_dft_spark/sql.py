@@ -29,7 +29,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions.compat import _balanced_end, rewrite_function_names
+from .functions.compat import _balanced_end, _masked_spans, rewrite_function_names
 
 _EXT_FMT = {
     ".parquet": "parquet",
@@ -95,47 +95,45 @@ def _split_projection(query: str) -> tuple[str, list[str], str] | None:
     """Split ``SELECT <items> FROM <rest>`` at paren depth 0.
 
     Returns (select_head, items, rest_from_FROM) or None when the shape
-    doesn't match (leading WITH, set operations before FROM, star, ...).
-    """
+    doesn't match (leading WITH, set operations before FROM, a ``--``
+    line comment anywhere — parenthesizing an item that ends in a line
+    comment would swallow the closing paren — ...). Literals and block
+    comments are skipped via the shared ``_masked_spans`` scanner, so a
+    comma/FROM inside them never splits."""
     m = re.match(r"(?is)^\s*(select\s+(?:all\s+|distinct\s+)?)", query)
     if not m:
         return None
     head = m.group(1)
+    spans = _masked_spans(query)
+    if any(query[s : s + 2] == "--" for s, _ in spans):
+        return None
+    span_at = {s: e for s, e in spans}
     i, n = m.end(), len(query)
     depth = 0
-    items, buf = [], []
-    in_q: str | None = None
+    items: list[str] = []
+    start = i
     while i < n:
+        if i in span_at:
+            i = max(span_at[i], i + 1)
+            continue
         ch = query[i]
-        if in_q:
-            buf.append(ch)
-            if ch == in_q:
-                in_q = None
-            i += 1
-            continue
-        if ch in ("'", '"', "`"):
-            in_q = ch
-            buf.append(ch)
-            i += 1
-            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif depth == 0:
             if ch == ",":
-                items.append("".join(buf).strip())
-                buf = []
+                items.append(query[start:i].strip())
+                start = i + 1
                 i += 1
                 continue
             if (
                 query[i : i + 4].lower() == "from"
                 and (i + 4 >= n or not (query[i + 4].isalnum() or query[i + 4] in "_`"))
-                and (not buf or not (buf[-1].isalnum() or buf[-1] in "_`"))
+                and (i == start or not (query[i - 1].isalnum() or query[i - 1] in "_`"))
             ):
-                items.append("".join(buf).strip())
+                items.append(query[start:i].strip())
                 return head, items, query[i:]
-        buf.append(ch)
         i += 1
     return None
 
@@ -163,12 +161,15 @@ def _rewrite_view_column_aliases(sql: str) -> str:
     if split is None:
         return sql  # unhandled shape — let Spark report its own error
     sel_head, items, rest = split
-    star = any(it == "*" or re.match(r"(?s)^[\w.`]+\.\*$", it) for it in items)
-    if len(items) != len(col_list) or star:
+    if any(it == "*" or re.match(r"(?s)^[\w.`]+\.\*$", it) for it in items):
+        # Star projections resolve to already-named columns, so Spark
+        # accepts the view column list natively (positional aliasing
+        # after * expansion) — pass through untouched.
+        return sql
+    if len(items) != len(col_list):
         raise ValueError(
             f"view {name}: column list has {len(col_list)} names but the "
-            f"projection has {len(items)} items (star projections cannot "
-            "take a view column list here)"
+            f"projection has {len(items)} items"
         )
     aliased = []
     for item, alias in zip(items, col_list):

@@ -218,6 +218,21 @@ def test_view_column_alias_list_rewrite(spark):
     # statements without a column list pass through untouched
     same = "create view v1 as select 1 AS x"
     assert _rewrite_view_column_aliases(same) == same
+    # star projections pass through — Spark aliases them from the
+    # column list natively (positional, after * expansion)
+    star = "create view v3 (a, b) as select * from startab"
+    assert _rewrite_view_column_aliases(star) == star
+    star_q = "create view v4 (a, b) as select t.* from startab t"
+    assert _rewrite_view_column_aliases(star_q) == star_q
+    # a -- line comment bails the rewrite (parenthesizing an item that
+    # ends in a line comment would swallow the closing paren)
+    cmt = "create view v5 (a) as select id -- c\n from range(3)"
+    assert _rewrite_view_column_aliases(cmt) == cmt
+    # comma/FROM inside a literal never splits items
+    lit = _rewrite_view_column_aliases(
+        "create view v6 (a, b) as select 'x, from y', id from range(3)"
+    )
+    assert "('x, from y') AS `a`" in lit and "(id) AS `b`" in lit
     # mismatched arity fails loudly
     import pytest as _pytest
 

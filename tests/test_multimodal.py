@@ -142,6 +142,41 @@ def test_parse_image_header_jpeg_marker_walk():
     assert mm.parse_image_header(b) == ("jpeg", 12345, 689, 1)
 
 
+def test_parse_image_header_jpeg_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker — the walk must skip the run, not read a fill byte as the
+    marker."""
+    base = _real_jpeg(320, 200, 3)
+    # one and many fill bytes before the first APP0 marker
+    for fills in (b"\xff", b"\xff" * 7):
+        padded = base[:2] + fills + base[2:]
+        assert mm.parse_image_header(padded) == ("jpeg", 320, 200, 3)
+    # fill bytes between segments (before the SOF marker itself)
+    sof_at = base.index(b"\xff\xc0")
+    padded = base[:sof_at] + b"\xff\xff\xff" + base[sof_at:]
+    assert mm.parse_image_header(padded) == ("jpeg", 320, 200, 3)
+    # a trailing FF run with no marker byte must not loop/crash
+    assert mm.parse_image_header(b"\xff\xd8" + b"\xff" * 8) == (
+        None, None, None, None,
+    )
+
+
+def test_decode_image_headers_string_ids(spark):
+    """The id column passes through under its own name and type — a
+    string id must not be forced through the old 'doc_id long'
+    schema."""
+    import pyarrow as pa
+
+    pdf = spark.createDataFrame(
+        [("k1", _real_png(4, 3, color_type=2)), ("k2", _real_jpeg(9, 7, 1))],
+        "img_key string, image binary",
+    )
+    rows = {r.img_key: r for r in mm.decode_image_headers(
+        pdf, id_col="img_key").collect()}
+    assert rows["k1"].img_format == "png" and rows["k1"].img_width == 4
+    assert rows["k2"].img_format == "jpeg" and rows["k2"].img_channels == 1
+
+
 def test_parse_image_header_rejects_garbage():
     for b in (b"", b"\x89PNG", b"\xff\xd8\xff", b"hello world" * 10, bytes(64)):
         assert mm.parse_image_header(b) == (None, None, None, None)
