@@ -23,6 +23,36 @@ def test_generated_db_layout_registers(spark, tmp_path):
     assert n >= 100
 
 
+def test_decimal_money_mode(spark):
+    """money='decimal' stores the spec DECIMAL(12,2) for every money /
+    rate / quantity column (and the same VALUES as double mode) — the
+    type the verbatim Q15 differential depends on for deterministic
+    sums; default double mode stays byte-identical to the driver
+    corpus shape."""
+    from decimal import Decimal
+
+    from datafusion_dft_spark.tools.tpch_gen import gen_tables
+
+    dec = gen_tables(spark, 0.0001, money="decimal")
+    dbl = gen_tables(spark, 0.0001)
+    li_dec, li_dbl = dec["lineitem"], dbl["lineitem"]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert li_dec.schema[col].dataType.simpleString() == "decimal(12,2)"
+        assert li_dbl.schema[col].dataType.simpleString() == "double"
+    for tbl, col in (("supplier", "s_acctbal"), ("orders", "o_totalprice"),
+                     ("partsupp", "ps_supplycost"), ("part", "p_retailprice")):
+        assert dec[tbl].schema[col].dataType.simpleString() == "decimal(12,2)"
+    a = sorted(r.l_extendedprice for r in li_dec.select("l_extendedprice").collect())
+    b = sorted(r.l_extendedprice for r in li_dbl.select("l_extendedprice").collect())
+    assert len(a) == len(b)
+    for va, vb in zip(a, b):
+        assert va == Decimal(str(vb))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="money"):
+        gen_tables(spark, 0.0001, money="float16")
+
+
 def test_generated_data_runs_q1_shape(spark, tmp_path):
     generate(spark, str(tmp_path / "flat"), scale_factor=0.0001, layout="flat")
     df = spark.read.parquet(str(tmp_path / "flat" / "lineitem.parquet"))
