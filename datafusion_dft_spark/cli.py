@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--generate-tpch", metavar="DIR", help="generate TPC-H-style parquet into DIR")
     p.add_argument("--scale-factor", type=float, default=0.01, help="generator scale factor")
     p.add_argument("--db-layout", action="store_true", help="generator: {db}/tables/dft/tpch/{t}/ layout")
+    p.add_argument(
+        "--money", choices=("double", "decimal"), default="double",
+        help="generator money/rate columns: driver-corpus double (default) "
+        "or spec DECIMAL(12,2) (exact, deterministic aggregation)",
+    )
     p.add_argument("--analyze", action="store_true", help="plan + phase breakdown per statement")
     p.add_argument(
         "-n", "--iterations", type=int, default=None,
@@ -356,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
             args.generate_tpch,
             scale_factor=args.scale_factor,
             layout="db" if args.db_layout else "flat",
+            money=args.money,
         )
         print(f"generated {len(paths)} tables (sf={args.scale_factor}):")
         for p in paths:

@@ -275,6 +275,26 @@ def test_cli_end_to_end(sf_dir, tmp_path, capsys):
     assert os.path.exists(out)
 
 
+def test_cli_generate_tpch_money_decimal(tmp_path, capsys):
+    """--generate-tpch with --money decimal writes spec DECIMAL(12,2)
+    money columns (reference analog: `dft generate-tpch`,
+    src/args.rs:229-234)."""
+    import pyarrow.parquet as pq
+
+    from datafusion_dft_spark.cli import main
+
+    out = str(tmp_path / "gen")
+    rc = main(
+        ["--generate-tpch", out, "--scale-factor", "0.0001", "--money", "decimal"]
+    )
+    captured = capsys.readouterr()
+    assert rc == 0 and "generated 11 tables" in captured.out
+    sch = pq.read_schema(
+        next((tmp_path / "gen" / "lineitem.parquet").glob("*.parquet"))
+    )
+    assert str(sch.field("l_extendedprice").type) == "decimal128(12, 2)"
+
+
 def test_cli_error_path(sf_dir, capsys):
     from datafusion_dft_spark.cli import main
 
