@@ -437,6 +437,64 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
     assert rows == {1: (0.5, "x"), 2: (1.0, "x"), 3: (1.5, "y")}
 
 
+def test_column_mapping_from_checkpoint(spark, tmp_path):
+    """A column-mapped table whose metaData lives ONLY in a checkpoint
+    (the JSON history vacuumed): configuration — a pyarrow MAP column,
+    arriving as a list of (k, v) tuples, not a dict — must survive the
+    checkpoint replay, or the table silently reads physical names."""
+    root = tmp_path / "cm_ckpt_table"
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+    sz_a = _cm_write_file(root, "a.parquet", [1, 2])
+    sz_b = _cm_write_file(root, "b.parquet", [3])
+
+    part_vals = pa.map_(pa.string(), pa.string())
+    ckpt_schema = pa.schema(
+        [
+            pa.field("protocol", pa.struct(
+                [pa.field("minReaderVersion", pa.int32()),
+                 pa.field("minWriterVersion", pa.int32())])),
+            pa.field("metaData", pa.struct(
+                [pa.field("id", pa.string()),
+                 pa.field("schemaString", pa.string()),
+                 pa.field("partitionColumns", pa.list_(pa.string())),
+                 pa.field("configuration", part_vals)])),
+            pa.field("add", pa.struct(
+                [pa.field("path", pa.string()),
+                 pa.field("partitionValues", part_vals),
+                 pa.field("size", pa.int64()),
+                 pa.field("dataChange", pa.bool_())])),
+        ]
+    )
+    rows = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "00000000-0000-0000-0000-000000000005",
+                      "schemaString": CM_SCHEMA_JSON,
+                      "partitionColumns": ["part"],
+                      "configuration": [("delta.columnMapping.mode", "name"),
+                                        ("delta.columnMapping.maxColumnId", "4")]}},
+        {"add": {"path": "a.parquet", "partitionValues": [("col-cccc4444", "x")],
+                 "size": sz_a, "dataChange": True}},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=ckpt_schema),
+        log_dir / f"{1:020d}.checkpoint.parquet",
+    )
+    with open(log_dir / "_last_checkpoint", "w") as f:
+        json.dump({"version": 1, "size": len(rows)}, f)
+    _write_commit(
+        str(log_dir),
+        2,
+        [{"add": {"path": "b.parquet",
+                  "partitionValues": {"col-cccc4444": "y"},
+                  "size": sz_b, "dataChange": True}}],
+    )
+    df = read_delta(spark, str(root))
+    assert df.columns == ["id", "info", "part"]
+    rows_out = {r.id: (r.info.score, r.part) for r in df.collect()}
+    assert rows_out == {1: (0.5, "x"), 2: (1.0, "x"), 3: (1.5, "y")}
+
+
 def test_column_mapping_protocol3_feature_reads(spark, tmp_path):
     """Protocol 3 whose ONLY readerFeature is columnMapping is readable;
     deletionVectors still refuses (test_unsupported_reader_protocol)."""
