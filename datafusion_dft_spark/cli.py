@@ -22,6 +22,10 @@ Reference: ``dft -c "SELECT ..." -f file.sql --time --bench -n N -o out``
   flightsql <command>       client RPCs (args.rs:148-196): statement-query,
                             get-catalogs, get-db-schemas, get-tables,
                             get-table-types, get-sql-info, get-xdbc-type-info
+  serve-http / serve-flightsql  start the matching server from this one
+                            entry point (`dft serve-http`, args.rs:142-146);
+                            --serve-host/--serve-port bind, root
+                            --config/--register pass through
 """
 
 from __future__ import annotations
@@ -154,6 +158,14 @@ def build_parser() -> argparse.ArgumentParser:
     gsi.add_argument("--info", nargs="*", type=int, help="SQL info ids (default: all)")
     gxt = fsub.add_parser("get-xdbc-type-info", help="CommandGetXdbcTypeInfo + DoGet")
     gxt.add_argument("--data-type", type=int, help="XDBC data type to filter by")
+    # `dft serve-http` / `dft serve-flightsql` (args.rs:142-146): start
+    # the matching server from the single entry point. Root --config /
+    # --register pass through; --serve-host/--serve-port name the bind
+    # address (the root --host is the flightsql CLIENT location).
+    for name, default_port in (("serve-http", 8080), ("serve-flightsql", 50051)):
+        sp = sub.add_parser(name, help=f"start the {name.split('-')[1]} server")
+        sp.add_argument("--serve-host", default="127.0.0.1", help="bind address")
+        sp.add_argument("--serve-port", type=int, default=default_port, help="bind port")
     return p
 
 
@@ -290,6 +302,17 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, "subcommand", None) == "flightsql":
         return run_flightsql_command(args)
+    if getattr(args, "subcommand", None) in ("serve-http", "serve-flightsql"):
+        serve_argv = ["--host", args.serve_host, "--port", str(args.serve_port)]
+        if args.config:
+            serve_argv += ["--config", args.config]
+        if args.register:
+            serve_argv += ["--register", args.register]
+        if args.subcommand == "serve-http":
+            from .server.http import main as serve_main
+        else:
+            from .server.flight import main as serve_main
+        return serve_main(serve_argv)
     if not args.command and not args.file and not args.generate_tpch:
         print("error: provide SQL via -c or -f (or --generate-tpch DIR)", file=sys.stderr)
         return 2

@@ -295,6 +295,39 @@ def test_cli_generate_tpch_money_decimal(tmp_path, capsys):
     assert str(sch.field("l_extendedprice").type) == "decimal128(12, 2)"
 
 
+def test_cli_serve_subcommands_dispatch(monkeypatch, tmp_path):
+    """`dft serve-http` / `dft serve-flightsql` (args.rs:142-146) from
+    the single entry point: bind + root --config/--register pass
+    through to the matching server main (the servers themselves are
+    exercised by their own e2e suites)."""
+    from datafusion_dft_spark import cli
+    from datafusion_dft_spark.server import flight as flight_mod
+    from datafusion_dft_spark.server import http as http_mod
+
+    seen = {}
+
+    def fake(name):
+        def run(argv=None):
+            seen[name] = argv
+            return 0
+
+        return run
+
+    monkeypatch.setattr(http_mod, "main", fake("http"))
+    monkeypatch.setattr(flight_mod, "main", fake("flight"))
+    cfg = tmp_path / "c.toml"
+    cfg.write_text("")
+    rc = cli.main(["--config", str(cfg), "serve-http", "--serve-port", "0"])
+    assert rc == 0
+    assert seen["http"] == ["--host", "127.0.0.1", "--port", "0",
+                            "--config", str(cfg)]
+    rc = cli.main(["--register", str(tmp_path), "serve-flightsql",
+                   "--serve-host", "0.0.0.0"])
+    assert rc == 0
+    assert seen["flight"] == ["--host", "0.0.0.0", "--port", "50051",
+                              "--register", str(tmp_path)]
+
+
 def test_cli_error_path(sf_dir, capsys):
     from datafusion_dft_spark.cli import main
 
