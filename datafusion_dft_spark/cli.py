@@ -166,6 +166,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp = sub.add_parser(name, help=f"start the {name.split('-')[1]} server")
         sp.add_argument("--serve-host", default="127.0.0.1", help="bind address")
         sp.add_argument("--serve-port", type=int, default=default_port, help="bind port")
+        sp.add_argument(
+            "--metrics-port", type=int,
+            help="serve Prometheus metrics on a dedicated port "
+            "(reference --metrics-addr)",
+        )
     return p
 
 
@@ -308,6 +313,8 @@ def main(argv: list[str] | None = None) -> int:
             serve_argv += ["--config", args.config]
         if args.register:
             serve_argv += ["--register", args.register]
+        if args.metrics_port is not None:
+            serve_argv += ["--metrics-port", str(args.metrics_port)]
         if args.subcommand == "serve-http":
             from .server.http import main as serve_main
         else:

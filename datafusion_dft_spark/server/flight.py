@@ -163,6 +163,14 @@ class DftFlightServer(fl.FlightServerBase):
             "prepared_statements_active": 0,
         }
 
+    def render_metrics(self) -> str:
+        """Prometheus text snapshot (the dedicated metrics listener's
+        payload — reference serves the same via `--metrics-addr`,
+        src/server/mod.rs:112-129)."""
+        from .metrics import render_prometheus
+
+        return render_prometheus(self.metrics)
+
     # ------------------------------------------------------------- helpers
 
     def _failure(self, e: Exception, prefix: str) -> "fl.FlightServerError":
@@ -656,6 +664,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=50051)
     p.add_argument("--config", help="TOML config file")
     p.add_argument("--register", help="corpus directory to register as views")
+    p.add_argument(
+        "--metrics-port", type=int,
+        help="serve Prometheus metrics on a dedicated port "
+        "(reference --metrics-addr, src/server/mod.rs:112-129)",
+    )
     args = p.parse_args(argv)
 
     config = load_config(args.config, app="flightsql_server") if args.config else AppConfig()
@@ -665,6 +678,11 @@ def main(argv: list[str] | None = None) -> int:
     refresh_information_schema(spark)
     server = DftFlightServer(spark, f"grpc://{args.host}:{args.port}", config)
     print(f"FlightSQL server listening on grpc://{args.host}:{server.port}")
+    if args.metrics_port is not None:
+        from .metrics import start_metrics_server
+
+        msrv = start_metrics_server(server.render_metrics, args.host, args.metrics_port)
+        print(f"metrics on http://{args.host}:{msrv.server_address[1]}/metrics")
     server.serve()
     return 0
 

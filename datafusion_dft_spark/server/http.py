@@ -490,6 +490,9 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
             lines.append(f'dft_spark_request_duration_ms_count{{path="{path}"}} {h["count"]}')
         return Response("\n".join(lines) + "\n", mimetype="text/plain")
 
+    # The dedicated metrics listener (--metrics-port) reuses the same
+    # rendering so the two exposition points can never disagree.
+    app.dft_render_metrics = lambda: prometheus_metrics().get_data(as_text=True)
     return app
 
 
@@ -505,6 +508,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--config", help="TOML config file")
     p.add_argument("--register", help="corpus directory to register as views")
+    p.add_argument(
+        "--metrics-port", type=int,
+        help="also serve Prometheus metrics on a dedicated port "
+        "(reference --metrics-addr, src/server/mod.rs:112-129)",
+    )
     args = p.parse_args(argv)
 
     config = load_config(args.config, app="http_server") if args.config else AppConfig()
@@ -524,6 +532,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.register:
         register_views(spark, args.register)
     app = create_app(spark, config, sf_dir=args.register)
+    if args.metrics_port is not None:
+        from .metrics import start_metrics_server
+
+        msrv = start_metrics_server(app.dft_render_metrics, args.host, args.metrics_port)
+        print(f"metrics on http://{args.host}:{msrv.server_address[1]}/metrics")
     app.run(host=args.host, port=args.port, threaded=True)
     return 0
 

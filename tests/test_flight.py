@@ -608,3 +608,45 @@ def test_copy_final_script_defers_earlier_copies(client, tmp_path):
     table = client.do_get(info.endpoints[0].ticket).read_all()
     assert table.column("count").to_pylist() == [25]  # nation count (final)
     assert a.exists() and b.exists()  # BOTH side effects ran in DoGet
+
+
+def test_metrics_listener_scrapes_flight_counters(flight_server, client):
+    """The dedicated metrics port (reference --metrics-addr,
+    src/server/mod.rs:112-129): a stdlib listener renders the flight
+    server's counters as Prometheus text, and an RPC moves them."""
+    import urllib.request
+
+    from datafusion_dft_spark.server.metrics import start_metrics_server
+
+    srv = start_metrics_server(flight_server.render_metrics, "127.0.0.1", 0)
+    try:
+        port = srv.server_address[1]
+
+        def scrape() -> dict:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=10
+            ) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"].startswith("text/plain")
+                body = resp.read().decode()
+            out = {}
+            for line in body.splitlines():
+                if line.startswith("#"):
+                    continue
+                name, value = line.rsplit(" ", 1)
+                out[name] = float(value)
+            return out
+
+        before = scrape()
+        assert "dft_spark_requests_total" in before
+        assert "dft_spark_prepared_statements_active" in before
+        _fetch(client, _cmd({"type": "statement", "query": "SELECT 1 AS one"}))
+        after = scrape()
+        assert after["dft_spark_requests_total"] > before["dft_spark_requests_total"]
+        # non-metrics paths 404
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=10)
+    finally:
+        srv.shutdown()

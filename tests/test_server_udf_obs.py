@@ -111,6 +111,29 @@ def test_health_and_metrics(client):
     assert counts == sorted(counts)
 
 
+def test_dedicated_metrics_listener_matches_endpoint(spark, sf_dir):
+    """The --metrics-port listener reuses the app's own rendering, so
+    the dedicated port and GET /metrics can never disagree."""
+    import urllib.request
+
+    from datafusion_dft_spark.server.metrics import start_metrics_server
+
+    app = create_app(spark, AppConfig(), sf_dir=sf_dir)
+    app.testing = True
+    tc = app.test_client()
+    tc.post("/sql", json={"sql": "SELECT 1 AS one"})
+    srv = start_metrics_server(app.dft_render_metrics, "127.0.0.1", 0)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.server_address[1]}/metrics", timeout=10
+        ) as resp:
+            scraped = resp.read().decode()
+        assert scraped == tc.get("/metrics").get_data(as_text=True)
+        assert "dft_spark_requests_total" in scraped
+    finally:
+        srv.shutdown()
+
+
 def test_observability_requests_table(client, spark):
     client.post("/sql", json={"sql": "SELECT 1 AS one"})
     rows = spark.sql(
