@@ -171,6 +171,19 @@ def build_parser() -> argparse.ArgumentParser:
             help="serve Prometheus metrics on a dedicated port "
             "(reference --metrics-addr)",
         )
+    # `dft generate-tpch` (args.rs:229-234: --scale-factor, --format
+    # {parquet,vortex}); generator flags go AFTER the subcommand. The
+    # reference writes into the configured DB path; here --output names
+    # the destination explicitly. Same surface as the legacy
+    # --generate-tpch flag plus --format.
+    gp = sub.add_parser("generate-tpch", help="generate TPC-H data")
+    gp.add_argument("--output", required=True, help="destination directory")
+    gp.add_argument("--scale-factor", type=float, default=1.0)
+    gp.add_argument("--format", choices=("parquet", "vortex"), default="parquet",
+                    help="vortex needs the vortex-data package (flat layout only)")
+    gp.add_argument("--db-layout", action="store_true",
+                    help="{db}/tables/dft/tpch/{t}/ layout (parquet only)")
+    gp.add_argument("--money", choices=("double", "decimal"), default="double")
     return p
 
 
@@ -307,6 +320,15 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, "subcommand", None) == "flightsql":
         return run_flightsql_command(args)
+    if getattr(args, "subcommand", None) == "generate-tpch":
+        # same execution path as the legacy --generate-tpch flag; the
+        # subparser owns scale_factor/db_layout/money, --format extends
+        if args.format == "vortex" and args.db_layout:
+            print("error: --format vortex supports the flat layout only",
+                  file=sys.stderr)
+            return 2
+        args.generate_tpch = args.output
+        args.command, args.file = [], []
     if getattr(args, "subcommand", None) in ("serve-http", "serve-flightsql"):
         serve_argv = ["--host", args.serve_host, "--port", str(args.serve_port)]
         if args.config:
@@ -384,15 +406,37 @@ def main(argv: list[str] | None = None) -> int:
             # every invocation replaying it.
             execute_ddl_file(spark, config.execution.ddl_path)
     if args.generate_tpch:
-        from .tools.tpch_gen import generate
+        if getattr(args, "format", "parquet") == "vortex":
+            # args.rs:232-234 TpchFormat::Vortex analog — the same
+            # honest gate as every vortex entry point: raises an
+            # actionable error unless the vortex-data package exists.
+            import os as _os2
 
-        paths = generate(
-            spark,
-            args.generate_tpch,
-            scale_factor=args.scale_factor,
-            layout="db" if args.db_layout else "flat",
-            money=args.money,
-        )
+            from .sources.io import write_any
+            from .tools.tpch_gen import gen_tables
+
+            paths = []
+            try:
+                for name, df in gen_tables(
+                    spark, args.scale_factor, money=args.money
+                ).items():
+                    dest = _os2.path.join(args.generate_tpch, f"{name}.vortex")
+                    _os2.makedirs(args.generate_tpch, exist_ok=True)
+                    write_any(df, dest, "vortex")
+                    paths.append(dest)
+            except NotImplementedError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+        else:
+            from .tools.tpch_gen import generate
+
+            paths = generate(
+                spark,
+                args.generate_tpch,
+                scale_factor=args.scale_factor,
+                layout="db" if args.db_layout else "flat",
+                money=args.money,
+            )
         print(f"generated {len(paths)} tables (sf={args.scale_factor}):")
         for p in paths:
             print(f"  {p}")

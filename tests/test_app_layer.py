@@ -295,6 +295,29 @@ def test_cli_generate_tpch_money_decimal(tmp_path, capsys):
     assert str(sch.field("l_extendedprice").type) == "decimal128(12, 2)"
 
 
+def test_cli_generate_tpch_subcommand(tmp_path, capsys):
+    """`dft generate-tpch` as a subcommand (args.rs:229-234): parquet
+    path end-to-end; --format vortex fails with the package gate's
+    actionable message (reference gates TpchFormat::Vortex on the same
+    feature); vortex + --db-layout is a usage error."""
+    from datafusion_dft_spark.cli import main
+
+    out = str(tmp_path / "sub")
+    rc = main(["generate-tpch", "--output", out, "--scale-factor", "0.0001"])
+    captured = capsys.readouterr()
+    assert rc == 0 and "generated 11 tables" in captured.out
+
+    rc = main(["generate-tpch", "--output", out, "--scale-factor", "0.0001",
+               "--format", "vortex"])
+    captured = capsys.readouterr()
+    assert rc == 1 and "vortex-data" in captured.err
+
+    rc = main(["generate-tpch", "--output", out, "--format", "vortex",
+               "--db-layout"])
+    captured = capsys.readouterr()
+    assert rc == 2 and "flat layout" in captured.err
+
+
 def test_cli_serve_subcommands_dispatch(monkeypatch, tmp_path):
     """`dft serve-http` / `dft serve-flightsql` (args.rs:142-146) from
     the single entry point: bind + root --config/--register pass
