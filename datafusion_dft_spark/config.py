@@ -41,6 +41,10 @@ class HttpConfig:
     timeout_seconds: int = 10
     basic_auth: str | None = None
     bearer_token: str | None = None
+    # [http_server] server_metrics_addr "host:port" (config.rs:293-295;
+    # the reference always starts it at 127.0.0.1:9000 — here None
+    # means no dedicated listener, --metrics-port / this key opt in)
+    server_metrics_addr: str | None = None
 
 
 @dataclass
@@ -57,6 +61,8 @@ class FlightConfig:
     result_limit: int = 0
     # rows per streamed Arrow record batch
     stream_batch_rows: int = 8192
+    # [flightsql_server] server_metrics_addr "host:port" (see HttpConfig)
+    server_metrics_addr: str | None = None
 
 
 @dataclass
@@ -290,6 +296,7 @@ def parse_config(raw: dict, app: str | None = None) -> AppConfig:
             timeout_seconds=int(http.get("timeout_seconds", 10)),
             basic_auth=http.get("basic_auth"),
             bearer_token=http.get("bearer_token"),
+            server_metrics_addr=http.get("server_metrics_addr"),
         ),
         flightsql=FlightConfig(
             basic_auth=flight.get("basic_auth"),
@@ -302,6 +309,7 @@ def parse_config(raw: dict, app: str | None = None) -> AppConfig:
                     "stream_batch_rows", ex.get("flightsql_server_batch_size", 8192)
                 )
             ),
+            server_metrics_addr=flight.get("server_metrics_addr"),
         ),
         flightsql_client=_parse_flightsql_client(
             raw.get("flightsql_client") or raw.get("flightsql") or {}

@@ -678,11 +678,16 @@ def main(argv: list[str] | None = None) -> int:
     refresh_information_schema(spark)
     server = DftFlightServer(spark, f"grpc://{args.host}:{args.port}", config)
     print(f"FlightSQL server listening on grpc://{args.host}:{server.port}")
-    if args.metrics_port is not None:
-        from .metrics import start_metrics_server
+    from .metrics import split_addr, start_metrics_server
 
-        msrv = start_metrics_server(server.render_metrics, args.host, args.metrics_port)
-        print(f"metrics on http://{args.host}:{msrv.server_address[1]}/metrics")
+    maddr = (
+        (args.host, args.metrics_port)
+        if args.metrics_port is not None
+        else split_addr(config.flightsql.server_metrics_addr)
+    )
+    if maddr:
+        msrv = start_metrics_server(server.render_metrics, maddr[0], maddr[1])
+        print(f"metrics on http://{maddr[0]}:{msrv.server_address[1]}/metrics")
     server.serve()
     return 0
 

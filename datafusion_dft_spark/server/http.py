@@ -532,11 +532,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.register:
         register_views(spark, args.register)
     app = create_app(spark, config, sf_dir=args.register)
-    if args.metrics_port is not None:
-        from .metrics import start_metrics_server
+    from .metrics import split_addr, start_metrics_server
 
-        msrv = start_metrics_server(app.dft_render_metrics, args.host, args.metrics_port)
-        print(f"metrics on http://{args.host}:{msrv.server_address[1]}/metrics")
+    maddr = (
+        (args.host, args.metrics_port)
+        if args.metrics_port is not None
+        else split_addr(config.http.server_metrics_addr)
+    )
+    if maddr:
+        msrv = start_metrics_server(app.dft_render_metrics, maddr[0], maddr[1])
+        print(f"metrics on http://{maddr[0]}:{msrv.server_address[1]}/metrics")
     app.run(host=args.host, port=args.port, threaded=True)
     return 0
 

@@ -33,6 +33,16 @@ def render_prometheus(metrics: dict, prefix: str = "dft_spark") -> str:
     return "\n".join(lines) + "\n"
 
 
+def split_addr(addr: str | None) -> tuple[str, int] | None:
+    """'host:port' → (host, port); None/'' → None (no listener)."""
+    if not addr:
+        return None
+    host, _, port = addr.rpartition(":")
+    if not host or not port.isdigit():
+        raise ValueError(f"server_metrics_addr must be 'host:port', got {addr!r}")
+    return host, int(port)
+
+
 def start_metrics_server(render: Callable[[], str], host: str, port: int):
     """Serve ``render()`` at ``/metrics`` (and ``/``) on host:port.
 

@@ -111,6 +111,27 @@ def test_health_and_metrics(client):
     assert counts == sorted(counts)
 
 
+def test_server_metrics_addr_config_parses():
+    """[http_server]/[flightsql_server] server_metrics_addr
+    (config.rs:293-295) lands on both config dataclasses; split_addr
+    validates the host:port shape."""
+    import pytest as _pytest
+
+    from datafusion_dft_spark.config import parse_config
+    from datafusion_dft_spark.server.metrics import split_addr
+
+    cfg = parse_config(
+        {"http_server": {"server_metrics_addr": "127.0.0.1:9000"},
+         "flightsql_server": {"server_metrics_addr": "0.0.0.0:9001"}}
+    )
+    assert cfg.http.server_metrics_addr == "127.0.0.1:9000"
+    assert cfg.flightsql.server_metrics_addr == "0.0.0.0:9001"
+    assert split_addr("127.0.0.1:9000") == ("127.0.0.1", 9000)
+    assert split_addr(None) is None and split_addr("") is None
+    with _pytest.raises(ValueError, match="host:port"):
+        split_addr("9000")
+
+
 def test_dedicated_metrics_listener_matches_endpoint(spark, sf_dir):
     """The --metrics-port listener reuses the app's own rendering, so
     the dedicated port and GET /metrics can never disagree."""
