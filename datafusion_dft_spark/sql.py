@@ -310,9 +310,49 @@ def _rewrite_information_schema(spark: SparkSession, sql: str) -> str:
 
 
 _EXT_TABLE_RE = re.compile(
-    r"(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([A-Za-z_]\w*)\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'\s*$"
+    r"(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\(\s*(?P<cols>(?:[^()]|\([^()]*\))*?)\s*\)\s*)?"
+    r"STORED\s+AS\s+(?P<fmt>\w+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+?)\s*\))?"
+    r"(?:\s+OPTIONS\s*\((?P<opts>.*?)\))?"
+    r"\s+LOCATION\s+'(?P<path>[^']+)'\s*$"
 )
+
+# DataFusion/arrow SQL type spellings -> Spark DDL types. Shared
+# spellings (BIGINT, DOUBLE, DATE, TIMESTAMP, BOOLEAN, DECIMAL(p,s), …)
+# pass through; only the divergent ones are mapped.
+_DF_TYPE_MAP = {
+    "varchar": "string",
+    "char": "string",
+    "text": "string",
+    "utf8": "string",
+    "real": "float",
+    "bytea": "binary",
+    "int8": "bigint",
+    "int4": "int",
+    "int2": "smallint",
+    "float8": "double",
+    "float4": "float",
+}
+
+
+def _df_schema_to_spark(cols: str) -> str:
+    """``id BIGINT, name VARCHAR`` (DataFusion spelling) → Spark DDL."""
+    out = []
+    for col in re.split(r",(?![^()]*\))", cols):
+        col = col.strip()
+        if not col:
+            continue
+        m = re.match(r"([\w`]+)\s+(.+)$", col)
+        if not m:
+            raise ValueError(f"cannot parse external-table column: {col!r}")
+        name, typ = m.group(1), m.group(2).strip()
+        head = typ.split("(")[0].strip().lower()
+        mapped = _DF_TYPE_MAP.get(head)
+        out.append(f"{name} {mapped if mapped else typ}")
+    return ", ".join(out)
 
 
 def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
@@ -328,9 +368,17 @@ def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
     m = _EXT_TABLE_RE.match(stmt)
     if not m:
         return None
-    if_not_exists, name, fmt, path = m.group(1), m.group(2), m.group(3).lower(), m.group(4)
+    if_not_exists, name, fmt, path = (
+        m.group("ine"), m.group("name"), m.group("fmt").lower(), m.group("path"),
+    )
+    cols, parts, opts = m.group("cols"), m.group("parts"), m.group("opts")
     if if_not_exists and any(t.name == name for t in spark.catalog.listTables()):
         return f"SELECT '{name}' AS table_name WHERE 1=0"
+    if (cols or parts or opts) and fmt in ("deltatable", "vortex"):
+        raise ValueError(
+            f"column list / PARTITIONED BY / OPTIONS are not supported for "
+            f"STORED AS {fmt.upper()} (schema and layout come from the source)"
+        )
     if fmt == "deltatable":
         # extensions/deltalake.rs:34-51 — DELTATABLE factory. Gated on
         # the delta-spark classpath; raises an actionable error if absent.
@@ -345,9 +393,32 @@ def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
         read_vortex(spark, path).createOrReplaceTempView(name)
     elif fmt in ("parquet", "csv", "json", "ndjson"):
         reader = spark.read
+        if cols:
+            # explicit column list: DataFusion type spellings mapped to
+            # Spark DDL; inference off (the declared schema is the
+            # contract, same as DataFusion)
+            reader = reader.schema(_df_schema_to_spark(cols))
+        elif fmt == "csv":
+            reader = reader.option("inferSchema", "true")
         if fmt == "csv":
-            reader = reader.option("header", "true").option("inferSchema", "true")
+            reader = reader.option("header", "true")
+        if opts:
+            # same OPTIONS vocabulary as COPY ('format.'-prefixed or
+            # bare; unknown keys raise) applied as reader options
+            reader = reader.options(**_parse_copy_options(opts))
         df = reader.format("json" if fmt == "ndjson" else fmt).load(path)
+        if parts:
+            # PARTITIONED BY names hive-layout directory columns —
+            # Spark discovers them from the paths; verify the contract
+            # so a typo'd partition column fails at DDL time, not first
+            # query
+            part_cols = [c.strip().strip("`") for c in parts.split(",")]
+            missing = [c for c in part_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"PARTITIONED BY column(s) {missing} not present under "
+                    f"{path!r} (hive-style col=value directories expected)"
+                )
         df.createOrReplaceTempView(name)
     else:
         raise ValueError(f"unsupported STORED AS format: {fmt!r}")

@@ -126,6 +126,54 @@ def test_external_table_parquet_ddl(spark, sf_dir):
     spark.catalog.dropTempView("ext_nation")
 
 
+def test_external_table_full_grammar(spark, tmp_path):
+    """DataFusion's fuller CREATE EXTERNAL TABLE: explicit column list
+    (DataFusion type spellings), OPTIONS (COPY vocabulary), PARTITIONED
+    BY over hive-layout directories; misuse fails at DDL time."""
+    # schema'd CSV with a non-default delimiter, no header
+    csv_dir = tmp_path / "csvdata"
+    csv_dir.mkdir()
+    (csv_dir / "a.csv").write_text("1;alpha;2.5\n2;beta;3.5\n")
+    stmt = (
+        "CREATE EXTERNAL TABLE ext_sc (id BIGINT, name VARCHAR, score DOUBLE) "
+        "STORED AS CSV "
+        "OPTIONS ('format.delimiter' ';', 'format.has_header' 'false') "
+        f"LOCATION '{csv_dir}'"
+    )
+    spark.sql(prepare_statement(spark, stmt))
+    df = spark.table("ext_sc")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "double",
+    ]
+    assert {(r.id, r.name, r.score) for r in df.collect()} == {
+        (1, "alpha", 2.5), (2, "beta", 3.5),
+    }
+    # hive-partitioned parquet with PARTITIONED BY verification
+    pq_dir = tmp_path / "pqdata"
+    for part in ("x", "y"):
+        spark.range(3).write.mode("overwrite").parquet(str(pq_dir / f"part={part}"))
+    stmt = (
+        "CREATE EXTERNAL TABLE ext_part STORED AS PARQUET "
+        f"PARTITIONED BY (part) LOCATION '{pq_dir}'"
+    )
+    spark.sql(prepare_statement(spark, stmt))
+    assert spark.table("ext_part").where("part = 'x'").count() == 3
+    with pytest.raises(ValueError, match="PARTITIONED BY column"):
+        prepare_statement(
+            spark,
+            "CREATE EXTERNAL TABLE ext_bad STORED AS PARQUET "
+            f"PARTITIONED BY (nope) LOCATION '{pq_dir}'",
+        )
+    with pytest.raises(ValueError, match="not supported for STORED AS DELTATABLE"):
+        prepare_statement(
+            spark,
+            "CREATE EXTERNAL TABLE ext_d (a INT) STORED AS DELTATABLE "
+            f"LOCATION '{tmp_path}'",
+        )
+    for v in ("ext_sc", "ext_part"):
+        spark.catalog.dropTempView(v)
+
+
 def test_external_table_deltatable_gated(spark, tmp_path):
     """extension_cases/deltalake.rs:23-45 — the DDL path exists; a
     location with no transaction log must fail actionably, not with a
