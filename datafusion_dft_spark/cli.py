@@ -171,6 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
             help="serve Prometheus metrics on a dedicated port "
             "(reference --metrics-addr)",
         )
+        # --config/--register also accepted AFTER the subcommand (the
+        # natural place to type them); SUPPRESS keeps a value given
+        # before the subcommand from being clobbered by a default
+        sp.add_argument("--config", default=argparse.SUPPRESS,
+                        help="TOML config file")
+        sp.add_argument("--register", default=argparse.SUPPRESS,
+                        help="corpus directory to register as views")
     # `dft generate-tpch` (args.rs:229-234: --scale-factor, --format
     # {parquet,vortex}); generator flags go AFTER the subcommand. The
     # reference writes into the configured DB path; here --output names
@@ -406,37 +413,21 @@ def main(argv: list[str] | None = None) -> int:
             # every invocation replaying it.
             execute_ddl_file(spark, config.execution.ddl_path)
     if args.generate_tpch:
-        if getattr(args, "format", "parquet") == "vortex":
-            # args.rs:232-234 TpchFormat::Vortex analog — the same
-            # honest gate as every vortex entry point: raises an
-            # actionable error unless the vortex-data package exists.
-            import os as _os2
+        from .tools.tpch_gen import generate
 
-            from .sources.io import write_any
-            from .tools.tpch_gen import gen_tables
-
-            paths = []
-            try:
-                for name, df in gen_tables(
-                    spark, args.scale_factor, money=args.money
-                ).items():
-                    dest = _os2.path.join(args.generate_tpch, f"{name}.vortex")
-                    _os2.makedirs(args.generate_tpch, exist_ok=True)
-                    write_any(df, dest, "vortex")
-                    paths.append(dest)
-            except NotImplementedError as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 1
-        else:
-            from .tools.tpch_gen import generate
-
+        try:
             paths = generate(
                 spark,
                 args.generate_tpch,
                 scale_factor=args.scale_factor,
                 layout="db" if args.db_layout else "flat",
                 money=args.money,
+                fmt=getattr(args, "format", "parquet"),
             )
+        except NotImplementedError as e:
+            # the vortex package gate — actionable message, clean exit
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         print(f"generated {len(paths)} tables (sf={args.scale_factor}):")
         for p in paths:
             print(f"  {p}")

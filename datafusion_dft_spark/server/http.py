@@ -477,7 +477,11 @@ def create_app(spark, config: AppConfig | None = None, sf_dir: str | None = None
             f"dft_spark_rows_returned_total {metrics['rows_returned_total']}",
             "# TYPE dft_spark_request_duration_ms histogram",
         ]
-        for path in sorted(histograms):
+        # snapshot the keys: the dedicated metrics listener scrapes from
+        # its own thread while request threads insert first-seen paths —
+        # iterating the live dict would intermittently raise
+        # "dictionary changed size during iteration"
+        for path in sorted(list(histograms)):
             h = histograms[path]
             for le, c in zip(hist_buckets, h["counts"]):
                 lines.append(

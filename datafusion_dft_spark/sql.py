@@ -309,16 +309,56 @@ def _rewrite_information_schema(spark: SparkSession, sql: str) -> str:
     return _INFO_SCHEMA_RE.sub(lambda m: f"__info_{m.group(1).lower()}", sql)
 
 
-_EXT_TABLE_RE = re.compile(
+# Statement head only — the tail clauses (STORED AS / PARTITIONED BY /
+# OPTIONS / LOCATION / WITH ORDER / legacy WITH HEADER ROW) may appear
+# in ANY order in DataFusion's parser, so they are consumed by a clause
+# scan (_parse_ext_table_tail), not pinned in one regex.
+_EXT_TABLE_HEAD_RE = re.compile(
     r"(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
     r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[A-Za-z_]\w*)\s*"
-    r"(?:\(\s*(?P<cols>(?:[^()]|\([^()]*\))*?)\s*\)\s*)?"
-    r"STORED\s+AS\s+(?P<fmt>\w+)"
-    r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+?)\s*\))?"
-    r"(?:\s+OPTIONS\s*\((?P<opts>.*?)\))?"
-    r"\s+LOCATION\s+'(?P<path>[^']+)'\s*$"
+    r"(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s*\(\s*(?P<cols>(?:[^()]|\([^()]*\))*?)\s*\)|(?=\s))"
+    r"\s*(?P<tail>.*?)\s*$"
 )
+_EXT_CLAUSE_RES = {
+    "fmt": re.compile(r"(?is)^STORED\s+AS\s+(\w+)"),
+    "parts": re.compile(r"(?is)^PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\)"),
+    "opts": re.compile(r"(?is)^OPTIONS\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)"),
+    "path": re.compile(r"(?is)^LOCATION\s+'([^']+)'"),
+    # WITH ORDER is a file-sort-order optimizer hint; accepted and
+    # ignored (Spark derives ordering from the data). WITH HEADER ROW
+    # is DataFusion's legacy has_header spelling.
+    "order": re.compile(r"(?is)^WITH\s+ORDER\s*\((?:[^()]|\([^()]*\))*\)"),
+    "header": re.compile(r"(?is)^WITH\s+HEADER\s+ROW"),
+}
+
+
+def _parse_ext_table_tail(tail: str) -> dict:
+    """Consume STORED AS / PARTITIONED BY / OPTIONS / LOCATION /
+    WITH ORDER / WITH HEADER ROW in any order; leftover text raises
+    (the statement IS an external-table DDL — falling through to Spark
+    would produce an unrelated ParseException)."""
+    found: dict = {}
+    s = tail
+    while s:
+        for key, rx in _EXT_CLAUSE_RES.items():
+            m = rx.match(s)
+            if m:
+                if key in found:
+                    raise ValueError(f"duplicate {key} clause in CREATE EXTERNAL TABLE")
+                found[key] = m.group(1) if m.groups() else True
+                s = s[m.end():].lstrip()
+                break
+        else:
+            raise ValueError(
+                f"unsupported CREATE EXTERNAL TABLE clause at: {s[:60]!r}"
+            )
+    if "fmt" not in found or "path" not in found:
+        raise ValueError(
+            "CREATE EXTERNAL TABLE needs both STORED AS <format> and "
+            "LOCATION '<path>'"
+        )
+    return found
 
 # DataFusion/arrow SQL type spellings -> Spark DDL types. Shared
 # spellings (BIGINT, DOUBLE, DATE, TIMESTAMP, BOOLEAN, DECIMAL(p,s), …)
@@ -339,19 +379,28 @@ _DF_TYPE_MAP = {
 
 
 def _df_schema_to_spark(cols: str) -> str:
-    """``id BIGINT, name VARCHAR`` (DataFusion spelling) → Spark DDL."""
+    """``id BIGINT, name VARCHAR NOT NULL`` (DataFusion spelling) →
+    Spark DDL. Only the type's FIRST word (plus any ``(args)``) is
+    mapped; trailing tokens (NOT NULL, …) are preserved. TIMESTAMP
+    WITH TIME ZONE maps to Spark's (session-TZ-aware) TIMESTAMP."""
     out = []
     for col in re.split(r",(?![^()]*\))", cols):
         col = col.strip()
         if not col:
             continue
-        m = re.match(r"([\w`]+)\s+(.+)$", col)
+        m = re.match(r"([\w`]+)\s+(\w+)\s*(\([^)]*\))?\s*(.*)$", col)
         if not m:
             raise ValueError(f"cannot parse external-table column: {col!r}")
-        name, typ = m.group(1), m.group(2).strip()
-        head = typ.split("(")[0].strip().lower()
-        mapped = _DF_TYPE_MAP.get(head)
-        out.append(f"{name} {mapped if mapped else typ}")
+        name, base, args, rest = m.groups()
+        args, rest = args or "", (rest or "").strip()
+        mapped = _DF_TYPE_MAP.get(base.lower(), base)
+        if base.lower() in ("varchar", "char") and args:
+            mapped = base  # VARCHAR(n)/CHAR(n) are valid Spark DDL as-is
+        if mapped.lower() == "timestamp" and re.match(
+            r"(?is)^with(out)?\s+time\s+zone\b", rest
+        ):
+            rest = re.sub(r"(?is)^with(out)?\s+time\s+zone\s*", "", rest).strip()
+        out.append(" ".join(x for x in (name, f"{mapped}{args}", rest) if x))
     return ", ".join(out)
 
 
@@ -365,13 +414,13 @@ def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
     session-scoped like DataFusion's, no warehouse write. Returns the
     replacement statement, or None if the DDL shape doesn't match.
     """
-    m = _EXT_TABLE_RE.match(stmt)
+    m = _EXT_TABLE_HEAD_RE.match(stmt)
     if not m:
         return None
-    if_not_exists, name, fmt, path = (
-        m.group("ine"), m.group("name"), m.group("fmt").lower(), m.group("path"),
-    )
-    cols, parts, opts = m.group("cols"), m.group("parts"), m.group("opts")
+    clauses = _parse_ext_table_tail(m.group("tail"))
+    if_not_exists, name, cols = m.group("ine"), m.group("name"), m.group("cols")
+    fmt, path = clauses["fmt"].lower(), clauses["path"]
+    parts, opts = clauses.get("parts"), clauses.get("opts")
     if if_not_exists and any(t.name == name for t in spark.catalog.listTables()):
         return f"SELECT '{name}' AS table_name WHERE 1=0"
     if (cols or parts or opts) and fmt in ("deltatable", "vortex"):
@@ -401,6 +450,7 @@ def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
         elif fmt == "csv":
             reader = reader.option("inferSchema", "true")
         if fmt == "csv":
+            # legacy `WITH HEADER ROW` and the default both mean header
             reader = reader.option("header", "true")
         if opts:
             # same OPTIONS vocabulary as COPY ('format.'-prefixed or
@@ -411,9 +461,10 @@ def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
             # PARTITIONED BY names hive-layout directory columns —
             # Spark discovers them from the paths; verify the contract
             # so a typo'd partition column fails at DDL time, not first
-            # query
+            # query. Case-insensitive, like both engines' resolution.
+            have = {c.lower() for c in df.columns}
             part_cols = [c.strip().strip("`") for c in parts.split(",")]
-            missing = [c for c in part_cols if c not in df.columns]
+            missing = [c for c in part_cols if c.lower() not in have]
             if missing:
                 raise ValueError(
                     f"PARTITIONED BY column(s) {missing} not present under "

@@ -346,17 +346,29 @@ def generate(
     scale_factor: float = 0.01,
     layout: str = "flat",
     money: str = "double",
+    fmt: str = "parquet",
 ) -> list[str]:
-    """Write the generated tables as parquet.
+    """Write the generated tables.
 
     layout="flat": ``{dir}/{table}.parquet`` (driver-corpus shape);
     layout="db":   ``{dir}/tables/dft/tpch/{table}/`` (reference's
                    directory-database shape, src/tpch.rs:87-96).
     money="decimal": spec DECIMAL(12,2) money columns (see gen_tables).
+    fmt="vortex" (args.rs:232-234 TpchFormat::Vortex analog): each
+    table through the driver-side vortex writer — flat layout only,
+    gated on the vortex-data package like every vortex entry point.
     """
+    if fmt == "vortex" and layout != "flat":
+        raise ValueError("fmt='vortex' supports the flat layout only")
     written = []
     for name, df in gen_tables(spark, scale_factor, money=money).items():
-        if layout == "db":
+        if fmt == "vortex":
+            from ..sources.io import write_any
+
+            os.makedirs(output_dir, exist_ok=True)
+            path = os.path.join(output_dir, f"{name}.vortex")
+            write_any(df, path, "vortex")
+        elif layout == "db":
             path = os.path.join(output_dir, "tables", "dft", "tpch", name)
             df.write.mode("overwrite").parquet(path)
         else:

@@ -340,12 +340,16 @@ def test_cli_serve_subcommands_dispatch(monkeypatch, tmp_path):
     monkeypatch.setattr(flight_mod, "main", fake("flight"))
     cfg = tmp_path / "c.toml"
     cfg.write_text("")
+    # --config BEFORE the subcommand (root placement)
     rc = cli.main(["--config", str(cfg), "serve-http", "--serve-port", "0"])
     assert rc == 0
     assert seen["http"] == ["--host", "127.0.0.1", "--port", "0",
                             "--config", str(cfg)]
-    rc = cli.main(["--register", str(tmp_path), "serve-flightsql",
-                   "--serve-host", "0.0.0.0"])
+    # --config/--register AFTER the subcommand (README placement)
+    rc = cli.main(["serve-http", "--serve-port", "0", "--config", str(cfg)])
+    assert rc == 0 and seen["http"][-2:] == ["--config", str(cfg)]
+    rc = cli.main(["serve-flightsql", "--serve-host", "0.0.0.0",
+                   "--register", str(tmp_path)])
     assert rc == 0
     assert seen["flight"] == ["--host", "0.0.0.0", "--port", "50051",
                               "--register", str(tmp_path)]

@@ -174,6 +174,54 @@ def test_external_table_full_grammar(spark, tmp_path):
         spark.catalog.dropTempView(v)
 
 
+def test_external_table_clause_order_and_types(spark, tmp_path):
+    """DataFusion accepts the tail clauses in any order; type spellings
+    carry constraints; malformed DDL raises an actionable error instead
+    of falling through to an unrelated Spark ParseException."""
+    csv_dir = tmp_path / "csvdata2"
+    csv_dir.mkdir()
+    (csv_dir / "a.csv").write_text("1,alpha\n2,beta\n")
+    # LOCATION before OPTIONS (docs ordering), WITH HEADER ROW legacy,
+    # constraint-carrying VARCHAR, case-insensitive PARTITIONED BY
+    stmt = (
+        "CREATE EXTERNAL TABLE ext_oo (id BIGINT NOT NULL, name VARCHAR NOT NULL) "
+        f"STORED AS CSV LOCATION '{csv_dir}' "
+        "OPTIONS ('format.has_header' 'false')"
+    )
+    spark.sql(prepare_statement(spark, stmt))
+    assert spark.table("ext_oo").count() == 2
+    stmt = (
+        "CREATE EXTERNAL TABLE ext_hdr (id BIGINT, name VARCHAR) "
+        f"WITH HEADER ROW STORED AS CSV LOCATION '{csv_dir}'"
+    )
+    spark.sql(prepare_statement(spark, stmt))
+    # header row consumed the first data line
+    assert spark.table("ext_hdr").count() == 1
+    pq_dir = tmp_path / "pq2"
+    spark.range(2).write.mode("overwrite").parquet(str(pq_dir / "part=x"))
+    stmt = (
+        "CREATE EXTERNAL TABLE ext_ci STORED AS PARQUET "
+        f"PARTITIONED BY (PART) LOCATION '{pq_dir}'"
+    )
+    spark.sql(prepare_statement(spark, stmt))  # case-insensitive: no raise
+    # TIMESTAMP WITH TIME ZONE maps to Spark TIMESTAMP
+    from datafusion_dft_spark.sql import _df_schema_to_spark
+
+    assert _df_schema_to_spark("ts TIMESTAMP WITH TIME ZONE NOT NULL") == (
+        "ts TIMESTAMP NOT NULL"
+    )
+    assert _df_schema_to_spark("v REAL, n VARCHAR(10)") == "v float, n VARCHAR(10)"
+    # glued table name / unknown clause: loud, statement-specific error
+    with pytest.raises(ValueError, match="unsupported CREATE EXTERNAL TABLE"):
+        prepare_statement(
+            spark, "CREATE EXTERNAL TABLE fooSTORED AS PARQUET LOCATION '/x'"
+        )
+    with pytest.raises(ValueError, match="STORED AS"):
+        prepare_statement(spark, f"CREATE EXTERNAL TABLE t2 LOCATION '{csv_dir}'")
+    for v in ("ext_oo", "ext_hdr", "ext_ci"):
+        spark.catalog.dropTempView(v)
+
+
 def test_external_table_deltatable_gated(spark, tmp_path):
     """extension_cases/deltalake.rs:23-45 — the DDL path exists; a
     location with no transaction log must fail actionably, not with a
