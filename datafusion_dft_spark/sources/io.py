@@ -72,6 +72,22 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
 def read_arrow(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Arrow IPC reader (no bundled JVM datasource).
 
+    Preferred path: the Spark 4 Python DataSource
+    (``sources/arrow_datasource.py``) — one input partition per file,
+    executors yield ``RecordBatch`` objects straight into Spark's Arrow
+    ingestion (no pandas hop). Falls back to the original
+    ``mapInPandas`` glue when DataSource registration is unavailable.
+    """
+    from .arrow_datasource import FORMAT_NAME, register_arrow_datasource
+
+    if register_arrow_datasource(spark):
+        return spark.read.format(FORMAT_NAME).load(path)
+    return _read_arrow_mapinpandas(spark, path)
+
+
+def _read_arrow_mapinpandas(spark: SparkSession, path: str) -> DataFrame:
+    """Fallback Arrow IPC reader (pre-DataSource glue).
+
     The driver touches only the first file's *footer* for the schema
     (KBs); the file list is then distributed and each executor streams
     its files' record batches through ``mapInPandas`` — Arrow-native
@@ -232,19 +248,32 @@ def write_any(
     if options:
         writer = writer.options(**options)
     if fmt == "arrow":
-        import pyarrow as pa
+        from .arrow_datasource import FORMAT_NAME, register_arrow_datasource
+
+        if (
+            not single_file
+            and not path.endswith(".arrow")
+            and register_arrow_datasource(df.sparkSession)
+        ):
+            # Directory target → DISTRIBUTED part-file write through the
+            # Python DataSource (each task serializes its own partition;
+            # nothing is collected to the driver).
+            df.write.format(FORMAT_NAME).mode(mode).save(path)
+            return path
+        # Single-file contract ('COPY ... TO file.arrow', CLI -o): the
+        # result must land in ONE file, so it funnels through the driver
+        # — via toArrow() (Spark's own Arrow batches; type-faithful,
+        # unlike the old toPandas() hop that mangled decimals).
         import pyarrow.ipc as ipc
 
-        table = pa.Table.from_pandas(df.toPandas())
+        table = df.toArrow()
         with ipc.new_file(path, table.schema) as w:
             w.write_table(table)
         return path
     if fmt == "vortex":
         # src/cli/mod.rs:780-806 AnyWriter::Vortex analog, behind the gate.
-        import pyarrow as pa
-
         vortex = _require_vortex()
-        table = pa.Table.from_pandas(df.toPandas())
+        table = df.toArrow()
         for attr in ("write", "write_path"):
             writer_fn = getattr(getattr(vortex, "io", vortex), attr, None) or getattr(
                 vortex, attr, None
