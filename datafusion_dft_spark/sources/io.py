@@ -164,8 +164,36 @@ def _vortex_file_to_arrow(path: str):
     )
 
 
+def _vortex_write_table(table, path: str) -> None:
+    """One pyarrow Table -> one Vortex file, writer-API tolerant."""
+    vortex = _require_vortex()
+    for attr in ("write", "write_path"):
+        writer_fn = getattr(getattr(vortex, "io", vortex), attr, None) or getattr(
+            vortex, attr, None
+        )
+        if writer_fn:
+            writer_fn(table, path)
+            return
+    raise NotImplementedError("unrecognized vortex-python writer API")
+
+
 def read_vortex(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Vortex scan through the package's Arrow surface.
+
+    Preferred path: the Spark 4 Python DataSource
+    (``sources/vortex_datasource.py``, gated on vortex-python being
+    importable). Falls back to the ``mapInPandas`` glue — which keeps
+    the actionable NotImplementedError gate when the package is absent.
+    """
+    from .vortex_datasource import FORMAT_NAME, register_vortex_datasource
+
+    if register_vortex_datasource(spark):
+        return spark.read.format(FORMAT_NAME).load(path)
+    return _read_vortex_mapinpandas(spark, path)
+
+
+def _read_vortex_mapinpandas(spark: SparkSession, path: str) -> DataFrame:
+    """Fallback Vortex reader (pre-DataSource glue).
 
     Same shape as :func:`read_arrow`: the driver opens only the first
     file for the schema; the file list distributes and each executor
@@ -208,7 +236,11 @@ def write_any(
 
     ``partition_by`` produces a hive-layout directory tree
     (``col=value/``) — the COPY ... PARTITIONED BY path; incompatible
-    with ``single_file`` and the driver-side arrow/vortex writers.
+    with ``single_file`` and the arrow/vortex writers. Arrow/vortex
+    targets WITH a ``.arrow``/``.vortex`` suffix (or single_file=True)
+    keep the reference's one-file export contract (driver-side via
+    ``df.toArrow()``); directory targets write DISTRIBUTED part files
+    through the Python DataSources.
     ``options`` are Spark writer options (COPY OPTIONS, already mapped
     by ``sql._parse_copy_options``) layered over the csv header
     default; they apply to the Spark writer formats only (arrow/vortex
@@ -272,16 +304,21 @@ def write_any(
         return path
     if fmt == "vortex":
         # src/cli/mod.rs:780-806 AnyWriter::Vortex analog, behind the gate.
-        vortex = _require_vortex()
-        table = df.toArrow()
-        for attr in ("write", "write_path"):
-            writer_fn = getattr(getattr(vortex, "io", vortex), attr, None) or getattr(
-                vortex, attr, None
-            )
-            if writer_fn:
-                writer_fn(table, path)
-                return path
-        raise NotImplementedError("unrecognized vortex-python writer API")
+        from .vortex_datasource import FORMAT_NAME as _VORTEX_FMT
+        from .vortex_datasource import register_vortex_datasource
+
+        if (
+            not single_file
+            and not path.endswith(".vortex")
+            and register_vortex_datasource(df.sparkSession)
+        ):
+            # Directory target → distributed part-file write (mirrors
+            # the arrowipc DataSource path above).
+            df.write.format(_VORTEX_FMT).mode(mode).save(path)
+            return path
+        _require_vortex()  # actionable gate before any execution
+        _vortex_write_table(df.toArrow(), path)
+        return path
     writer.format(fmt).save(path)
     return path
 

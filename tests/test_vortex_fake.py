@@ -85,6 +85,32 @@ DRIVER = textwrap.dedent(
         f"CREATE EXTERNAL TABLE vt STORED AS VORTEX LOCATION '{out}'",
     )
     assert spark.table("vt").count() == 100
+
+    # Spark 4 Python DataSource path (sources/vortex_datasource.py):
+    # read_vortex prefers format("vortexfile") when the package imports;
+    # distributed dir writes emit one part-*.vortex per task.
+    import os as _os
+
+    from datafusion_dft_spark.sources.vortex_datasource import (
+        register_vortex_datasource,
+    )
+
+    assert register_vortex_datasource(spark)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan" in plan or "PythonDataSource" in plan, plan
+
+    dist_dir = sys.argv[2] + "/dist_vortex"
+    write_any(src.repartition(2), dist_dir, fmt="vortex")
+    parts = [f for f in _os.listdir(dist_dir) if f.endswith(".vortex")]
+    assert len(parts) == 2, parts
+    dist_back = read_vortex(spark, dist_dir)
+    assert dist_back.rdd.getNumPartitions() == 2
+    assert sorted((r.id, r.s) for r in dist_back.collect()) == rows
+
+    # fallback glue stays correct
+    from datafusion_dft_spark.sources.io import _read_vortex_mapinpandas
+
+    assert _read_vortex_mapinpandas(spark, dist_dir).count() == 100
     print("VORTEX-GLUE-OK")
     """
 )
