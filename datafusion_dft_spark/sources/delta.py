@@ -22,8 +22,11 @@ tests/extension_cases/deltalake.rs:23-45). Two paths:
   at or below the target version (single- or multi-part, located via
   ``_last_checkpoint`` plus a directory listing) and applies the JSON
   commits after it — so compacted/vacuumed histories read fine.
-  Unsupported advanced features (deletion vectors, column mapping)
-  still require the jars.
+  Column mapping is supported in both 'name' and 'id' modes, and
+  DELETION VECTORS are applied (``sources/delta_dv.py`` decodes the
+  Z85/roaring descriptors; deleted rows drop via a
+  ``_metadata.row_index`` anti-join). Reader features beyond
+  {columnMapping, deletionVectors} still require the jars.
 """
 
 from __future__ import annotations
@@ -142,26 +145,25 @@ def _replay_log(
             # whose minReaderVersion it does not implement. This replay
             # implements reader versions 1 and 2 (2 = column mapping —
             # physical parquet names resolved through the schema field
-            # metadata, see _read_delta_python), and version 3 ONLY when
-            # every listed readerFeature is columnMapping. Anything else
-            # (deletionVectors above all, where replaying `add` as a
-            # plain parquet scan would resurrect deleted rows) is
-            # refused loudly, as the spec mandates; silently wrong
-            # answers are not an option. The delta-spark jars path
-            # handles the full protocol (reference enforces the same via
-            # delta-rs, extensions/deltalake.rs:34-51).
+            # metadata, see _read_delta_python), and version 3 when every
+            # listed readerFeature is columnMapping or deletionVectors
+            # (DVs applied via sources/delta_dv.py + a row_index
+            # anti-join). Anything else is refused loudly, as the spec
+            # mandates; silently wrong answers are not an option. The
+            # delta-spark jars path handles the full protocol (reference
+            # enforces the same via delta-rs, extensions/deltalake.rs:34-51).
             proto = action["protocol"]
             ver = proto.get("minReaderVersion") or 1
             feats = {f for f in (proto.get("readerFeatures") or []) if f is not None}
-            unsupported = feats - {"columnMapping"}
+            unsupported = feats - {"columnMapping", "deletionVectors"}
             if ver > 3 or unsupported:
                 raise DeltaNotAvailable(
                     f"Delta table requires minReaderVersion={ver}"
                     + (f" with readerFeatures={sorted(feats)}" if feats else "")
                     + " — the pure-Python log replay implements reader "
-                    "protocols 1-2 plus the columnMapping feature only "
-                    "(no deletion vectors); install delta-spark jars to "
-                    "read this table"
+                    "protocols 1-2 plus the columnMapping and "
+                    "deletionVectors features only; install delta-spark "
+                    "jars to read this table"
                 )
         elif "metaData" in action:
             schema_json = action["metaData"]["schemaString"]
@@ -169,17 +171,13 @@ def _replay_log(
             configuration = dict(action["metaData"].get("configuration") or {})
         elif "add" in action:
             add = dict(action["add"])
-            # Belt-and-braces: a DV-carrying add must never scan as plain
-            # parquet even if the protocol action was somehow not seen.
-            if add.get("deletionVector") is not None:
-                raise DeltaNotAvailable(
-                    "Delta add action carries a deletionVector — rows were "
-                    "logically deleted; the pure-Python reader cannot apply "
-                    "DVs, install delta-spark jars"
-                )
             # Delta spec: add.path is URL-encoded relative to the root.
             add["path"] = unquote(add["path"])
             add["partitionValues"] = _as_dict(add.get("partitionValues"))
+            # deletionVector (dict from JSON, struct-dict from checkpoint
+            # parquet) rides along; _read_delta_python applies it. The
+            # latest add for a path wins, INCLUDING its DV — re-adding a
+            # file with a grown DV replaces the old descriptor wholesale.
             active[add["path"]] = add
         elif "remove" in action:
             active.pop(unquote(action["remove"]["path"]), None)
@@ -268,6 +266,58 @@ def _fieldid_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+# Deleted-pair sets up to this many rows broadcast to the anti-join;
+# above it (a table whose DV total is genuinely huge) fall back to a
+# plain shuffled anti-join — same auto-switch pattern as the
+# incremental-dedup broadcast guards (operators/similarity.py).
+_DV_BROADCAST_MAX_ROWS = 2_000_000
+
+# Strips the URI scheme Spark's _metadata.file_path carries
+# (file:/..., hdfs://host/...) down to the bare path for matching
+# against the replay's absolute add paths.
+_URI_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+"
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, table_path: str, dv_adds: list[dict]
+) -> DataFrame:
+    """Filter logically-deleted rows out of a DV-bearing parquet scan.
+
+    ``df`` must be the raw per-group scan. Mechanics: each file's DV
+    decodes (driver-side — DVs are metadata-scale, like the log
+    itself) to its deleted row indexes; the scan gains
+    ``_metadata.file_path``/``row_index`` columns and an anti-join
+    against the (file, index) pairs drops exactly the deleted rows.
+    The pair set broadcasts below _DV_BROADCAST_MAX_ROWS.
+    """
+    import pandas as pd
+
+    from .delta_dv import decode_deletion_vector
+
+    frames = []
+    for add in dv_adds:
+        idx = decode_deletion_vector(table_path, add["deletionVector"])
+        if len(idx):
+            fp = os.path.abspath(os.path.join(table_path, add["path"]))
+            frames.append(pd.DataFrame({"__dv_fp": fp, "__dv_ri": idx}))
+    tagged = df.select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "/").alias(
+            "__dv_fp"
+        ),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    )
+    if not frames:
+        return tagged.drop("__dv_fp", "__dv_ri")
+    pairs = pd.concat(frames, ignore_index=True)
+    deleted = spark.createDataFrame(pairs)
+    if len(pairs) <= _DV_BROADCAST_MAX_ROWS:
+        deleted = F.broadcast(deleted)
+    return tagged.join(deleted, ["__dv_fp", "__dv_ri"], "left_anti").drop(
+        "__dv_fp", "__dv_ri"
+    )
+
+
 def _read_delta_python(spark: SparkSession, path: str, version: int | None) -> DataFrame:
     schema, partition_cols, adds, config = _replay_log(path, version)
     mode = config.get("delta.columnMapping.mode", "none") or "none"
@@ -309,14 +359,30 @@ def _read_delta_python(spark: SparkSession, path: str, version: int | None) -> D
     # types) — Spark sees ordinary parquet relations, so pruning/pushdown
     # apply per group. Under column mapping, add.partitionValues is keyed
     # by the PHYSICAL partition column name (Delta spec, column mapping).
-    by_part: dict[tuple, list[str]] = {}
+    by_part: dict[tuple, list[dict]] = {}
     for add in adds:
         pv = add.get("partitionValues", {}) or {}
         key = tuple(pv.get(phys[c]) for c in partition_cols)
-        by_part.setdefault(key, []).append(os.path.join(path, add["path"]))
+        by_part.setdefault(key, []).append(add)
     parts: list[DataFrame] = []
-    for key, files in sorted(by_part.items()):
-        df = spark.read.schema(data_schema).parquet(*files)
+    for key, group in sorted(by_part.items()):
+        plain = [a for a in group if not a.get("deletionVector")]
+        with_dv = [a for a in group if a.get("deletionVector")]
+        pieces: list[DataFrame] = []
+        if plain:
+            pieces.append(
+                spark.read.schema(data_schema).parquet(
+                    *[os.path.join(path, a["path"]) for a in plain]
+                )
+            )
+        if with_dv:
+            raw = spark.read.schema(data_schema).parquet(
+                *[os.path.join(path, a["path"]) for a in with_dv]
+            )
+            pieces.append(_apply_deletion_vectors(spark, raw, path, with_dv))
+        df = pieces[0]
+        for extra in pieces[1:]:
+            df = df.unionByName(extra)
         if mapped:
             # physical -> logical: top-level via alias, nested struct
             # fields via cast to the logical type (struct casts match

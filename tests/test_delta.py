@@ -252,9 +252,12 @@ def test_multipart_checkpoint(spark, checkpointed_table, tmp_path):
 @pytest.fixture()
 def v3_table(tmp_path) -> str:
     """A table whose protocol demands reader version 3 with
-    deletionVectors — the pure-Python replay must refuse it (Delta spec
-    'Protocol Evolution'; the reference refuses via delta-rs,
-    extensions/deltalake.rs:34-51)."""
+    v2Checkpoint — a feature the pure-Python replay does NOT implement,
+    so it must refuse (Delta spec 'Protocol Evolution'; the reference
+    refuses via delta-rs, extensions/deltalake.rs:34-51). Since r9 the
+    deletionVectors feature itself is SUPPORTED — see
+    tests/test_delta_dv.py — so the refusal fixture uses a feature that
+    stays unsupported."""
     root = tmp_path / "dv_table"
     log_dir = root / "_delta_log"
     log_dir.mkdir(parents=True)
@@ -270,8 +273,8 @@ def v3_table(tmp_path) -> str:
         0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"],
-                          "writerFeatures": ["deletionVectors"]}},
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
             {"metaData": {"id": "00000000-0000-0000-0000-000000000003",
                           "format": {"provider": "parquet", "options": {}},
                           "schemaString": SCHEMA_JSON,
@@ -285,8 +288,8 @@ def v3_table(tmp_path) -> str:
 
 
 def test_unsupported_reader_protocol_raises(spark, v3_table):
-    """deletion vectors / column mapping must refuse, never replay adds
-    as plain parquet scans (deleted rows would silently come back)."""
+    """Unimplemented reader features must refuse, never replay adds as
+    plain parquet scans and silently produce wrong answers."""
     with pytest.raises(DeltaNotAvailable, match="minReaderVersion=3"):
         read_delta(spark, v3_table)
 
@@ -542,8 +545,10 @@ def test_column_mapping_unknown_mode_refuses(spark, tmp_path):
 
 
 def test_dv_carrying_add_raises(spark, tmp_path):
-    """Even without a protocol upgrade in the replayed range, an add
-    action carrying a deletionVector must refuse."""
+    """Since r9 DV-carrying adds are APPLIED, not refused — so a
+    MALFORMED descriptor must fail loudly at read time (here: a junk
+    pathOrInlineDv that can't Z85-decode), never fall back to a plain
+    parquet scan that would silently resurrect deleted rows."""
     root = tmp_path / "dv_add_table"
     log_dir = root / "_delta_log"
     log_dir.mkdir(parents=True)
@@ -567,7 +572,7 @@ def test_dv_carrying_add_raises(spark, tmp_path):
                                         "cardinality": 1}}},
         ],
     )
-    with pytest.raises(DeltaNotAvailable, match="deletionVector"):
+    with pytest.raises(ValueError, match="Z85"):
         read_delta(spark, str(root))
 
 
@@ -604,7 +609,7 @@ def test_time_travel_before_protocol_upgrade_still_reads(spark, tmp_path):
         str(log_dir),
         1,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["deletionVectors"]}}],
+                       "readerFeatures": ["v2Checkpoint"]}}],
     )
     assert read_delta(spark, str(root), version=0).count() == 2
     with pytest.raises(DeltaNotAvailable, match="minReaderVersion=3"):
