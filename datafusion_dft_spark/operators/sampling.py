@@ -17,6 +17,8 @@ per-stratum fraction map.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +60,53 @@ def stratified_sample(df: DataFrame, key: str, strata_col: str, fractions: dict[
         expr = expr.when(F.col(strata_col) == s, int(f * _M))
     thresh = expr.otherwise(F.lit(0))
     return df.filter(hash_bucket(key) < thresh)
+
+
+def inverse_frequency_sample(
+    df: DataFrame, key: str, strata_col: str, temperature: float = 0.5
+) -> DataFrame:
+    """Flatten a skewed stratum distribution (training-mix rebalancing).
+
+    Each stratum ``s`` keeps the deterministic fraction
+    ``(n_min / n_s) ** temperature`` — the rarest stratum survives
+    whole, dominant strata are down-sampled toward it, and
+    ``temperature`` interpolates between no rebalancing (0) and full
+    flattening (1). This is the standard inverse-frequency/temperature
+    mix used to keep high-resource languages from drowning out rare
+    ones.
+
+    Per-stratum thresholds are ``floor(M * (n_min/n_s)**t)`` — with the
+    default ``t=0.5`` that is one IEEE-exact ``sqrt`` per stratum, so
+    any engine recomputing the counts derives bit-identical thresholds
+    (differentially checked in ``queries/sampling.py``). Membership is
+    content-hash based like the other samplers: stable under
+    repartitioning and corpus appends *given the same thresholds*
+    (appends that shift stratum counts shift fractions — by design,
+    the mix tracks the corpus).
+
+    Eagerly runs one tiny aggregation (rows = #strata); the returned
+    plan is a single scan-level predicate, zero exchanges. NULL strata
+    are dropped (they never get a threshold).
+    """
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError(f"temperature must be in [0, 1], got {temperature}")
+    counts = {
+        r["s"]: int(r["n"])
+        for r in df.groupBy(F.col(strata_col).alias("s")).count().withColumnRenamed("count", "n").collect()
+        if r["s"] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    n_min = min(counts.values())
+    expr = F.when(F.lit(False), F.lit(0))
+    for s, n in counts.items():
+        # math.sqrt is IEEE-correctly-rounded (pow(x, 0.5) need not be),
+        # so the default temperature derives thresholds any engine's
+        # sqrt() reproduces bit-identically — the oracle contract.
+        ratio = n_min / n
+        frac = math.sqrt(ratio) if temperature == 0.5 else ratio**temperature
+        expr = expr.when(F.col(strata_col) == s, F.lit(int(_M * frac)))
+    return df.filter(hash_bucket(key) < expr.otherwise(F.lit(0)))
 
 
 def sample_oracle_sql(key: str, fraction: float, table: str = "documents") -> str:

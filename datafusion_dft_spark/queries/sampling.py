@@ -34,14 +34,30 @@ _STRATA = {"en": 0.5, "de": 1.0}
               % {sp._M} < CASE lang WHEN 'en' THEN {int(0.5 * sp._M)}
                                     WHEN 'de' THEN {int(1.0 * sp._M)}
                                     ELSE 0 END
+        UNION ALL
+        SELECT 'mix' AS variant, d.doc_id, d.lang
+        FROM documents d
+        JOIN (
+            SELECT lang,
+                   CAST(floor({sp._M} * sqrt(CAST(min(n) OVER () AS DOUBLE) / n))
+                        AS BIGINT) AS t
+            FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+        ) th USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {sp._M} < th.t
     """,
     tags=("sampling", "pipeline"),
     doc="Deterministic content-hash sampling (md5(key) mod M < p*M): a flat "
-    "20% sample plus a stratified per-language training mix. Membership is "
-    "stable under repartitioning, re-runs, and corpus growth — unlike "
-    "seed-based df.sample — and the predicate is scan-level (zero "
-    "exchanges, asserted in tests/test_sampling.py). "
-    "operators/sampling.py:37-69.",
+    "20% sample, a stratified per-language training mix, and the "
+    "inverse-frequency temperature mix (each language keeps "
+    "sqrt(n_min/n_s) — the standard rebalancing that stops dominant "
+    "languages drowning rare ones; thresholds are floor(M*sqrt(n_min/n)) "
+    "with IEEE-exact sqrt, so DuckDB re-derives them bit-identically from "
+    "its own counts). Membership is stable under repartitioning, re-runs, "
+    "and corpus growth — unlike seed-based df.sample — and every variant "
+    "stays a scan-level predicate (zero exchanges, asserted in "
+    "tests/test_sampling.py; the mix pre-runs one #strata-row count "
+    "aggregation). operators/sampling.py.",
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
@@ -51,4 +67,7 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat = sp.stratified_sample(docs, "doc_id", "lang", _STRATA).select(
         F.lit("strat").alias("variant"), "doc_id", "lang"
     )
-    return det.unionAll(strat)
+    mix = sp.inverse_frequency_sample(docs, "doc_id", "lang").select(
+        F.lit("mix").alias("variant"), "doc_id", "lang"
+    )
+    return det.unionAll(strat).unionAll(mix)

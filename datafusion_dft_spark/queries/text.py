@@ -18,8 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..operators import packing as pk
 from ..operators import text as tx
 from ..registry import query
+
+# Training-sequence length for the packing summary columns of
+# text_token_fingerprints (tokens per chunk).
+_PACK_SEQ_LEN = 256
 
 _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
 
@@ -189,18 +194,41 @@ _PII_SEED_VALUES = ", ".join(
                              '{tx.PII_EMAIL}', '[PII]', 'g'),
                              '{tx.PII_IPV4}', '[PII]', 'g'),
                              '{tx.PII_PHONE}', '[PII]', 'g') <> text
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+               any_value(p.n_straddles) AS n_straddles,
+               any_value(p.max_chunk) AS max_chunk
         FROM docs
+        JOIN (
+            SELECT lang AS plang, source AS psource,
+                   CAST(sum(CASE WHEN (off + greatest(tok, 1) - 1) // {_PACK_SEQ_LEN}
+                            <> off // {_PACK_SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles,
+                   CAST(max((off + greatest(tok, 1) - 1) // {_PACK_SEQ_LEN}) AS BIGINT) AS max_chunk
+            FROM (
+                SELECT lang, source,
+                       sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - tok AS off,
+                       tok
+                FROM (SELECT doc_id, lang, source,
+                             len(string_split(text, ' ')) AS tok FROM docs)
+            ) GROUP BY lang, source
+        ) p ON p.plang = docs.lang AND p.psource = docs.source
         GROUP BY lang, source
     """,
-    tags=("text", "tokens", "fingerprint", "pii"),
+    tags=("text", "tokens", "fingerprint", "pii", "packing"),
     doc="Corpus statistics by lang/source: token counting (whitespace + "
-    "lexer-regex), normalized-content md5 fingerprint distinct counts, and "
+    "lexer-regex), normalized-content md5 fingerprint distinct counts, "
     "the PII census + redaction change-detection (email/IPv4/phone regex "
     "family from operators/text.py, Java-regex ∩ RE2 subset so DuckDB "
     "replays it verbatim) over five seeded PII-bearing docs in their own "
     "(lang, source) group — the corpus itself contains none, which would "
-    "leave the columns vacuously zero.",
+    "leave the columns vacuously zero — and SEQUENCE-PACKING summary "
+    "columns (n_straddles/max_chunk): operators/packing.py assigns every "
+    "doc its global token offset via the two-pass bucketed distributed "
+    "prefix sum (one data shuffle, driver state = n_buckets rows, never "
+    "a single-partition global window), the oracle recomputes the same "
+    "offsets with a plain SQL cumulative window — integer-exact, so the "
+    "distributed decomposition is verified against the single-stream "
+    "definition.",
 )
 def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].select(
@@ -232,7 +260,7 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(tx.redact_pii("text") != F.col("text"), 1).otherwise(0)
         ).alias("red"),
     )
-    return per_fp.groupBy("lang", "source").agg(
+    stats = per_fp.groupBy("lang", "source").agg(
         F.sum("n").alias("n_docs"),
         F.sum("tok").alias("total_tokens"),
         F.round(F.sum("tok") / F.sum("n").cast("double") + 1e-9, 4).alias("avg_tokens"),
@@ -243,4 +271,18 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pp").alias("pii_phones"),
         F.sum("pi").alias("pii_ips"),
         F.sum("red").alias("n_docs_redacted"),
+    )
+    # Sequence-packing summary at the same grain: the distributed
+    # bucketed prefix sum assigns global token offsets; per group we
+    # report how many docs straddle a training-chunk boundary and the
+    # highest chunk the group reaches. The (lang, source)-grain join is
+    # tiny (broadcast).
+    packed = pk.pack_sequences(
+        docs.withColumn("_tok", tx.token_count("text")),
+        "doc_id",
+        "_tok",
+        _PACK_SEQ_LEN,
+    )
+    return stats.join(
+        pk.packing_summary(packed, "lang", "source"), ["lang", "source"]
     )

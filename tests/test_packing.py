@@ -1,0 +1,145 @@
+"""Sequence packing: exact differential vs DuckDB + invariance properties.
+
+pack_sequences is an ordered distributed prefix sum; its contract is
+that the assigned offsets equal the single-stream cumulative sum no
+matter how the input is partitioned or how many prefix buckets the
+two-pass decomposition uses.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_dft_spark.catalog import load_tables
+from datafusion_dft_spark.operators import text as tx
+from datafusion_dft_spark.operators.packing import pack_sequences, packing_summary
+
+SEQ_LEN = 256
+
+
+def _spark_offsets(spark, sf_dir, *, n_buckets=64, repartition=None):
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    if repartition is not None:
+        docs = docs.repartition(repartition)
+    packed = pack_sequences(
+        docs.withColumn("tok", tx.token_count("text")),
+        "doc_id",
+        "tok",
+        SEQ_LEN,
+        n_buckets=n_buckets,
+    )
+    return {
+        r.doc_id: (r.global_offset, r.chunk_first, r.chunk_last)
+        for r in packed.select(
+            "doc_id", "global_offset", "chunk_first", "chunk_last"
+        ).collect()
+    }
+
+
+def _oracle_offsets(duckcon):
+    rows = duckcon.sql(
+        f"""
+        SELECT doc_id,
+               sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok AS off,
+               tok
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents)
+        """
+    ).fetchall()
+    out = {}
+    for doc_id, off, tok in rows:
+        off, tok = int(off), int(tok)
+        out[doc_id] = (
+            off,
+            off // SEQ_LEN,
+            (off + max(tok, 1) - 1) // SEQ_LEN,
+        )
+    return out
+
+
+def test_pack_matches_duckdb_cumsum(spark, sf_dir, duckcon):
+    assert _spark_offsets(spark, sf_dir) == _oracle_offsets(duckcon)
+
+
+def test_pack_invariant_to_partitioning_and_buckets(spark, sf_dir):
+    """The two-pass decomposition is an implementation detail: any
+    bucket count and any input partitioning must give the same stream."""
+    base = _spark_offsets(spark, sf_dir)
+    assert _spark_offsets(spark, sf_dir, n_buckets=3) == base
+    assert _spark_offsets(spark, sf_dir, n_buckets=1) == base
+    assert _spark_offsets(spark, sf_dir, repartition=7) == base
+
+
+def test_pack_small_exact(spark):
+    """Hand-computed stream: doc spanning chunks, exact-fit boundary,
+    zero-token doc."""
+    rows = [(1, 10), (2, 0), (3, 6), (4, 20), (5, 4)]
+    df = spark.createDataFrame(rows, "id long, tok long")
+    got = {
+        r.id: (r.global_offset, r.chunk_first, r.chunk_last)
+        for r in pack_sequences(df, "id", "tok", 8, n_buckets=2).collect()
+    }
+    # stream: [0,10) [10,10) [10,16) [16,36) [36,40), chunks of 8
+    assert got == {
+        1: (0, 0, 1),  # 0..9 straddles chunk 0|1
+        2: (10, 1, 1),  # empty doc sits at its offset's chunk
+        3: (10, 1, 1),  # 10..15 inside chunk 1
+        4: (16, 2, 4),  # 16..35 exact-fit start, spans 2..4
+        5: (36, 4, 4),
+    }
+
+
+def test_pack_empty_and_validation(spark):
+    df = spark.createDataFrame([], "id long, tok long")
+    assert pack_sequences(df, "id", "tok", 8).count() == 0
+    with pytest.raises(ValueError):
+        pack_sequences(df, "id", "tok", 0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "id", "tok", 8, n_buckets=0)
+
+
+def test_pack_single_data_shuffle(spark, sf_dir):
+    """The output plan holds ONE exchange (the bucket window) — the
+    prefix map rides as a literal, never a join."""
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .withColumn("tok", tx.token_count("text"))
+    )
+    packed = pack_sequences(docs, "doc_id", "tok", SEQ_LEN)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_packing_summary(spark, sf_dir, duckcon):
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "lang", "text")
+        .withColumn("tok", tx.token_count("text"))
+    )
+    packed = pack_sequences(docs, "doc_id", "tok", SEQ_LEN)
+    got = {
+        r.lang: (r.n_straddles, r.max_chunk)
+        for r in packing_summary(packed, "lang").collect()
+    }
+    want = {
+        lang: (int(ns), int(mc))
+        for lang, ns, mc in duckcon.sql(
+            f"""
+            WITH p AS (
+                SELECT lang,
+                       sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok AS off,
+                       tok
+                FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS tok
+                      FROM documents)
+            )
+            SELECT lang,
+                   sum(CASE WHEN (off + greatest(tok, 1) - 1) // {SEQ_LEN}
+                            <> off // {SEQ_LEN} THEN 1 ELSE 0 END),
+                   max((off + greatest(tok, 1) - 1) // {SEQ_LEN})
+            FROM p GROUP BY lang
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -61,3 +61,71 @@ def test_sample_predicate_is_scan_level(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     df = sp.deterministic_sample(docs, "doc_id", 0.2)
     assert ex.exchange_count(df) == 0, ex.simple_plan(df)
+
+
+def test_inverse_frequency_matches_duckdb(spark, sf_dir, duckcon):
+    """Thresholds floor(M*sqrt(n_min/n_s)) derive bit-identically in
+    DuckDB from the same counts — full differential on the sampled set."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    got = {
+        r.doc_id
+        for r in sp.inverse_frequency_sample(docs, "doc_id", "lang")
+        .select("doc_id")
+        .collect()
+    }
+    want = {
+        r[0]
+        for r in duckcon.sql(
+            f"""
+            WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            mn AS (SELECT min(n) AS n_min FROM counts),
+            th AS (SELECT lang,
+                          CAST(floor({sp._M} * sqrt(CAST(n_min AS DOUBLE) / n)) AS BIGINT) AS t
+                   FROM counts, mn)
+            SELECT d.doc_id FROM documents d JOIN th USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % {sp._M} < th.t
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_inverse_frequency_flattens(spark, sf_dir):
+    """The rarest stratum survives whole; every kept stratum share moves
+    toward sqrt-flat; temperature=0 keeps everything."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    before = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    out = sp.inverse_frequency_sample(docs, "doc_id", "lang")
+    after = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    rare = min(before, key=before.get)
+    assert after[rare] == before[rare]  # fraction exactly 1.0
+    # sampled sizes target n_s * sqrt(n_min/n_s) = sqrt(n_min * n_s):
+    # dominant strata shrink, ordering by size is preserved but compressed
+    for lang, n in before.items():
+        import math
+
+        target = math.sqrt(before[rare] * n)
+        assert after.get(lang, 0) <= n
+        assert abs(after.get(lang, 0) - target) <= max(25, 0.25 * target)
+    kept_all = sp.inverse_frequency_sample(docs, "doc_id", "lang", temperature=0.0)
+    assert kept_all.count() == docs.count()
+
+
+def test_inverse_frequency_scan_level(spark, sf_dir):
+    """The mixture predicate is still scan-level: zero exchanges."""
+    from datafusion_dft_spark.plans import explain as ex
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = sp.inverse_frequency_sample(docs, "doc_id", "lang")
+    assert ex.exchange_count(df) == 0, ex.simple_plan(df)
+
+
+def test_inverse_frequency_validation(spark):
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sp.inverse_frequency_sample(docs, "doc_id", "lang", temperature=1.5)
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    assert sp.inverse_frequency_sample(empty, "doc_id", "lang").count() == 0
