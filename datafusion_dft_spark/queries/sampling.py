@@ -13,9 +13,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..operators import sampling as sp
+from ..operators.ordering import deterministic_shuffle
 from ..registry import query
 
 _FRACTION = 0.2
+# Seed for the reproducible-global-shuffle variant ('shuf').
+_SHUFFLE_SEED = 7
 # Per-language training-mix fractions: keep all German, half English,
 # drop everything else (absent strata drop — explicit beats implicit
 # when the output feeds a training mix).
@@ -25,17 +28,19 @@ _STRATA = {"en": 0.5, "de": 1.0}
 @query(
     "sampling_suite",
     oracle=f"""
-        SELECT 'det' AS variant, doc_id, lang FROM documents
+        SELECT 'det' AS variant, doc_id, lang, NULL::BIGINT AS shuffle_pos
+        FROM documents
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
               % {sp._M} < {int(_FRACTION * sp._M)}
         UNION ALL
-        SELECT 'strat' AS variant, doc_id, lang FROM documents
+        SELECT 'strat' AS variant, doc_id, lang, NULL::BIGINT AS shuffle_pos
+        FROM documents
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
               % {sp._M} < CASE lang WHEN 'en' THEN {int(0.5 * sp._M)}
                                     WHEN 'de' THEN {int(1.0 * sp._M)}
                                     ELSE 0 END
         UNION ALL
-        SELECT 'mix' AS variant, d.doc_id, d.lang
+        SELECT 'mix' AS variant, d.doc_id, d.lang, NULL::BIGINT AS shuffle_pos
         FROM documents d
         JOIN (
             SELECT lang,
@@ -45,6 +50,12 @@ _STRATA = {"en": 0.5, "de": 1.0}
         ) th USING (lang)
         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
               % {sp._M} < th.t
+        UNION ALL
+        SELECT 'shuf' AS variant, doc_id, lang,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '#{_SHUFFLE_SEED}'),
+                            doc_id) - 1 AS BIGINT) AS shuffle_pos
+        FROM documents
     """,
     tags=("sampling", "pipeline"),
     doc="Deterministic content-hash sampling (md5(key) mod M < p*M): a flat "
@@ -54,20 +65,30 @@ _STRATA = {"en": 0.5, "de": 1.0}
     "languages drowning rare ones; thresholds are floor(M*sqrt(n_min/n)) "
     "with IEEE-exact sqrt, so DuckDB re-derives them bit-identically from "
     "its own counts). Membership is stable under repartitioning, re-runs, "
-    "and corpus growth — unlike seed-based df.sample — and every variant "
-    "stays a scan-level predicate (zero exchanges, asserted in "
+    "and corpus growth — unlike seed-based df.sample — and every sampling "
+    "variant stays a scan-level predicate (zero exchanges, asserted in "
     "tests/test_sampling.py; the mix pre-runs one #strata-row count "
-    "aggregation). operators/sampling.py.",
+    "aggregation). The fourth variant is the REPRODUCIBLE GLOBAL SHUFFLE "
+    "(training order): every row's 0-based position in the seeded "
+    "content-hash order, computed as a two-pass distributed rank (256 "
+    "order-aligned md5 buckets, prefix counts to the driver, one "
+    "shuffle — never a single-task global row_number; "
+    "operators/ordering.py), differentially checked against the plain "
+    "SQL row_number definition. operators/sampling.py.",
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
+    nopos = F.lit(None).cast("long").alias("shuffle_pos")
     det = sp.deterministic_sample(docs, "doc_id", _FRACTION).select(
-        F.lit("det").alias("variant"), "doc_id", "lang"
+        F.lit("det").alias("variant"), "doc_id", "lang", nopos
     )
     strat = sp.stratified_sample(docs, "doc_id", "lang", _STRATA).select(
-        F.lit("strat").alias("variant"), "doc_id", "lang"
+        F.lit("strat").alias("variant"), "doc_id", "lang", nopos
     )
     mix = sp.inverse_frequency_sample(docs, "doc_id", "lang").select(
-        F.lit("mix").alias("variant"), "doc_id", "lang"
+        F.lit("mix").alias("variant"), "doc_id", "lang", nopos
     )
-    return det.unionAll(strat).unionAll(mix)
+    shuf = deterministic_shuffle(docs, "doc_id", seed=_SHUFFLE_SEED).select(
+        F.lit("shuf").alias("variant"), "doc_id", "lang", "shuffle_pos"
+    )
+    return det.unionAll(strat).unionAll(mix).unionAll(shuf)

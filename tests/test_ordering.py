@@ -1,0 +1,89 @@
+"""Deterministic shuffle: exact differential vs DuckDB + properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_dft_spark.catalog import load_tables
+from datafusion_dft_spark.operators.ordering import (
+    deterministic_shuffle,
+    shuffle_oracle_sql,
+)
+
+
+def _positions(spark, sf_dir, seed=0, repartition=None):
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    if repartition is not None:
+        docs = docs.repartition(repartition)
+    return {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(docs, "doc_id", seed=seed).collect()
+    }
+
+
+def test_shuffle_matches_duckdb(spark, sf_dir, duckcon):
+    got = _positions(spark, sf_dir, seed=42)
+    want = {
+        r[0]: r[1]
+        for r in duckcon.sql(
+            "SELECT doc_id, shuffle_pos FROM ("
+            + shuffle_oracle_sql("doc_id", 42)
+            + ")"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_shuffle_is_permutation_and_partition_invariant(spark, sf_dir):
+    base = _positions(spark, sf_dir)
+    n = len(base)
+    assert sorted(base.values()) == list(range(n))  # bijection onto 0..n-1
+    assert _positions(spark, sf_dir, repartition=7) == base  # reproducible
+
+
+def test_shuffle_seed_changes_order(spark, sf_dir):
+    a = _positions(spark, sf_dir, seed=0)
+    b = _positions(spark, sf_dir, seed=1)
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values())  # same position set
+
+
+def test_shuffle_single_data_shuffle(spark, sf_dir):
+    """One exchange (the 256-bucket window), no join: the prefix map
+    rides as a literal."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    out = deterministic_shuffle(docs, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_shuffle_empty(spark):
+    empty = spark.createDataFrame([], "doc_id long")
+    assert deterministic_shuffle(empty, "doc_id").count() == 0
+
+
+def test_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Shards replay the exact seeded order; every shard is full-sized
+    except the last; reads are plain partition-pruned parquet."""
+    from datafusion_dft_spark.operators.ordering import write_training_shards
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    n_shards = write_training_shards(docs, out, "doc_id", seed=3, shard_rows=64)
+    n = docs.count()
+    assert n_shards == -(-n // 64)
+
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # per-shard: correct size and the exact positions of its window
+    sizes = {r.shard: r["count"] for r in back.groupBy("shard").count().collect()}
+    for k in range(n_shards):
+        assert sizes[k] == (64 if k < n_shards - 1 else n - 64 * (n_shards - 1))
+    # order replay equals a fresh shuffle of the same seed
+    want = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(docs, "doc_id", seed=3).collect()
+    }
+    got = {r.doc_id: r.shuffle_pos for r in back.collect()}
+    assert got == want
