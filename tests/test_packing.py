@@ -143,3 +143,43 @@ def test_packing_summary(spark, sf_dir, duckcon):
         ).fetchall()
     }
     assert got == want
+
+
+def test_pack_property_random_streams(spark):
+    """Property: for arbitrary (id, tok) sets — sparse ids, zero-token
+    docs, any bucket count — offsets equal the pure-Python cumsum over
+    id order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.dictionaries(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.integers(min_value=0, max_value=50),
+            min_size=1,
+            max_size=40,
+        ),
+        n_buckets=st.integers(min_value=1, max_value=9),
+        seq_len=st.integers(min_value=1, max_value=17),
+    )
+    def check(rows, n_buckets, seq_len):
+        df = spark.createDataFrame(sorted(rows.items()), "id long, tok long")
+        got = {
+            r.id: (r.global_offset, r.chunk_first, r.chunk_last)
+            for r in pack_sequences(
+                df.repartition(3), "id", "tok", seq_len, n_buckets=n_buckets
+            ).collect()
+        }
+        want, off = {}, 0
+        for i in sorted(rows):
+            tok = rows[i]
+            want[i] = (off, off // seq_len, (off + max(tok, 1) - 1) // seq_len)
+            off += tok
+        assert got == want
+
+    check()
