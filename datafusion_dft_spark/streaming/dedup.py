@@ -142,6 +142,44 @@ def dedup_batch_against_corpus(
     return remaining.join(non_reps, id_col, "left_anti")
 
 
+def export_training_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    *,
+    seed: int = 0,
+    shard_rows: int = 10000,
+) -> dict:
+    """Close the epoch: deduped stream corpus → shuffled training shards.
+
+    Reads everything ``streaming_dedup_sink`` accepted, counts tokens,
+    and exports via ``operators/ordering.py::write_training_shards`` —
+    the deterministic seeded order, so the training run replays
+    identically from any engine and resumes at shard boundaries.
+    Returns ``{"n_docs", "n_shards", "total_tokens"}``.
+    """
+    from ..operators.ordering import write_training_shards
+    from ..operators.text import token_count
+
+    corpus = _read_corpus(spark, corpus_dir)
+    if corpus is None:
+        return {"n_docs": 0, "n_shards": 0, "total_tokens": 0}
+    toked = corpus.withColumn("n_tokens", token_count(text_col))
+    n_shards = write_training_shards(
+        toked, out_dir, id_col, seed=seed, shard_rows=shard_rows
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    return {
+        "n_docs": int(stats["n"]),
+        "n_shards": n_shards,
+        "total_tokens": int(stats["t"] or 0),
+    }
+
+
 def streaming_dedup_sink(
     stream_df: DataFrame,
     corpus_dir: str,

@@ -165,3 +165,46 @@ def test_greedy_policy_documented_shape(spark):
     # b_mid shares half its shingles with the corpus doc -> dropped iff
     # est jaccard >= 0.5; a is unrelated -> always survives
     assert 1 in got
+
+
+def test_export_training_corpus(spark, tmp_path):
+    """Epoch close: the stream-built corpus exports as deterministic
+    shuffled shards whose replay order equals a fresh shuffle of the
+    same corpus; empty corpus is a zero-stat noop."""
+    from datafusion_dft_spark.operators.ordering import deterministic_shuffle
+    from datafusion_dft_spark.streaming.dedup import export_training_corpus
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    shards = str(tmp_path / "shards")
+    os.makedirs(in_dir)
+    _write_batch(spark, in_dir, BATCH1, "b1")
+    _run_available(spark, in_dir, corpus, ckpt)
+    _write_batch(spark, in_dir, BATCH2, "b2")
+    _run_available(spark, in_dir, corpus, ckpt)
+
+    stats = export_training_corpus(
+        spark, corpus, shards, "doc_id", "body", seed=11, shard_rows=3
+    )
+    assert stats["n_docs"] == 4  # the deduped corpus [1, 3, 6, 8]
+    assert stats["n_shards"] == 2
+    assert stats["total_tokens"] > 0
+
+    back = spark.read.parquet(shards)
+    assert sorted(r.doc_id for r in back.collect()) == [1, 3, 6, 8]
+    want = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(
+            spark.read.parquet(os.path.join(corpus, "batch-*")).select("doc_id"),
+            "doc_id",
+            seed=11,
+        ).collect()
+    }
+    got = {r.doc_id: r.shuffle_pos for r in back.collect()}
+    assert got == want
+
+    empty = export_training_corpus(
+        spark, str(tmp_path / "nope"), str(tmp_path / "s2"), "doc_id", "body"
+    )
+    assert empty == {"n_docs": 0, "n_shards": 0, "total_tokens": 0}
