@@ -283,6 +283,10 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_tok",
         _PACK_SEQ_LEN,
     )
+    # explicit broadcast: both sides are post-aggregate plans whose size
+    # Catalyst can't estimate (the seed union hides the parquet stats),
+    # and the summary side is provably tiny (#lang × #source rows)
     return stats.join(
-        pk.packing_summary(packed, "lang", "source"), ["lang", "source"]
+        F.broadcast(pk.packing_summary(packed, "lang", "source")),
+        ["lang", "source"],
     )

@@ -271,11 +271,25 @@ def test_window_topk_no_extra_shuffle(spark, sf_dir):
 
 
 def test_sampling_suite_is_scan_level(spark, sf_dir):
-    """Both sampling variants must stay filters over the scan — zero
-    exchanges anywhere in the plan (union of two filtered scans)."""
-    plan = ex.formatted_plan(_build("sampling_suite", spark, sf_dir))
-    assert "Exchange" not in plan, plan
+    """The three sampling variants stay filters over the scan; the
+    reproducible-shuffle variant adds EXACTLY ONE exchange (its
+    256-bucket distributed-rank window) and no join — the prefix map
+    rides as a literal."""
+    df = _build("sampling_suite", spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    assert ex.exchange_count(df) == 1, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_text_fingerprints_packing_join_broadcasts(spark, sf_dir):
+    """The packing-summary join back onto the (lang, source) stats is
+    provably tiny and must broadcast — both sides are post-aggregate
+    plans Catalyst can't size, so the hint is explicit in the query."""
+    df = _build("text_token_fingerprints", spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    assert ex.uses_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_delta_read_scans_plain_parquet(spark, tmp_path):
