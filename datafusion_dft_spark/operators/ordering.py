@@ -62,10 +62,24 @@ def deterministic_shuffle(
     h = shuffle_hash(key, seed)
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
 
-    counts = {
-        int(r["b"]): int(r["n"])
-        for r in df.groupBy(bucket.alias("b")).count().withColumnRenamed("count", "n").collect()
-    }
+    # Duplicate keys would make the tie-break nondeterministic (two
+    # rows with identical (hash, key) order arbitrarily) — guard inside
+    # the counts job we already run; a duplicate key always shares a
+    # hash and therefore a bucket.
+    rows = df.groupBy(bucket.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(key)).alias("d")
+    ).collect()
+    dup_buckets = [
+        "NULL" if r["b"] is None else int(r["b"])
+        for r in rows
+        if r["n"] != r["d"]
+    ]
+    if dup_buckets:
+        raise ValueError(
+            f"deterministic_shuffle requires unique, non-NULL {key!r} values; "
+            f"duplicate/NULL values found in bucket(s) {dup_buckets[:5]}"
+        )
+    counts = {int(r["b"]): int(r["n"]) for r in rows}
     prefix: dict[int, int] = {}
     acc = 0
     for b in sorted(counts):

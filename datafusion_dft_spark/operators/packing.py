@@ -98,10 +98,27 @@ def pack_sequences(
         f"(cast({id_col} as bigint) - {lo}L) div {width}L"
     )
 
-    totals = {
-        int(r["b"]): int(r["t"])
-        for r in df.groupBy(bucket.alias("b")).agg(F.sum(tok).alias("t")).collect()
-    }
+    # Duplicate ids would silently corrupt offsets (the cumsum window's
+    # RANGE frame treats tied ids as peers, so both rows absorb both
+    # token counts) — guard inside the totals job we already run. A
+    # duplicate id always lands in one bucket, so per-bucket distinct
+    # counts see every collision.
+    rows = df.groupBy(bucket.alias("b")).agg(
+        F.sum(tok).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(idc).alias("d"),
+    ).collect()
+    dup_buckets = [
+        "NULL" if r["b"] is None else int(r["b"])
+        for r in rows
+        if r["n"] != r["d"]
+    ]
+    if dup_buckets:
+        raise ValueError(
+            f"pack_sequences requires unique, non-NULL {id_col!r} values; duplicates "
+            f"found in bucket(s) {dup_buckets[:5]}"
+        )
+    totals = {int(r["b"]): int(r["t"]) for r in rows}
     prefix: dict[int, int] = {}
     acc = 0
     for b in sorted(totals):

@@ -99,6 +99,35 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(spark, sf_dir, near_dup="lsh")
 
 
+def clean_corpus_docs(
+    spark: SparkSession, sf_dir: str, near_dup: str = "lsh"
+) -> DataFrame:
+    """The surviving documents themselves (doc_id, lang, n_words, q) —
+    the set `clean_corpus` aggregates, exposed for downstream stages
+    (training-shard export, manual audits)."""
+    kept, _ = _kept_and_contam(spark, sf_dir, near_dup)
+    return kept
+
+
+def export_clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    near_dup: str = "lsh",
+    seed: int = 0,
+    shard_rows: int = 10000,
+) -> int:
+    """Full pipeline to disk: decontaminate + quality-gate + near-dup
+    drop, then export the survivors as deterministic shuffled training
+    shards (operators/ordering.py::write_training_shards). Returns the
+    shard count."""
+    from ..operators.ordering import write_training_shards
+
+    kept = clean_corpus_docs(spark, sf_dir, near_dup)
+    return write_training_shards(kept, out_dir, "doc_id", seed=seed, shard_rows=shard_rows)
+
+
 def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> DataFrame:
     """Composed cleaning pipeline, near-dup stage parameterized.
 
@@ -114,6 +143,11 @@ def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> Dat
     md5-stride split stands in for a benchmark corpus, and any train
     doc sharing a distinct 8-gram with it is dropped and counted.
     """
+    return _finish_stats(*_kept_and_contam(spark, sf_dir, near_dup))
+
+
+def _kept_and_contam(spark: SparkSession, sf_dir: str, near_dup: str = "lsh"):
+    """Shared pipeline core: (surviving docs, per-lang contamination)."""
     from ..session import track_cache
 
     all_docs = load_tables(spark, sf_dir)["documents"]
@@ -158,6 +192,10 @@ def clean_corpus(spark: SparkSession, sf_dir: str, near_dup: str = "lsh") -> Dat
         # hint (see operators/decontam.decontaminate); AQE decides.
         .join(contam.select("doc_id"), "doc_id", "left_anti")
     )
+    return kept, contam_by_lang
+
+
+def _finish_stats(kept: DataFrame, contam_by_lang: DataFrame) -> DataFrame:
     stats = kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_tokens"),

@@ -87,3 +87,46 @@ def test_training_shards_roundtrip(spark, sf_dir, tmp_path):
     }
     got = {r.doc_id: r.shuffle_pos for r in back.collect()}
     assert got == want
+
+
+def test_shuffle_rejects_duplicate_and_null_keys(spark):
+    import pytest
+
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="unique, non-NULL"):
+        deterministic_shuffle(dup, "doc_id")
+    withnull = spark.createDataFrame([(None,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="unique, non-NULL"):
+        deterministic_shuffle(withnull, "doc_id")
+
+
+def test_export_clean_corpus_end_to_end(spark, sf_dir):
+    """Full pipeline to disk: the exported shard set IS the cleaned
+    corpus (decontam + quality + near-dup) in the seeded train order."""
+    import tempfile
+
+    from datafusion_dft_spark.queries.pipeline import (
+        clean_corpus_docs,
+        export_clean_corpus,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/shards"
+        n_shards = export_clean_corpus(
+            spark, sf_dir, out, seed=5, shard_rows=100
+        )
+        back = spark.read.parquet(out)
+        kept_ids = {
+            r.doc_id for r in clean_corpus_docs(spark, sf_dir).select("doc_id").collect()
+        }
+        got_ids = {r.doc_id for r in back.select("doc_id").collect()}
+        assert got_ids == kept_ids
+        assert n_shards == -(-len(kept_ids) // 100)
+        want = {
+            r.doc_id: r.shuffle_pos
+            for r in deterministic_shuffle(
+                clean_corpus_docs(spark, sf_dir).select("doc_id"), "doc_id", seed=5
+            ).collect()
+        }
+        got = {r.doc_id: r.shuffle_pos for r in back.collect()}
+        assert got == want

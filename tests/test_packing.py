@@ -183,3 +183,12 @@ def test_pack_property_random_streams(spark):
         assert got == want
 
     check()
+
+
+def test_pack_rejects_duplicate_and_null_ids(spark):
+    dup = spark.createDataFrame([(1, 5), (1, 7), (2, 3)], "id long, tok long")
+    with pytest.raises(ValueError, match="unique, non-NULL"):
+        pack_sequences(dup, "id", "tok", 8)
+    withnull = spark.createDataFrame([(None, 5), (2, 3)], "id long, tok long")
+    with pytest.raises(ValueError, match="unique, non-NULL"):
+        pack_sequences(withnull, "id", "tok", 8)
