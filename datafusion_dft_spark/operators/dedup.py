@@ -106,6 +106,48 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def paragraph_duplicates(
+    df: DataFrame, id_col: str, text_col: str, block_words: int = 10
+) -> DataFrame:
+    """Paragraph-level exact dedup (the C4/CCNet sub-document trick).
+
+    Documents are split into fixed ``block_words``-word paragraphs (the
+    synthetic corpus has no newline structure; real corpora would split
+    on '\\n\\n' — same machinery either way) and each DISTINCT paragraph
+    gets one decision row: ``(content_hash, keep_id, n_copies)`` with
+    ``keep_id`` the minimum doc id containing it and ``n_copies`` its
+    total occurrence count corpus-wide. Downstream, a doc drops every
+    paragraph whose ``keep_id`` is not itself — removing boilerplate
+    repeated across documents that document-level dedup can't see.
+
+    One explode + one hash aggregation: both map-side-combining, one
+    shuffle, no joins — the paragraph stream never materializes more
+    than (corpus words / block_words) rows. Engine-portable (md5),
+    differentially checked in the ``dedup_exact`` driver row.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_blocks = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
+    return (
+        df.select(F.col(id_col), words.alias("_w"), n_blocks.alias("_nb"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_blk"),
+            F.col("_w"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("_w"), F.col("_blk") * block_words + 1, block_words),
+                    " ",
+                )
+            ).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
 ) -> DataFrame:

@@ -22,18 +22,44 @@ from ..registry import query
 @query(
     "dedup_exact",
     oracle="""
-        SELECT content_hash, keep_id, n_copies FROM (
+        SELECT 'doc' AS variant, content_hash, keep_id, n_copies FROM (
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         ) d
+        UNION ALL
+        SELECT 'para' AS variant, content_hash, keep_id, n_copies FROM (
+            SELECT md5(array_to_string(words[(blk * 10 + 1):(blk * 10 + 10)], ' '))
+                       AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM (
+                SELECT doc_id, words,
+                       unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS blk
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+            )
+            GROUP BY 1
+        ) p
     """,
     tags=("dedup",),
-    doc="Exact dedup: one representative (min doc_id) per distinct content hash.",
+    doc="Exact dedup at BOTH granularities, variant-tagged: 'doc' = one "
+    "representative (min doc_id) per distinct content hash; 'para' = the "
+    "C4/CCNet sub-document trick — each distinct 10-word paragraph block "
+    "gets a (hash, keep_id=min owner, n_copies) decision row, so "
+    "boilerplate repeated ACROSS documents (invisible to doc-level dedup) "
+    "is droppable per-paragraph. One explode + one map-side-combining "
+    "hash agg, one shuffle, no joins (operators/dedup.py::"
+    "paragraph_duplicates).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return dd.exact_duplicates(docs, "doc_id", "text")
+    doc = dd.exact_duplicates(docs, "doc_id", "text").select(
+        F.lit("doc").alias("variant"), "content_hash", "keep_id", "n_copies"
+    )
+    para = dd.paragraph_duplicates(docs, "doc_id", "text", block_words=10).select(
+        F.lit("para").alias("variant"), "content_hash", "keep_id", "n_copies"
+    )
+    return doc.unionAll(para)
 
 
 @query(

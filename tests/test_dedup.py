@@ -262,3 +262,34 @@ def test_minhash_incremental_overlap_guard_can_be_skipped(spark, sf_dir):
         docs, docs, "doc_id", "text", check_id_overlap=False
     )
     assert df.columns == ["doc1", "doc2", "est_jaccard"]
+
+
+def test_paragraph_duplicates_hand_built(spark):
+    """Boilerplate shared ACROSS distinct documents is visible at the
+    paragraph grain (invisible to doc-level dedup)."""
+    from datafusion_dft_spark.operators.dedup import (
+        exact_duplicates,
+        paragraph_duplicates,
+    )
+
+    boiler = "one two three four five"  # one 5-word block
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " zeta eta theta iota kappa"),
+        (3, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc level: all three docs distinct
+    assert exact_duplicates(df, "doc_id", "text").count() == 3
+    got = {
+        r.content_hash: (r.keep_id, r.n_copies)
+        for r in paragraph_duplicates(df, "doc_id", "text", block_words=5).collect()
+    }
+    import hashlib
+
+    h = hashlib.md5(boiler.encode()).hexdigest()
+    # the shared block: owned by doc 1, seen twice
+    assert got[h] == (1, 2)
+    # 5 distinct blocks total: boiler, two tails, doc3
+    assert len(got) == 4
+    assert all(n == 1 for k, (_, n) in got.items() if k != h)

@@ -130,3 +130,32 @@ def test_export_clean_corpus_end_to_end(spark, sf_dir):
         }
         got = {r.doc_id: r.shuffle_pos for r in back.collect()}
         assert got == want
+
+
+def test_shards_replay_in_duckdb(spark, sf_dir, tmp_path, duckcon):
+    """Cross-engine replay: DuckDB reads the hive shard directories and
+    reproduces the exact training order from (shard, shuffle_pos) — the
+    portability claim behind write_training_shards."""
+    from datafusion_dft_spark.operators.ordering import write_training_shards
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, "doc_id", seed=9, shard_rows=128)
+
+    replay = [
+        r[0]
+        for r in duckcon.sql(
+            f"""
+            SELECT doc_id
+            FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1)
+            ORDER BY shard, shuffle_pos
+            """
+        ).fetchall()
+    ]
+    want = [
+        r[0]
+        for r in duckcon.sql(
+            "SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR) || '#9'), doc_id"
+        ).fetchall()
+    ]
+    assert replay == want
