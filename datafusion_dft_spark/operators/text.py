@@ -207,6 +207,34 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+?\d[\d() -]{6,}\d"
 
 
+def top_ngrams(
+    df, text_col: str, n: int = 1, k: int = 100, min_count: int = 1
+):
+    """Corpus-wide vocabulary building: the k most frequent word n-grams.
+
+    Returns (gram, count, rank) with rank 1..k by descending count,
+    ties broken lexicographically (deterministic, engine-portable —
+    differential vs DuckDB in tests/test_text_quality.py). The plan is
+    one explode + one map-side-combining hash aggregation + a single-
+    partition top-k sort over the SURVIVING grams only: ``min_count``
+    prunes the long tail before the global sort, which is what keeps
+    the final ordering step small at 100 TB (set it so surviving grams
+    ~ 10^6, e.g. 100+ on a web corpus). rank via one window over the
+    top-k rows only (take k first, rank k rows).
+    """
+    from pyspark.sql.window import Window
+
+    grams = df.select(F.explode(ngrams(text_col, n)).alias("gram"))
+    counts = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    topk = counts.orderBy(F.col("count").desc(), F.col("gram")).limit(k)
+    w = Window.orderBy(F.col("count").desc(), F.col("gram"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def pii_counts(text: Column | str) -> Column:
     """struct(n_emails, n_phones, n_ips) — per-document PII census.
 

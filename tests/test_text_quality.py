@@ -158,3 +158,47 @@ def test_repetition_filters_consecutive_spaces(spark):
     }
     want = {i: _rep_ref(t, 3) for i, t in rows}
     assert got == want
+
+
+def test_top_ngrams_matches_duckdb(spark, sf_dir, duckcon):
+    """Vocabulary building: top-k frequent unigrams and bigrams match
+    DuckDB's exhaustive count with identical (count desc, gram) ties."""
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators.text import top_ngrams
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    for n, join_expr in ((1, "w"), (2, "w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i)")):
+        got = [
+            (r.gram, r["count"], r.rank)
+            for r in top_ngrams(docs, "text", n=n, k=20).orderBy("rank").collect()
+        ]
+        want = [
+            (g, int(c), int(rk))
+            for g, c, rk in duckcon.sql(
+                f"""
+                WITH words AS (
+                    SELECT doc_id, i, words[i] AS w
+                    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                         unnest(range(1, len(words) + 1)) AS t(i)
+                ), grams AS (
+                    SELECT {join_expr} AS gram FROM words
+                ), counts AS (
+                    SELECT gram, count(*) AS c FROM grams
+                    WHERE gram IS NOT NULL GROUP BY gram
+                )
+                SELECT gram, c, row_number() OVER (ORDER BY c DESC, gram) AS rk
+                FROM counts ORDER BY c DESC, gram LIMIT 20
+                """
+            ).fetchall()
+        ]
+        assert got == want, f"n={n}"
+
+
+def test_top_ngrams_min_count_prunes(spark):
+    from datafusion_dft_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    got = {r.gram: r["count"] for r in top_ngrams(df, "text", n=1, k=10, min_count=2).collect()}
+    assert got == {"a": 3, "b": 2}
