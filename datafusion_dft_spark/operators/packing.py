@@ -41,11 +41,11 @@ family).
 
 from __future__ import annotations
 
-from itertools import chain
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from ._prefix import bucket_prefix
 
 
 def pack_sequences(
@@ -100,33 +100,10 @@ def pack_sequences(
 
     # Duplicate ids would silently corrupt offsets (the cumsum window's
     # RANGE frame treats tied ids as peers, so both rows absorb both
-    # token counts) — guard inside the totals job we already run. A
-    # duplicate id always lands in one bucket, so per-bucket distinct
-    # counts see every collision.
-    rows = df.groupBy(bucket.alias("b")).agg(
-        F.sum(tok).alias("t"),
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(idc).alias("d"),
-    ).collect()
-    dup_buckets = [
-        "NULL" if r["b"] is None else int(r["b"])
-        for r in rows
-        if r["n"] != r["d"]
-    ]
-    if dup_buckets:
-        raise ValueError(
-            f"pack_sequences requires unique, non-NULL {id_col!r} values; duplicates "
-            f"found in bucket(s) {dup_buckets[:5]}"
-        )
-    totals = {int(r["b"]): int(r["t"]) for r in rows}
-    prefix: dict[int, int] = {}
-    acc = 0
-    for b in sorted(totals):
-        prefix[b] = acc
-        acc += totals[b]
-    # literal bucket -> exclusive-prefix map; bounded by n_buckets entries
-    pmap = F.create_map(
-        *chain.from_iterable((F.lit(b), F.lit(off)) for b, off in prefix.items())
+    # token counts) — the shared prefix pass guards inside the totals
+    # job we already run (see operators/_prefix.py).
+    pmap, _ = bucket_prefix(
+        df, bucket, idc, id_col, "pack_sequences", value=tok
     )
 
     w = Window.partitionBy("_pack_bucket").orderBy(idc)

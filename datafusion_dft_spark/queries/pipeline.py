@@ -123,8 +123,15 @@ def export_clean_corpus(
     shards (operators/ordering.py::write_training_shards). Returns the
     shard count."""
     from ..operators.ordering import write_training_shards
+    from ..session import track_cache
 
-    kept = clean_corpus_docs(spark, sf_dir, near_dup)
+    # Cache the survivors: the shard writer executes its input twice
+    # (guarded prefix pass + write), and the cleaning pipeline upstream
+    # (decontamination gram joins + LSH near-dup) is far too expensive
+    # to run twice — and must not, or a nondeterministic upstream could
+    # hand the two passes different sets. (At real scale, persist the
+    # cleaned corpus to storage between the stages instead.)
+    kept = track_cache(clean_corpus_docs(spark, sf_dir, near_dup).cache())
     return write_training_shards(kept, out_dir, "doc_id", seed=seed, shard_rows=shard_rows)
 
 

@@ -159,13 +159,17 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic PII-bearing seed docs (the corpus itself contains no
 # PII): both engines union the SAME rows under a dedicated group so the
 # census/redaction columns are non-vacuous. The oracle VALUES are
-# generated from this list, so the two sides cannot drift.
+# generated from this list, so the two sides cannot drift. NEGATIVE ids
+# are provably outside every generator's doc_id domain (0..N-1), so the
+# union can never collide with a real doc at any scale factor — a
+# positive constant (the old 9000000 block) would duplicate generated
+# ids at sf >= 180 and trip pack_sequences' uniqueness guard.
 PII_SEED_ROWS = [
-    (9000000, "reach me at alice@example.com or 192.168.0.1 thanks", "xx", "seeded_pii"),
-    (9000001, "call +1 (555) 010-4477 or mail bob.smith+spam@mail.example.org now", "xx", "seeded_pii"),
-    (9000002, "no pii here just plain words", "xx", "seeded_pii"),
-    (9000003, "ips 10.0.0.7 and 172.16.254.3 email c@d.io", "xx", "seeded_pii"),
-    (9000004, "phones 555 010 9999 and 555-010-9998", "xx", "seeded_pii"),
+    (-9000001, "reach me at alice@example.com or 192.168.0.1 thanks", "xx", "seeded_pii"),
+    (-9000002, "call +1 (555) 010-4477 or mail bob.smith+spam@mail.example.org now", "xx", "seeded_pii"),
+    (-9000003, "no pii here just plain words", "xx", "seeded_pii"),
+    (-9000004, "ips 10.0.0.7 and 172.16.254.3 email c@d.io", "xx", "seeded_pii"),
+    (-9000005, "phones 555 010 9999 and 555-010-9998", "xx", "seeded_pii"),
 ]
 _PII_SEED_VALUES = ", ".join(
     f"({i}, '{t}', '{lg}', '{s}')" for i, t, lg, s in PII_SEED_ROWS

@@ -290,6 +290,6 @@ def test_paragraph_duplicates_hand_built(spark):
     h = hashlib.md5(boiler.encode()).hexdigest()
     # the shared block: owned by doc 1, seen twice
     assert got[h] == (1, 2)
-    # 5 distinct blocks total: boiler, two tails, doc3
+    # 4 distinct blocks (5 occurrences): boiler, two tails, doc3
     assert len(got) == 4
     assert all(n == 1 for k, (_, n) in got.items() if k != h)
