@@ -159,3 +159,22 @@ def test_shards_replay_in_duckdb(spark, sf_dir, tmp_path, duckcon):
         ).fetchall()
     ]
     assert replay == want
+
+
+def test_shuffle_bucket_hex_invariant(spark, sf_dir):
+    """Positions are bucket-count-invariant: 16, 256, and 4096 buckets
+    produce the identical permutation (the decomposition is an
+    implementation detail, like pack_sequences' n_buckets)."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    base = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(docs, "doc_id", seed=4, bucket_hex=2).collect()
+    }
+    for h in (1, 3):
+        got = {
+            r.doc_id: r.shuffle_pos
+            for r in deterministic_shuffle(
+                docs, "doc_id", seed=4, bucket_hex=h
+            ).collect()
+        }
+        assert got == base, f"bucket_hex={h}"
