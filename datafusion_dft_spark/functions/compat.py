@@ -213,6 +213,29 @@ def _rewrite_epoch_extract(sql: str) -> str:
         pos = 0  # offsets shifted; rescan
 
 
+# DataFusion's wildcard options: `* EXCLUDE (a, b)` / `* EXCLUDE a`.
+# Spark 4 speaks the sibling `* EXCEPT (a, b)` natively (DataFusion
+# accepts that spelling too — no rewrite needed); EXCLUDE is renamed,
+# and the bare single-column form gains the parentheses Spark requires.
+_EXCLUDE_RE = re.compile(
+    r"(\*\s*)EXCLUDE(\s*\(|\s+(?!\()([A-Za-z_][A-Za-z0-9_]*|`[^`]+`))",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_star_exclude(sql: str) -> str:
+    spans = _masked_spans(sql)
+
+    def sub(m: re.Match) -> str:
+        if _in_spans(m.start(), spans):
+            return m.group(0)
+        if m.group(3) is not None:  # bare identifier: add the parens
+            return f"{m.group(1)}EXCEPT ({m.group(3)})"
+        return f"{m.group(1)}EXCEPT{m.group(2)}"
+
+    return _EXCLUDE_RE.sub(sub, sql)
+
+
 def rewrite_function_names(sql: str) -> str:
     """Substitute DataFusion function names with their Spark spellings.
 
@@ -220,6 +243,7 @@ def rewrite_function_names(sql: str) -> str:
     comments (``_masked_spans``) so literal text containing a rename
     token is never altered."""
     sql = _rewrite_epoch_extract(sql)
+    sql = _rewrite_star_exclude(sql)
     spans = _masked_spans(sql)
     return _RENAME_RE.sub(
         lambda m: m.group(0)

@@ -240,3 +240,35 @@ def test_view_column_alias_list_rewrite(spark):
         _rewrite_view_column_aliases(
             "create view v2 (a) as select id, id+1 from range(3)"
         )
+
+
+def test_star_exclude_rewrite(spark):
+    """DataFusion's `* EXCLUDE` wildcard option maps onto Spark 4's
+    native `* EXCEPT` — parenthesized and bare single-column forms,
+    qualified stars, literals untouched."""
+    assert (
+        rewrite_function_names("SELECT * EXCLUDE (b, c) FROM t")
+        == "SELECT * EXCEPT (b, c) FROM t"
+    )
+    assert (
+        rewrite_function_names("SELECT t.* exclude b FROM t")
+        == "SELECT t.* EXCEPT (b) FROM t"
+    )
+    assert (
+        rewrite_function_names("SELECT '* EXCLUDE (b)' AS s, * EXCLUDE(b) FROM t")
+        == "SELECT '* EXCLUDE (b)' AS s, * EXCEPT(b) FROM t"
+    )
+    # EXCLUDE as a plain identifier (no star prefix) is untouched
+    assert (
+        rewrite_function_names("SELECT exclude FROM t") == "SELECT exclude FROM t"
+    )
+    # end-to-end through the frontend
+    from datafusion_dft_spark.sql import prepare_statement
+
+    spark.range(3).selectExpr("id", "id*2 AS b", "id*3 AS c").createOrReplaceTempView(
+        "excl_t"
+    )
+    got = spark.sql(prepare_statement(spark, "SELECT * EXCLUDE (b) FROM excl_t"))
+    assert got.columns == ["id", "c"]
+    got2 = spark.sql(prepare_statement(spark, "SELECT excl_t.* EXCLUDE c FROM excl_t"))
+    assert got2.columns == ["id", "b"]
