@@ -56,6 +56,11 @@ RENAMES: dict[str, str] = {
     "array_concat": "concat",
     "list_concat": "concat",
     "generate_series": "sequence",
+    # unnest works in both DataFusion positions via explode: the select
+    # list AND the FROM clause (Spark 4 table-valued explode). Struct
+    # unnest (DataFusion flattens fields) fails analysis loudly instead
+    # of silently approximating — the documented-divergence policy.
+    "unnest": "explode",
     # introspection / misc
     "arrow_typeof": "typeof",
     "random": "rand",

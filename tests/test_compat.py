@@ -272,3 +272,23 @@ def test_star_exclude_rewrite(spark):
     assert got.columns == ["id", "c"]
     got2 = spark.sql(prepare_statement(spark, "SELECT excl_t.* EXCLUDE c FROM excl_t"))
     assert got2.columns == ["id", "b"]
+
+
+def test_unnest_rename_both_positions(spark, duckcon):
+    """DataFusion `unnest` -> Spark `explode`, in the select list and as
+    a FROM-clause table function; differential vs DuckDB's unnest."""
+    got = [
+        r[0]
+        for r in spark.sql(
+            rewrite_function_names("SELECT unnest(array(1, 2, 3)) AS v")
+        ).collect()
+    ]
+    got_tvf = [
+        r[0]
+        for r in spark.sql(
+            rewrite_function_names("SELECT * FROM unnest(array(4, 5))")
+        ).collect()
+    ]
+    want = [r[0] for r in duckcon.sql("SELECT unnest([1, 2, 3]) AS v").fetchall()]
+    assert got == want == [1, 2, 3]
+    assert got_tvf == [4, 5]
