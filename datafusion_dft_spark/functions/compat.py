@@ -32,6 +32,17 @@ Known non-carryable divergence (documented, loud rather than silent):
   (origin = unix epoch, matching DataFusion's default). The 3-argument
   form or a year-month stride fails analysis loudly (wrong arity /
   interval type), never approximates.
+- ``array_slice`` / ``array_pop_back`` / ``array_pop_front`` /
+  ``array_prepend``: SQL UDFs need concrete parameter types, so a
+  generic array-typed shim is inexpressible; all four fail analysis
+  loudly (unresolved routine / arg-order type mismatch). Port to
+  ``slice(a, f, t-f+1)`` / ``slice(a, 1, size(a)-1)`` / ``slice(a, 2,
+  size(a)-1)`` / ``array_insert(a, 1, x)``.
+- ``array_position`` resolves under the same name but returns 0 (not
+  DataFusion's NULL) when the element is absent — same reason.
+- numeric ``trunc(x, d)``: Spark's ``trunc`` builtin is date
+  truncation and builtins cannot be shadowed; use
+  ``floor(x * pow(10, d)) / pow(10, d)``.
 """
 
 from __future__ import annotations
@@ -61,6 +72,28 @@ RENAMES: dict[str, str] = {
     # unnest (DataFusion flattens fields) fails analysis loudly instead
     # of silently approximating — the documented-divergence policy.
     "unnest": "explode",
+    # element access: try_element_at matches DataFusion's NULL on an
+    # out-of-bounds index (Spark 4's ANSI element_at would throw)
+    "array_element": "try_element_at",
+    "array_extract": "try_element_at",
+    "list_element": "try_element_at",
+    "list_extract": "try_element_at",
+    "list_append": "array_append",
+    "list_push_back": "array_append",
+    "list_sort": "array_sort",  # 1-arg form; string-order args fail loudly
+    "array_reverse": "reverse",
+    "list_reverse": "reverse",
+    "list_distinct": "array_distinct",
+    "list_remove": "array_remove",
+    "list_repeat": "array_repeat",
+    "list_union": "array_union",
+    "list_intersect": "array_intersect",
+    # NOTE array_position exists in Spark under the same name but
+    # returns 0 (not DataFusion's NULL) when absent; list_position maps
+    # onto that same existing name/divergence rather than a new one
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "array_indexof": "array_position",
     # introspection / misc
     "arrow_typeof": "typeof",
     "random": "rand",
@@ -69,6 +102,7 @@ RENAMES: dict[str, str] = {
     # strings
     "starts_with": "startswith",
     "ends_with": "endswith",
+    "substr_index": "substring_index",
     # timestamps
     "to_timestamp_seconds": "timestamp_seconds",
     "to_timestamp_millis": "timestamp_millis",

@@ -292,3 +292,35 @@ def test_unnest_rename_both_positions(spark, duckcon):
     want = [r[0] for r in duckcon.sql("SELECT unnest([1, 2, 3]) AS v").fetchall()]
     assert got == want == [1, 2, 3]
     assert got_tvf == [4, 5]
+
+
+def test_array_family_renames_differential(spark, duckcon):
+    """The r9 array/string rename additions, differentially vs DuckDB
+    (which speaks the DataFusion-style list_* names natively)."""
+    cases = [
+        # (DataFusion spelling, DuckDB equivalent)
+        ("SELECT array_element(array(10, 20, 30), 2) AS v", "SELECT list_element([10, 20, 30], 2) AS v"),
+        ("SELECT list_element(array(10, 20), 9) AS v", "SELECT NULL AS v"),  # OOB -> NULL
+        ("SELECT list_append(array(1, 2), 3) AS v", "SELECT list_append([1, 2], 3) AS v"),
+        ("SELECT list_sort(array(3, 1, 2)) AS v", "SELECT list_sort([3, 1, 2]) AS v"),
+        ("SELECT array_reverse(array(1, 2, 3)) AS v", "SELECT list_reverse([1, 2, 3]) AS v"),
+        ("SELECT list_distinct(array(1, 1, 2)) AS v", "SELECT list_sort(list_distinct([1, 1, 2])) AS v"),
+        ("SELECT substr_index('a.b.c', '.', 2) AS v", "SELECT 'a.b' AS v"),
+    ]
+    for df_sql, duck_sql in cases:
+        got = spark.sql(rewrite_function_names(df_sql)).collect()[0][0]
+        want = duckcon.sql(duck_sql).fetchall()[0][0]
+        assert got == want, (df_sql, got, want)
+
+
+def test_non_carryable_array_fns_fail_loudly(spark):
+    """array_slice/pop_back/pop_front stay unresolved (generic SQL UDFs
+    are inexpressible) — loud failure, never a silent approximation."""
+    import pytest
+
+    for q in (
+        "SELECT array_slice(array(1,2,3), 1, 2)",
+        "SELECT array_pop_back(array(1,2,3))",
+    ):
+        with pytest.raises(Exception, match="UNRESOLVED_ROUTINE"):
+            spark.sql(rewrite_function_names(q)).collect()
