@@ -103,6 +103,11 @@ RENAMES: dict[str, str] = {
     "starts_with": "startswith",
     "ends_with": "endswith",
     "substr_index": "substring_index",
+    # aggregates
+    "approx_distinct": "approx_count_distinct",
+    # 3rd arg diverges in meaning (DataFusion: tdigest centroids;
+    # Spark: accuracy) — both are precision knobs on an approximation
+    "approx_percentile_cont": "approx_percentile",
     # timestamps
     "to_timestamp_seconds": "timestamp_seconds",
     "to_timestamp_millis": "timestamp_millis",
@@ -275,6 +280,30 @@ def _rewrite_star_exclude(sql: str) -> str:
     return _EXCLUDE_RE.sub(sub, sql)
 
 
+# approx_median(x) is an AGGREGATE, so a scalar SQL UDF cannot carry it
+# — rewritten structurally to approx_percentile(x, 0.5) instead.
+_APPROX_MEDIAN_RE = re.compile(r"(?i)\bapprox_median\s*\(")
+
+
+def _rewrite_approx_median(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _APPROX_MEDIAN_RE.search(sql, pos)
+        if not m:
+            return sql
+        if _in_spans(m.start(), _masked_spans(sql)):
+            pos = m.end()
+            continue
+        end = _balanced_end(sql, m.end())
+        inner = sql[m.end():end]
+        sql = (
+            sql[: m.start()]
+            + f"approx_percentile({inner}, 0.5D)"
+            + sql[end + 1 :]
+        )
+        pos = 0  # offsets shifted; rescan
+
+
 def rewrite_function_names(sql: str) -> str:
     """Substitute DataFusion function names with their Spark spellings.
 
@@ -283,6 +312,7 @@ def rewrite_function_names(sql: str) -> str:
     token is never altered."""
     sql = _rewrite_epoch_extract(sql)
     sql = _rewrite_star_exclude(sql)
+    sql = _rewrite_approx_median(sql)
     spans = _masked_spans(sql)
     return _RENAME_RE.sub(
         lambda m: m.group(0)

@@ -324,3 +324,24 @@ def test_non_carryable_array_fns_fail_loudly(spark):
     ):
         with pytest.raises(Exception, match="UNRESOLVED_ROUTINE"):
             spark.sql(rewrite_function_names(q)).collect()
+
+
+def test_approx_aggregate_renames(spark, duckcon):
+    """approx_distinct / approx_median / approx_percentile_cont carry
+    onto Spark's approx family; values checked within tolerance of the
+    DuckDB exact answers (approx functions, exact tolerances)."""
+    spark.range(1000).selectExpr("id", "cast(id as double) d").createOrReplaceTempView(
+        "apx_t"
+    )
+    q = rewrite_function_names(
+        "SELECT approx_distinct(id) AS nd, approx_median(d) AS md, "
+        "approx_percentile_cont(d, 0.9) AS p90 FROM apx_t"
+    )
+    nd, md, p90 = spark.sql(q).collect()[0]
+    assert abs(nd - 1000) <= 50
+    assert abs(md - 499.5) <= 25
+    assert abs(p90 - 899.1) <= 25
+    # nested parens + literal safety of the structural rewrite
+    assert rewrite_function_names(
+        "SELECT approx_median(least(d, 1.0)) FROM t WHERE s <> 'approx_median(x)'"
+    ) == "SELECT approx_percentile(least(d, 1.0), 0.5D) FROM t WHERE s <> 'approx_median(x)'"
