@@ -43,6 +43,15 @@ Known non-carryable divergence (documented, loud rather than silent):
 - numeric ``trunc(x, d)``: Spark's ``trunc`` builtin is date
   truncation and builtins cannot be shadowed; use
   ``floor(x * pow(10, d)) / pow(10, d)``.
+- ``gcd`` / ``lcm``: Euclid needs a loop; Spark has neither a builtin
+  nor loops in SQL UDFs. Unresolved loudly.
+- ``get_field(s, 'a')``: write ``s.a`` (both dialects support dot
+  access); generic struct params are inexpressible in SQL UDFs.
+- ``to_local_time``: session-timezone semantics have no faithful
+  Spark expression; use ``from_utc_timestamp`` explicitly.
+- ``to_char`` with a NON-LITERAL format (or an uncarried strftime
+  token) is left unresolved — the literal-format common subset is
+  translated to ``date_format`` (see ``_CHRONO_TO_JAVA``).
 """
 
 from __future__ import annotations
@@ -156,6 +165,28 @@ _SQL_UDFS: dict[str, str] = {
         "+ CAST(extract(HOUR FROM stride) AS BIGINT)*3600000000 "
         "+ CAST(extract(MINUTE FROM stride) AS BIGINT)*60000000 "
         "+ CAST(extract(SECOND FROM stride)*1000000 AS BIGINT)))"
+    ),
+    "iszero": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION iszero(x DOUBLE) "
+        "RETURNS BOOLEAN RETURN x = 0.0D"
+    ),
+    # DataFusion's bare sha* family returns BINARY (Spark's sha2
+    # returns hex STRING — composed through unhex like digest)
+    "sha224": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION sha224(s STRING) "
+        "RETURNS BINARY RETURN unhex(sha2(s, 224))"
+    ),
+    "sha256": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING) "
+        "RETURNS BINARY RETURN unhex(sha2(s, 256))"
+    ),
+    "sha384": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION sha384(s STRING) "
+        "RETURNS BINARY RETURN unhex(sha2(s, 384))"
+    ),
+    "sha512": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION sha512(s STRING) "
+        "RETURNS BINARY RETURN unhex(sha2(s, 512))"
     ),
 }
 
@@ -280,6 +311,73 @@ def _rewrite_star_exclude(sql: str) -> str:
     return _EXCLUDE_RE.sub(sub, sql)
 
 
+# DataFusion's to_char uses chrono (strftime) patterns; Spark's
+# date_format speaks Java DateTimeFormatter. The common strftime tokens
+# translate 1:1; a format containing an uncarried token (or a
+# non-literal format expression) is left alone so analysis fails LOUDLY
+# on the unresolved to_char instead of mis-formatting silently.
+_CHRONO_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSSSSS",
+    "%3f": "SSS", "%6f": "SSSSSS", "%p": "a", "%j": "DDD",
+    "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
+    "%G": "YYYY", "%V": "ww", "%%": "%",
+}
+_TO_CHAR_RE = re.compile(r"(?i)\bto_char\s*\(")
+_CHRONO_TOKEN_RE = re.compile(r"%(?:3f|6f|.)")
+
+
+def _translate_chrono(fmt: str) -> str | None:
+    """strftime → Java pattern, or None when any token is uncarried.
+    Literal (non-token) text is quoted so Java pattern letters in it
+    (e.g. the T in an ISO timestamp) stay literal."""
+    out: list[str] = []
+    pos = 0
+    for m in _CHRONO_TOKEN_RE.finditer(fmt):
+        lit = fmt[pos:m.start()]
+        if lit:
+            out.append("'" + lit.replace("'", "''") + "'")
+        tok = _CHRONO_TO_JAVA.get(m.group(0))
+        if tok is None:
+            return None
+        out.append(tok)
+        pos = m.end()
+    tail = fmt[pos:]
+    if tail:
+        out.append("'" + tail.replace("'", "''") + "'")
+    return "".join(out)
+
+
+def _rewrite_to_char(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _TO_CHAR_RE.search(sql, pos)
+        if not m:
+            return sql
+        if _in_spans(m.start(), _masked_spans(sql)):
+            pos = m.end()
+            continue
+        end = _balanced_end(sql, m.end())
+        inner = sql[m.end():end]
+        # split the LAST top-level comma: the format must be a plain
+        # string literal for a compile-time translation
+        fm = re.search(r",\s*'((?:[^']|'')*)'\s*$", inner)
+        java = _translate_chrono(fm.group(1)) if fm else None
+        if java is None:
+            pos = end  # uncarried: leave for a loud unresolved-routine
+            continue
+        expr = inner[: fm.start()]
+        # the Java pattern itself contains single quotes (literal-text
+        # quoting) — double them for the enclosing SQL string literal
+        lit = java.replace("'", "''")
+        sql = (
+            sql[: m.start()]
+            + f"date_format({expr}, '{lit}')"
+            + sql[end + 1 :]
+        )
+        pos = 0
+
+
 # approx_median(x) is an AGGREGATE, so a scalar SQL UDF cannot carry it
 # — rewritten structurally to approx_percentile(x, 0.5) instead.
 _APPROX_MEDIAN_RE = re.compile(r"(?i)\bapprox_median\s*\(")
@@ -313,6 +411,7 @@ def rewrite_function_names(sql: str) -> str:
     sql = _rewrite_epoch_extract(sql)
     sql = _rewrite_star_exclude(sql)
     sql = _rewrite_approx_median(sql)
+    sql = _rewrite_to_char(sql)
     spans = _masked_spans(sql)
     return _RENAME_RE.sub(
         lambda m: m.group(0)

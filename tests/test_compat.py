@@ -345,3 +345,30 @@ def test_approx_aggregate_renames(spark, duckcon):
     assert rewrite_function_names(
         "SELECT approx_median(least(d, 1.0)) FROM t WHERE s <> 'approx_median(x)'"
     ) == "SELECT approx_percentile(least(d, 1.0), 0.5D) FROM t WHERE s <> 'approx_median(x)'"
+
+
+def test_to_char_and_sha_family(spark, duckcon):
+    """to_char's strftime subset translates to date_format; the bare
+    sha* family returns BINARY like DataFusion; iszero carries."""
+    got = spark.sql(
+        rewrite_function_names(
+            "SELECT to_char(DATE'2024-01-05', '%Y-%m') AS ym, "
+            "to_char(TIMESTAMP'2024-01-05 13:07:09', '%Y-%m-%dT%H:%M:%S') AS iso, "
+            "to_char(DATE'2024-01-05', '%d/%b/%Y') AS dmy, "
+            "hex(sha256('x')) AS h, iszero(0.0) AS z, iszero(0.1) AS nz"
+        )
+    ).collect()[0]
+    assert got.ym == "2024-01"
+    assert got.iso == "2024-01-05T13:07:09"
+    assert got.dmy == "05/Jan/2024"
+    # DuckDB computes the same digest independently
+    want = duckcon.sql("SELECT upper(sha256('x'))").fetchall()[0][0]
+    assert got.h == want
+    assert got.z is True and got.nz is False
+    # uncarried token (%s epoch) or non-literal format: left unresolved
+    assert "to_char" in rewrite_function_names("SELECT to_char(d, '%s') FROM t")
+    assert "to_char" in rewrite_function_names("SELECT to_char(d, fmt_col) FROM t")
+    # literal safety
+    assert rewrite_function_names("SELECT 'to_char(d, ''%Y'')' AS s") == (
+        "SELECT 'to_char(d, ''%Y'')' AS s"
+    )
