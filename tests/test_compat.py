@@ -372,3 +372,48 @@ def test_to_char_and_sha_family(spark, duckcon):
     assert rewrite_function_names("SELECT 'to_char(d, ''%Y'')' AS s") == (
         "SELECT 'to_char(d, ''%Y'')' AS s"
     )
+
+
+DIALECT_SURFACE = [
+    # every statement is a DataFusion spelling that must resolve on an
+    # app session after rewrite_function_names — the sweep that found
+    # this round's gaps, frozen as a regression gate
+    "SELECT array_element(array(1,2,3), 2)",
+    "SELECT list_element(array(1,2,3), 2)",
+    "SELECT list_append(array(1), 2)",
+    "SELECT list_sort(array(3,1))",
+    "SELECT array_reverse(array(1,2))",
+    "SELECT list_distinct(array(1,1,2))",
+    "SELECT list_remove(array(1,2,1), 1)",
+    "SELECT list_repeat(7, 3)",
+    "SELECT list_union(array(1), array(2))",
+    "SELECT list_intersect(array(1,2), array(2))",
+    "SELECT list_position(array(9,8), 8)",
+    "SELECT substr_index('a.b.c', '.', 2)",
+    "SELECT unnest(array(1,2))",
+    "SELECT * FROM unnest(array(1,2))",
+    "SELECT approx_distinct(id) FROM range(5)",
+    "SELECT approx_median(cast(id as double)) FROM range(5)",
+    "SELECT approx_percentile_cont(cast(id as double), 0.5) FROM range(5)",
+    "SELECT array_agg(id) FROM range(3)",
+    "SELECT string_agg(cast(id as string), ',') FROM range(3)",
+    "SELECT to_char(DATE'2024-01-05', '%Y-%m-%d')",
+    "SELECT hex(sha256('x')), hex(sha224('x')), hex(sha384('x')), hex(sha512('x'))",
+    "SELECT iszero(0.0)",
+    "SELECT regexp_count('aXbXc', 'X')",
+    "SELECT levenshtein('abc','axc')",
+    "SELECT nvl2(NULL, 1, 2)",
+    "SELECT width_bucket(5.0, 0.0, 10.0, 5)",
+    "SELECT make_array(1, 2)",
+    "SELECT starts_with('ab', 'a')",
+    "SELECT to_timestamp_seconds(0)",
+    "SELECT strpos('hello', 'll')",
+    "SELECT digest('x', 'sha256')",
+    "SELECT date_bin(INTERVAL '15' MINUTE, TIMESTAMP'2024-01-01 00:07:00')",
+]
+
+
+def test_dialect_surface_resolves(spark):
+    """The swept DataFusion dialect surface stays resolvable end to end."""
+    for q in DIALECT_SURFACE:
+        spark.sql(rewrite_function_names(q)).collect()
