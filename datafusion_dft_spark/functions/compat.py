@@ -316,12 +316,18 @@ def _rewrite_star_exclude(sql: str) -> str:
 # translate 1:1; a format containing an uncarried token (or a
 # non-literal format expression) is left alone so analysis fails LOUDLY
 # on the unresolved to_char instead of mis-formatting silently.
+# Deliberately uncarried: %G/%V (ISO week-year/week-number — Spark 3.0+
+# bans the week-based Java letters Y/w in date_format, so "carrying"
+# them would only trade the loud unresolved-routine error for a
+# confusing week-based-pattern runtime error) and %e (chrono renders
+# space-padded ' 5', Java 'd' renders '5' — a silent divergence the
+# module's contract forbids).
 _CHRONO_TO_JAVA = {
-    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
     "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSSSSS",
     "%3f": "SSS", "%6f": "SSSSSS", "%p": "a", "%j": "DDD",
     "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
-    "%G": "YYYY", "%V": "ww", "%%": "%",
+    "%%": "%",
 }
 _TO_CHAR_RE = re.compile(r"(?i)\bto_char\s*\(")
 _CHRONO_TOKEN_RE = re.compile(r"%(?:3f|6f|.)")

@@ -129,6 +129,10 @@ def paragraph_duplicates(
     n_blocks = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
     return (
         df.select(F.col(id_col), words.alias("_w"), n_blocks.alias("_nb"))
+        # NULL text yields size(words) = -1/NULL so _nb <= 0, and
+        # sequence(0, _nb - 1) would run DESCENDING, emitting spurious
+        # paragraph rows the SQL oracle (range over NULL) never emits.
+        .where(F.col("_nb") > 0)
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_blk"),

@@ -22,8 +22,9 @@ decomposition as ``operators/packing.py`` (shared machinery in
 2. A tiny aggregation counts rows per bucket; the exclusive prefix sum
    gives each bucket's starting position.
 3. One shuffle: ``row_number`` within each bucket (ordered by the
-   full hash, ties broken by the key) plus the literal bucket-offset
-   map.
+   full hash, ties broken by the key) plus a dense bucket-offsets
+   array literal (one plan node at any bucket count — see
+   ``operators/_prefix.py``).
 
 At 100 TB: one data shuffle across near-uniform buckets (md5
 equidistributes, so no salting needed — unlike ordered prefix sums
@@ -80,7 +81,7 @@ def _shuffle_with_total(
         .withColumn(
             pos_col,
             (
-                F.element_at(pmap, F.col("_shuf_bucket"))
+                F.element_at(pmap, F.col("_shuf_bucket") + F.lit(1))
                 + F.row_number().over(w)
                 - 1
             ).cast("long"),
@@ -125,9 +126,11 @@ def write_training_shards(
     ``shard=K`` directories of exactly ``shard_rows`` rows (last shard
     short), where shard K holds global shuffle positions
     ``[K*shard_rows, (K+1)*shard_rows)`` — so reading shards in
-    directory order and rows in ``shuffle_pos`` order replays the
-    exact seeded training order on any engine (DuckDB replay asserted
-    in tests), resumable mid-epoch at any shard boundary. Writes are
+    ascending NUMERIC shard value and rows in ``shuffle_pos`` order
+    replays the exact seeded training order on any engine (DuckDB
+    replay asserted in tests), resumable mid-epoch at any shard
+    boundary. (Lexicographic directory listing puts ``shard=10``
+    before ``shard=2`` — order by the shard value, not the listing.) Writes are
     distributed (each shard is written by the executor holding it —
     one repartition on the shard id, no driver collect). Returns the
     shard count, derived from the prefix pass's row total — the input

@@ -368,6 +368,14 @@ def test_to_char_and_sha_family(spark, duckcon):
     # uncarried token (%s epoch) or non-literal format: left unresolved
     assert "to_char" in rewrite_function_names("SELECT to_char(d, '%s') FROM t")
     assert "to_char" in rewrite_function_names("SELECT to_char(d, fmt_col) FROM t")
+    # %G/%V would map onto Java's banned week-based letters (Y/w) and
+    # %e's space-padding has no Java equivalent — all three must stay
+    # unresolved rather than throw confusing runtime errors / silently
+    # mis-pad (ADVICE r9)
+    for tok in ("%G", "%V", "%e"):
+        assert "to_char" in rewrite_function_names(
+            f"SELECT to_char(d, '{tok}') FROM t"
+        ), tok
     # literal safety
     assert rewrite_function_names("SELECT 'to_char(d, ''%Y'')' AS s") == (
         "SELECT 'to_char(d, ''%Y'')' AS s"

@@ -293,3 +293,17 @@ def test_paragraph_duplicates_hand_built(spark):
     # 4 distinct blocks (5 occurrences): boiler, two tails, doc3
     assert len(got) == 4
     assert all(n == 1 for k, (_, n) in got.items() if k != h)
+
+
+def test_paragraph_duplicates_null_text(spark):
+    """NULL text must contribute ZERO paragraph rows — an unguarded
+    sequence(0, _nb-1) over NULL/-1 sizes runs DESCENDING and emits
+    two spurious NULL-hash rows the SQL oracle never produces."""
+    from datafusion_dft_spark.operators.dedup import paragraph_duplicates
+
+    rows = [(1, None), (2, "one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = paragraph_duplicates(df, "doc_id", "text", block_words=5).collect()
+    assert len(got) == 1
+    assert got[0].keep_id == 2 and got[0].n_copies == 1
+    assert got[0].content_hash is not None

@@ -192,3 +192,81 @@ def test_pack_rejects_duplicate_and_null_ids(spark):
     withnull = spark.createDataFrame([(None, 5), (2, 3)], "id long, tok long")
     with pytest.raises(ValueError, match="unique, non-NULL"):
         pack_sequences(withnull, "id", "tok", 8)
+
+
+def test_pack_rejects_all_null_ids(spark):
+    """A non-empty input whose ids are ALL NULL must raise, not silently
+    take the empty-input branch and hand every row global_offset=0."""
+    allnull = spark.createDataFrame(
+        [(None, 5), (None, 3)], "id long, tok long"
+    )
+    with pytest.raises(ValueError, match="unique, non-NULL"):
+        pack_sequences(allnull, "id", "tok", 8)
+
+
+def _clustered_ids():
+    """Timestamp-prefixed snowflake shape: three tight id clusters
+    separated by huge gaps — fixed-width range slicing would dump
+    ~everything into 3 buckets."""
+    ids = (
+        [1_700_000_000_000_000 + i for i in range(400)]
+        + [1_755_000_000_000_000 + 7 * i for i in range(400)]
+        + [1_799_999_000_000_000 + 3 * i for i in range(400)]
+    )
+    return [(i, (i % 37) + 1) for i in ids]
+
+
+def test_pack_clustered_ids_balanced_buckets(spark):
+    """Quantile-derived boundaries keep buckets count-balanced for
+    clustered/gappy id distributions, and offsets stay exact."""
+    from datafusion_dft_spark.operators.packing import _id_stats, _searchsorted
+
+    rows = _clustered_ids()
+    df = spark.createDataFrame(rows, "id long, tok long")
+    n_buckets = 16
+    idc = F.col("id").cast("long")
+    n, k, blist = _id_stats(df, idc, n_buckets)
+    assert n == k == len(rows)
+    counts = [
+        r["c"]
+        for r in df.groupBy(_searchsorted(idc, blist).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    # every bucket within 2x of ideal (fixed-width slicing would put
+    # ~400 rows in each of 3 buckets and 0 in the other 13)
+    assert len(counts) >= n_buckets - 1
+    assert max(counts) <= 2 * (len(rows) / n_buckets)
+    # and the packed offsets still equal the single-stream cumsum
+    got = {
+        r.id: r.global_offset
+        for r in pack_sequences(df, "id", "tok", 128, n_buckets=n_buckets)
+        .select("id", "global_offset")
+        .collect()
+    }
+    off, want = 0, {}
+    for i, tok in sorted(rows):
+        want[i] = off
+        off += tok
+    assert got == want
+
+
+def test_searchsorted_two_level_matches_linear(spark):
+    """Above 128 boundaries the chunked two-level fold kicks in; it
+    must agree with the plain definition #{b : b <= id}."""
+    from datafusion_dft_spark.operators.packing import _searchsorted
+
+    blist = sorted({(i * 37) % 4096 for i in range(1, 400)})
+    assert len(blist) > 128
+    probe = list(range(-5, 4200, 13))
+    df = spark.createDataFrame([(p,) for p in probe], "id long")
+    got = {
+        r.id: r.b
+        for r in df.select(
+            "id", _searchsorted(F.col("id"), blist).alias("b")
+        ).collect()
+    }
+    import bisect
+
+    for p in probe:
+        assert got[p] == bisect.bisect_right(blist, p), p
