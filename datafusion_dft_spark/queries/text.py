@@ -26,6 +26,13 @@ from ..registry import query
 # text_token_fingerprints (tokens per chunk).
 _PACK_SEQ_LEN = 256
 
+# Vocabulary-building summary columns of text_token_fingerprints: the
+# corpus-wide top-k bigrams (operators/text.py::top_ngrams). k is small
+# because the whole top-k rides the hash as one formatted string; the
+# min_count prune is the load-bearing scale lever (docstring there).
+_VOCAB_TOP_K = 8
+_VOCAB_MIN_COUNT = 2
+
 _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
 
 
@@ -183,6 +190,22 @@ _PII_SEED_VALUES = ", ".join(
             SELECT doc_id, text, lang, source FROM documents
             UNION ALL
             SELECT * FROM (VALUES {_PII_SEED_VALUES}) v(doc_id, text, lang, source)
+        ), vocab AS (
+            SELECT gram, count(*) AS cnt
+            FROM (
+                SELECT array_to_string(w[i:i+1], ' ') AS gram
+                FROM (SELECT string_split(text, ' ') AS w FROM docs) s,
+                     LATERAL (SELECT unnest(range(1, len(w))) AS i) ix
+            ) g
+            GROUP BY gram HAVING count(*) >= {_VOCAB_MIN_COUNT}
+            ORDER BY cnt DESC, gram LIMIT {_VOCAB_TOP_K}
+        ), vsum AS (
+            SELECT coalesce(string_agg(gram || ':' || cnt || ':' || rnk, '|' ORDER BY rnk), '')
+                       AS vocab_top_grams,
+                   CAST(coalesce(sum(cnt), 0) AS BIGINT) AS vocab_top_total
+            FROM (SELECT gram, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, gram) AS rnk
+                  FROM vocab) r
         )
         SELECT lang, source,
                count(*) AS n_docs,
@@ -200,8 +223,11 @@ _PII_SEED_VALUES = ", ".join(
                              '{tx.PII_PHONE}', '[PII]', 'g') <> text
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
                any_value(p.n_straddles) AS n_straddles,
-               any_value(p.max_chunk) AS max_chunk
+               any_value(p.max_chunk) AS max_chunk,
+               any_value(vsum.vocab_top_grams) AS vocab_top_grams,
+               any_value(vsum.vocab_top_total) AS vocab_top_total
         FROM docs
+        CROSS JOIN vsum
         JOIN (
             SELECT lang AS plang, source AS psource,
                    CAST(sum(CASE WHEN (off + greatest(tok, 1) - 1) // {_PACK_SEQ_LEN}
@@ -218,7 +244,7 @@ _PII_SEED_VALUES = ", ".join(
         ) p ON p.plang = docs.lang AND p.psource = docs.source
         GROUP BY lang, source
     """,
-    tags=("text", "tokens", "fingerprint", "pii", "packing"),
+    tags=("text", "tokens", "fingerprint", "pii", "packing", "vocabulary"),
     doc="Corpus statistics by lang/source: token counting (whitespace + "
     "lexer-regex), normalized-content md5 fingerprint distinct counts, "
     "the PII census + redaction change-detection (email/IPv4/phone regex "
@@ -287,10 +313,29 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_tok",
         _PACK_SEQ_LEN,
     )
+    # Vocabulary building folded in at the corpus grain: the top-k
+    # bigrams (gram:count:rank, rank-ordered) ride every output row as
+    # one formatted string, so the driver's value hash covers the
+    # operator's gram identities, counts, AND tie-broken ranking. The
+    # summary is a one-row aggregate over the k surviving grams.
+    vocab = tx.top_ngrams(docs, "text", n=2, k=_VOCAB_TOP_K, min_count=_VOCAB_MIN_COUNT)
+    vsum = vocab.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "gram", "count"))),
+                lambda s: F.concat_ws(":", s["gram"], s["count"], s["rank"]),
+            ),
+            "|",
+        ).alias("vocab_top_grams"),
+        F.coalesce(F.sum("count"), F.lit(0)).alias("vocab_top_total"),
+    )
     # explicit broadcast: both sides are post-aggregate plans whose size
     # Catalyst can't estimate (the seed union hides the parquet stats),
     # and the summary side is provably tiny (#lang × #source rows)
-    return stats.join(
-        F.broadcast(pk.packing_summary(packed, "lang", "source")),
-        ["lang", "source"],
+    return (
+        stats.join(
+            F.broadcast(pk.packing_summary(packed, "lang", "source")),
+            ["lang", "source"],
+        )
+        .crossJoin(F.broadcast(vsum))
     )
