@@ -40,6 +40,15 @@ Methodology (round-3 overhead work):
   table, capping every cold scan at a single task — DuckDB
   parallelizes within a row group, Spark cannot); it is left OFF here
   so bench numbers include the real scan.
+- **Host-noise canary** (round 10; BASELINE.md protocol) — a FROZEN
+  workload (scan + filter + hash agg over lineitem, never edited
+  round-over-round) runs before and after the suite; its medians ship
+  as ``control_sec_pre``/``control_sec_post`` in the JSON line. The
+  canary's code being constant makes it a pure host measurement: if
+  control inflates vs the recorded band, the round's totals are
+  contaminated by contention, not by the repo's code (the r9 headline
+  was exactly this — 2.91 s recorded vs 2.34 s quiet, bisected only
+  after a day; the canary makes that bisect automatic).
 """
 
 from __future__ import annotations
@@ -94,6 +103,43 @@ def make_materializer(name: str, df):
         return df.collect
 
 
+def control_canary_sec(spark, sf_dir: str, runs: int = 5) -> float:
+    """Median wall time of the FROZEN host-noise control workload.
+
+    DO NOT EDIT this workload (BASELINE.md bench protocol): its
+    round-over-round stability is the point. One lineitem scan with a
+    pushed filter, a 2-key hash aggregate, Arrow materialization —
+    touches scan + shuffle + agg + the Arrow boundary, the same cost
+    classes as the suite, with zero dependence on repo code.
+    """
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # Two untimed executions, not one: the first pays Catalyst
+    # analysis/codegen, the second finishes JIT-compiling the generated
+    # code paths — without it the PRE canary systematically read ~3x
+    # the POST canary on an otherwise quiet host (measured round 10).
+    df.toArrow()
+    df.toArrow()
+    samples = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df.toArrow()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[(len(samples) - 1) // 2], 4)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -131,6 +177,7 @@ def main() -> int:
     from datafusion_dft_spark.operators import similarity as _sim
 
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    control_pre = control_canary_sec(spark, sf_dir)
     times: dict[str, float] = {}  # per-query MEDIAN of the steady runs
     mins: dict[str, float] = {}
     maxs: dict[str, float] = {}
@@ -192,6 +239,7 @@ def main() -> int:
             cold[name] = -1.0
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
+    control_post = control_canary_sec(spark, sf_dir)
     total = round(sum(v for v in times.values() if v >= 0), 4)
     total_min = round(sum(v for v in mins.values() if v >= 0), 4)
     total_max = round(sum(v for v in maxs.values() if v >= 0), 4)
@@ -216,6 +264,8 @@ def main() -> int:
         "cold_total_sec": total_cold,
         "queries_cold": cold,
         "queries_cold_build": cold_build,
+        "control_sec_pre": control_pre,
+        "control_sec_post": control_post,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
@@ -233,6 +283,8 @@ def main() -> int:
         "total_min_sec": total_min,
         "total_max_sec": total_max,
         "cold_total_sec": total_cold,
+        "control_sec_pre": control_pre,
+        "control_sec_post": control_post,
     }
     if cold_build:
         # tiny (index-backed queries only) — safe for the compact line

@@ -397,7 +397,7 @@ def _signature_rerank(
 
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     id_col: str,
     text_col: str,
     k: int = 5,
@@ -407,6 +407,7 @@ def minhash_lsh_pairs_incremental(
     method: str = "md5",
     check_id_overlap: bool = True,
     broadcast: bool | None = None,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between an incoming BATCH and an existing corpus.
 
@@ -443,6 +444,17 @@ def minhash_lsh_pairs_incremental(
     count over the cached signatures, to pick broadcast vs shuffle) —
     fully lazy construction requires pinning ``broadcast`` explicitly
     as well.
+
+    ``corpus_sig`` — a PRECOMPUTED corpus signature relation
+    ``(id_col, sig: array<long>)`` (``minhash_signatures`` output,
+    e.g. persisted by the streaming sink). When given, ``corpus_df``
+    is ignored (may be None) and the corpus's shingle→md5→minhash
+    pipeline never runs: per-increment cost drops from an O(corpus)
+    CPU recompute to an O(corpus-signatures) columnar SCAN. The
+    caller owns parameter consistency — signatures built with a
+    different (k, num_perm, method) silently change match semantics,
+    which is why the streaming sink writes a params manifest beside
+    them and verifies it on read (streaming/dedup.py).
     """
     from ..session import track_cache
 
@@ -454,9 +466,14 @@ def minhash_lsh_pairs_incremental(
     sig_new = track_cache(
         minhash_signatures(new_df, id_col, text_col, k, num_perm, method=method).cache()
     )
-    sig_corpus = track_cache(
-        minhash_signatures(corpus_df, id_col, text_col, k, num_perm, method=method).cache()
-    )
+    if corpus_sig is not None:
+        sig_corpus = track_cache(
+            corpus_sig.select(F.col(id_col), F.col("sig")).cache()
+        )
+    else:
+        sig_corpus = track_cache(
+            minhash_signatures(corpus_df, id_col, text_col, k, num_perm, method=method).cache()
+        )
     if check_id_overlap:
         overlap = sig_new.select(id_col).join(sig_corpus.select(id_col), id_col)
         if overlap.limit(1).count():

@@ -17,12 +17,15 @@ corpus scan, no corpus self-join, banded batch probe) with
 Scale notes (the reason this is foreachBatch and not a stateful op):
 the accumulated corpus is parquet on shared storage, not Spark state —
 state stores cap at executor memory × retention, a corpus does not.
-Each micro-batch pays one corpus scan; at a daily cadence that is the
-same cost profile as the batch incremental job, with streaming's
-scheduling for free. Survivors write to a per-batch subdirectory
-(``batch-<id>/``) with overwrite, so foreachBatch's at-least-once
-replay is IDEMPOTENT — a replayed batch rewrites its own directory
-instead of double-appending.
+The sink persists each batch's accepted SIGNATURES beside the docs
+(``sigs/batch-<id>/``), so a micro-batch probes the compact (id, sig)
+table instead of recomputing the corpus's shingle→md5→minhash
+pipeline — per-batch cost = batch signature build + one columnar scan
+of the signature table (O(corpus) IO on ~num_perm longs/doc, not
+O(corpus) CPU over full text). Survivors and their signatures write
+to per-batch subdirectories (``batch-<id>/``) with overwrite, so
+foreachBatch's at-least-once replay is IDEMPOTENT — a replayed batch
+rewrites its own directories in lockstep instead of double-appending.
 
 Dedup policy (greedy, documented): (1) a batch doc that near-dups ANY
 corpus doc is dropped; (2) the remaining batch docs form duplicate
@@ -34,6 +37,7 @@ batch operators, so stream-built and batch-built corpora agree
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,22 +47,68 @@ from ..operators.dedup import (
     connected_components,
     minhash_lsh_pairs,
     minhash_lsh_pairs_incremental,
+    minhash_signatures,
 )
+
+
+def _batch_subdirs(root: str) -> list[str]:
+    """batch-*/ subdirectories of ``root`` that hold parquet, sorted."""
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("batch-")
+        and os.path.isdir(os.path.join(root, d))
+        and any(f.endswith(".parquet") for f in os.listdir(os.path.join(root, d)))
+    ]
 
 
 def _read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
     """The accumulated corpus (batch-*/ parquet), or None when empty."""
-    if not os.path.isdir(corpus_dir):
-        return None
-    subdirs = [
-        os.path.join(corpus_dir, d)
-        for d in sorted(os.listdir(corpus_dir))
-        if d.startswith("batch-")
-        and os.path.isdir(os.path.join(corpus_dir, d))
-        and any(f.endswith(".parquet") for f in os.listdir(os.path.join(corpus_dir, d)))
-    ]
+    subdirs = _batch_subdirs(corpus_dir)
     if not subdirs:
         return None
+    return spark.read.parquet(*subdirs)
+
+
+def _sig_dir(corpus_dir: str) -> str:
+    return os.path.join(corpus_dir, "sigs")
+
+
+def _sig_params_path(corpus_dir: str) -> str:
+    return os.path.join(_sig_dir(corpus_dir), "_PARAMS.json")
+
+
+def _read_corpus_sigs(
+    spark: SparkSession, corpus_dir: str, params: dict
+) -> DataFrame | None:
+    """The persisted corpus signature table (sigs/batch-*/), or None.
+
+    Signatures are only trusted when the params manifest matches the
+    probe's (k, num_perm, method): a mismatch silently changes match
+    semantics (different shingle width or permutation count = a
+    different MinHash space), so it raises instead of degrading.
+    """
+    subdirs = _batch_subdirs(_sig_dir(corpus_dir))
+    if not subdirs:
+        return None
+    manifest_path = _sig_params_path(corpus_dir)
+    try:
+        with open(manifest_path) as f:
+            stored = json.load(f)
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"streaming dedup: signature table {_sig_dir(corpus_dir)} has no "
+            f"readable params manifest ({e}); delete the sigs/ directory to "
+            "rebuild from text"
+        ) from e
+    if stored != params:
+        raise ValueError(
+            "streaming dedup: persisted signature params "
+            f"{stored} != requested {params}; delete the sigs/ directory to "
+            "rebuild from text"
+        )
     return spark.read.parquet(*subdirs)
 
 
@@ -70,6 +120,7 @@ def dedup_batch_against_corpus(
     *,
     threshold: float = 0.7,
     k: int = 5,
+    corpus_sig: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Survivors of one ingestion batch under the greedy policy above.
@@ -80,8 +131,13 @@ def dedup_batch_against_corpus(
     streaming sink guarantees) — chaining one call's lazy output in as
     the next call's corpus compounds the LSH + iterative
     connected-components plans into a tree that can OOM the planner.
-    ``lsh_kwargs`` forwards to both LSH passes; the incremental-only
-    knobs (``check_id_overlap``, ``broadcast``) go to the corpus pass.
+    ``corpus_sig`` short-circuits the corpus signature build with a
+    persisted ``(id_col, sig)`` relation (the sink maintains one); the
+    corpus TEXT is then never read at all — per-batch cost is the
+    batch's own signature build plus a columnar scan of the signature
+    table. ``lsh_kwargs`` forwards to both LSH passes; the
+    incremental-only knobs (``check_id_overlap``, ``broadcast``) go to
+    the corpus pass.
     """
     incr_only = {
         key: lsh_kwargs.pop(key)
@@ -89,14 +145,15 @@ def dedup_batch_against_corpus(
         if key in lsh_kwargs
     }
     batch_df = batch_df.select(id_col, text_col)
-    if corpus_df is not None:
+    if corpus_df is not None or corpus_sig is not None:
         vs_corpus = minhash_lsh_pairs_incremental(
             batch_df,
-            corpus_df.select(id_col, text_col),
+            None if corpus_sig is not None else corpus_df.select(id_col, text_col),
             id_col,
             text_col,
             k=k,
             threshold=threshold,
+            corpus_sig=corpus_sig,
             **incr_only,
             **lsh_kwargs,
         )
@@ -195,31 +252,149 @@ def streaming_dedup_sink(
 
     Returns the DataStreamWriter (caller ``.start()``s it — tests use
     ``.trigger(availableNow=True)`` for run-to-completion semantics).
-    """
 
+    The sink maintains a SIGNATURE TABLE beside the docs
+    (``sigs/batch-<id>/`` + a ``_PARAMS.json`` manifest): each batch's
+    survivors land twice — text in ``batch-<id>/``, their MinHash
+    signatures in ``sigs/batch-<id>/`` (same overwrite idempotence).
+    The next batch probes the persisted signatures instead of
+    recomputing the corpus's shingle→md5→minhash pipeline, so
+    per-batch cost is the batch's own signature build + a columnar
+    scan of (id, sig) — O(corpus) IO on a compact table rather than
+    O(corpus) CPU over the full text (the 100 TB corpus shape; receipt
+    in BENCH_STREAM_SIGS.json). A corpus built by an older sink (docs
+    without sigs) self-heals: missing signature batches are computed
+    from their text ONCE and persisted before the probe.
+    """
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if batch_df.isEmpty():
-            return
-        corpus = _read_corpus(spark, corpus_dir)
-        survivors = dedup_batch_against_corpus(
+        ingest_batch(
             batch_df,
-            corpus,
+            batch_id,
+            corpus_dir,
             id_col,
             text_col,
             threshold=threshold,
             k=k,
-            # a replayed/streamed batch never shares ids with the corpus
-            # by construction (checkpointed offsets); skip the eager
-            # overlap-guard job per micro-batch
-            check_id_overlap=False,
             **lsh_kwargs,
         )
-        out = os.path.join(corpus_dir, f"batch-{batch_id}")
-        survivors.write.mode("overwrite").parquet(out)
 
     return (
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def _sig_params(k: int, lsh_kwargs: dict) -> dict:
+    from ..operators.dedup import NUM_PERM
+
+    return {
+        "k": k,
+        "num_perm": int(lsh_kwargs.get("num_perm", NUM_PERM)),
+        "method": lsh_kwargs.get("method", "md5"),
+    }
+
+
+def _ensure_corpus_sigs(
+    spark: SparkSession,
+    corpus_dir: str,
+    sig_params: dict,
+    id_col: str,
+    text_col: str,
+) -> DataFrame | None:
+    """Signature table covering every doc batch, backfilling gaps.
+
+    Raises on a params-manifest mismatch (a different MinHash space);
+    writes the manifest on first use; computes missing batches' rows
+    from their text ONCE (legacy-layout migration, self-healing).
+    """
+    doc_sub = _batch_subdirs(corpus_dir)
+    if not doc_sub:
+        return None
+    sdir = _sig_dir(corpus_dir)
+    manifest = _sig_params_path(corpus_dir)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            stored = json.load(f)
+        if stored != sig_params:
+            raise ValueError(
+                "streaming dedup: persisted signature params "
+                f"{stored} != requested {sig_params}; delete {sdir} to rebuild"
+            )
+    else:
+        os.makedirs(sdir, exist_ok=True)
+        with open(manifest, "w") as f:
+            json.dump(sig_params, f)
+    have = {os.path.basename(p) for p in _batch_subdirs(sdir)}
+    for p in doc_sub:
+        name = os.path.basename(p)
+        if name not in have:
+            minhash_signatures(
+                spark.read.parquet(p),
+                id_col,
+                text_col,
+                k=sig_params["k"],
+                num_perm=sig_params["num_perm"],
+                method=sig_params["method"],
+            ).write.mode("overwrite").parquet(os.path.join(sdir, name))
+    # read only the sig batches that have a live doc batch, so a
+    # sig dir orphaned by manual doc deletion can't resurrect
+    # phantom corpus members into the probe
+    return spark.read.parquet(
+        *[os.path.join(sdir, os.path.basename(p)) for p in doc_sub]
+    )
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    k: int = 5,
+    **lsh_kwargs,
+) -> None:
+    """One ingestion batch: dedup against the signature table, land
+    survivors + their signatures. The sink's foreachBatch body, exposed
+    so a plain backfill driver (or the rehearsal harness,
+    tools/rehearsal_stream_sigs.py) runs the EXACT sink code path."""
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    sig_params = _sig_params(k, lsh_kwargs)
+    corpus_sigs = _ensure_corpus_sigs(spark, corpus_dir, sig_params, id_col, text_col)
+    survivors = dedup_batch_against_corpus(
+        batch_df,
+        None,
+        id_col,
+        text_col,
+        threshold=threshold,
+        k=k,
+        corpus_sig=corpus_sigs,
+        # a replayed/streamed batch never shares ids with the corpus
+        # by construction (checkpointed offsets); skip the eager
+        # overlap-guard job per micro-batch
+        check_id_overlap=False,
+        **lsh_kwargs,
+    )
+    out = os.path.join(corpus_dir, f"batch-{batch_id}")
+    survivors.write.mode("overwrite").parquet(out)
+    # signatures of what actually LANDED (re-read the written files,
+    # batch-sized): a replayed batch rewrites both directories in
+    # lockstep, so docs and signatures cannot drift
+    sdir = _sig_dir(corpus_dir)
+    manifest = _sig_params_path(corpus_dir)
+    if not os.path.exists(manifest):
+        os.makedirs(sdir, exist_ok=True)
+        with open(manifest, "w") as f:
+            json.dump(sig_params, f)
+    minhash_signatures(
+        spark.read.parquet(out),
+        id_col,
+        text_col,
+        k=sig_params["k"],
+        num_perm=sig_params["num_perm"],
+        method=sig_params["method"],
+    ).write.mode("overwrite").parquet(os.path.join(sdir, f"batch-{batch_id}"))

@@ -208,3 +208,90 @@ def test_export_training_corpus(spark, tmp_path):
         spark, str(tmp_path / "nope"), str(tmp_path / "s2"), "doc_id", "body"
     )
     assert empty == {"n_docs": 0, "n_shards": 0, "total_tokens": 0}
+
+
+def test_signature_table_persisted_and_probed(spark, tmp_path):
+    """The sink writes sigs/batch-<id>/ + _PARAMS.json beside the docs,
+    the persisted signatures equal a fresh text recompute, and the
+    probe path (corpus_sig) yields the same survivors as the text
+    path — the 'per-batch cost must not recompute the corpus' design."""
+    import json
+
+    from datafusion_dft_spark.operators.dedup import minhash_signatures
+    from datafusion_dft_spark.streaming.dedup import (
+        _read_corpus_sigs,
+        _sig_params_path,
+    )
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _write_batch(spark, in_dir, BATCH1, "b1")
+    _run_available(spark, in_dir, corpus, ckpt)
+    _write_batch(spark, in_dir, BATCH2, "b2")
+    _run_available(spark, in_dir, corpus, ckpt)
+
+    with open(_sig_params_path(corpus)) as f:
+        params = json.load(f)
+    assert params == {"k": 5, "num_perm": 64, "method": "md5"}
+    sigs = _read_corpus_sigs(spark, corpus, params)
+    got = {r.doc_id: list(r.sig) for r in sigs.collect()}
+    docs = spark.read.parquet(os.path.join(corpus, "batch-*"))
+    want = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(docs, "doc_id", "body", k=5).collect()
+    }
+    assert got == want  # signatures cover exactly the accepted docs
+
+    # probing the persisted signatures == probing recomputed text
+    b2 = spark.createDataFrame([(i, DOCS[i]) for i in BATCH2], SCHEMA)
+    corpus1 = spark.read.parquet(os.path.join(corpus, "batch-0"))
+    sig1 = sigs.join(corpus1.select("doc_id"), "doc_id")
+    via_sig = sorted(
+        r.doc_id
+        for r in dedup_batch_against_corpus(
+            b2, None, "doc_id", "body", corpus_sig=sig1, check_id_overlap=False
+        ).collect()
+    )
+    via_text = sorted(
+        r.doc_id
+        for r in dedup_batch_against_corpus(
+            b2, corpus1, "doc_id", "body"
+        ).collect()
+    )
+    assert via_sig == via_text == [6, 8]
+
+
+def test_signature_params_mismatch_raises(spark, tmp_path):
+    from datafusion_dft_spark.streaming.dedup import _read_corpus_sigs
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(in_dir)
+    _write_batch(spark, in_dir, BATCH1, "b1")
+    _run_available(spark, in_dir, corpus, str(tmp_path / "ckpt"))
+    with pytest.raises(ValueError, match="signature params"):
+        _read_corpus_sigs(
+            spark, corpus, {"k": 9, "num_perm": 64, "method": "md5"}
+        )
+
+
+def test_signature_table_self_heals(spark, tmp_path):
+    """A corpus built without signatures (older sink layout, or a wiped
+    sigs/ dir) is backfilled from text once, then the stream continues
+    with identical semantics."""
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _write_batch(spark, in_dir, BATCH1, "b1")
+    _run_available(spark, in_dir, corpus, ckpt)
+    shutil.rmtree(os.path.join(corpus, "sigs"))  # simulate legacy layout
+    _write_batch(spark, in_dir, BATCH2, "b2")
+    _run_available(spark, in_dir, corpus, ckpt)
+    assert _corpus_ids(spark, corpus) == [1, 3, 6, 8]
+    sig_batches = sorted(os.listdir(os.path.join(corpus, "sigs")))
+    assert "batch-0" in sig_batches and "batch-1" in sig_batches
