@@ -133,6 +133,10 @@ def control_canary_sec(spark, sf_dir: str, runs: int = 5) -> float:
     samples = []
     for _ in range(runs):
         spark.catalog.clearCache()
+        # same per-sample protocol as the suite (see the loop in main):
+        # without the explicit GC the PRE canary keeps absorbing the
+        # collection debt of whatever ran before it
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df.toArrow()
         samples.append(time.perf_counter() - t0)

@@ -194,6 +194,39 @@ def unigram_logprob_scores(
     return scored
 
 
+def bigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, avg_neg_logprob2) — conditional BIGRAM surprisal.
+
+    The order-sensitive upgrade of ``unigram_logprob_scores``: score
+    each document by the mean −ln p(w_i | w_{i−1}) under the corpus's
+    own bigram model, p(w2|w1) = c(w1 w2) / c(w1 ·) with c(w1 ·)
+    counted over CONTEXT positions (1..n−1), so probabilities per
+    context sum to exactly 1. Unigram surprisal can't see scrambled
+    word salad built from common tokens; conditional bigram surprisal
+    spikes on it — the next filter a production quality stack applies.
+
+    Shape at scale: one bigram explode → two aggregations (bigram
+    counts, context counts) + two shuffle joins. Both model relations
+    are bounded by the observed bigram vocabulary — relations, never
+    driver state. Documents with fewer than 2 words have no bigrams
+    and drop out (inner-join semantics, same as the unigram scorer).
+    """
+    g = docs.select(
+        F.col(id_col), F.explode(ngrams(text_col, 2)).alias("gram")
+    ).withColumn("w1", F.substring_index("gram", " ", 1))
+    c2 = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = g.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        g.join(c2, "gram")
+        .join(c1, "w1")
+        .withColumn("nlp", -F.log(F.col("c2") / F.col("c1").cast("double")))
+        .groupBy(id_col)
+        .agg(F.round(F.avg("nlp") + 1e-9, 4).alias("avg_neg_logprob2"))
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing (emails / phone numbers / IPv4), pure JVM regex.
 # --------------------------------------------------------------------------

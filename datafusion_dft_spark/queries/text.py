@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..operators import packing as pk
+from ..operators import retrieval as rt
 from ..operators import text as tx
 from ..registry import query
 
@@ -34,6 +35,12 @@ _VOCAB_TOP_K = 8
 _VOCAB_MIN_COUNT = 2
 
 _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
+
+# Fixed query for the BM25 relevance column of text_quality_langid
+# (operators/retrieval.py). Corpus-common terms on purpose: df/N near
+# 1 keeps idf small but nonzero, and tf/length-normalization variation
+# across documents is what the differential hash then certifies.
+_BM25_TERMS = ("hash", "join", "stream")
 
 
 @query(
@@ -74,10 +81,24 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
             SELECT doc_id, max(c) / sum(c)::DOUBLE AS r
             FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) gc
             GROUP BY doc_id
+        ), bm AS ({rt.bm25_oracle_sql(_BM25_TERMS)}
+        ), bg AS (
+            SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram, w[i] AS w1
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) sbg,
+                 LATERAL (SELECT unnest(range(1, len(w))) AS i) ixbg
+        ), bgc2 AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY gram),
+        bgc1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        bscore AS (
+            SELECT doc_id,
+                   round(avg(-ln(bgc2.c2 / CAST(bgc1.c1 AS DOUBLE))) + 1e-9, 4)
+                       AS avg_neg_logprob2
+            FROM bg JOIN bgc2 USING (gram) JOIN bgc1 USING (w1)
+            GROUP BY doc_id
         )
         SELECT f.*, uni.avg_neg_logprob, sk.sketch,
                rep.dup_word_frac, rep.dup_3gram_frac,
-               round(coalesce(topg.r, 0.0) + 1e-9, 4) AS top_2gram_frac
+               round(coalesce(topg.r, 0.0) + 1e-9, 4) AS top_2gram_frac,
+               bm.bm25_score, bscore.avg_neg_logprob2
         FROM (
         SELECT doc_id, lang, pred_lang, n_words, stop_count,
                round(nospace_len / CAST(n_words AS DOUBLE) + 1e-9, 4) AS avg_word_len,
@@ -115,19 +136,27 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
         JOIN sk USING (doc_id)
         JOIN rep USING (doc_id)
         LEFT JOIN topg USING (doc_id)
+        JOIN bm USING (doc_id)
+        JOIN bscore USING (doc_id)
     """,
-    tags=("text", "quality", "langid", "language-model", "sketch"),
+    tags=("text", "quality", "langid", "language-model", "sketch", "retrieval"),
     doc="The per-document feature relation: quality features (word count, avg "
     "word length, stopword ratio, composite score), marker-word language-ID "
     "prediction (argmax with fixed tie order) next to the labeled lang "
     "column, unigram-LM pseudo-perplexity (avg_neg_logprob — corpus model "
     "as a relation, one shuffle join on word; the cheap pre-model quality "
-    "filter), Gopher/C4-style repetition filters (dup-word fraction, "
-    "dup-3-gram fraction, top-2-gram fraction — shuffle-free array folds; "
-    "the top-gram mode is a max-run-length aggregate over the sorted gram "
-    "array), and the engine-portable min-k md5 shingle sketch. One doc_id-"
-    "grain query consolidating the text-analysis surface under the "
-    "driver's 50-query cap (operators/text.py, operators/dedup.py).",
+    "filter), CONDITIONAL BIGRAM surprisal (avg_neg_logprob2 — "
+    "p(w2|w1)=c(w1 w2)/c(w1 ·), the order-sensitive signal unigram "
+    "surprisal can't see; one explode + two model aggs), BM25 relevance "
+    "against a fixed query (operators/retrieval.py — per-doc array-fold "
+    "term frequencies, ONE broadcast corpus-stats row, zero shuffles; the "
+    "targeted-corpus-construction scorer), Gopher/C4-style repetition "
+    "filters (dup-word fraction, dup-3-gram fraction, top-2-gram fraction "
+    "— shuffle-free array folds; the top-gram mode is a max-run-length "
+    "aggregate over the sorted gram array), and the engine-portable min-k "
+    "md5 shingle sketch. One doc_id-grain query consolidating the "
+    "text-analysis surface under the driver's 50-query cap "
+    "(operators/text.py, operators/retrieval.py, operators/dedup.py).",
 )
 def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
@@ -160,7 +189,18 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch")
         )
     )
-    return feats.join(uni, "doc_id").join(sketch, "doc_id")
+    # BM25 relevance against the fixed query (operators/retrieval.py —
+    # per-doc array-fold tfs, one broadcast stats row, zero shuffles)
+    # and conditional bigram surprisal (the order-sensitive LM-lite
+    # signal; corpus bigram model as a relation).
+    bm = rt.bm25_scores(docs, _BM25_TERMS).select("doc_id", "bm25_score")
+    bg = tx.bigram_logprob_scores(docs).select("doc_id", "avg_neg_logprob2")
+    return (
+        feats.join(uni, "doc_id")
+        .join(sketch, "doc_id")
+        .join(bm, "doc_id")
+        .join(bg, "doc_id")
+    )
 
 
 # Deterministic PII-bearing seed docs (the corpus itself contains no

@@ -202,3 +202,77 @@ def test_top_ngrams_min_count_prunes(spark):
     )
     got = {r.gram: r["count"] for r in top_ngrams(df, "text", n=1, k=10, min_count=2).collect()}
     assert got == {"a": 3, "b": 2}
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against a 3-doc corpus, checked against the formula computed
+    with plain Python floats (same IEEE ops)."""
+    import math
+
+    from datafusion_dft_spark.operators.retrieval import bm25_scores
+
+    rows = [(1, "x x y z"), (2, "x q q q"), (3, "q q q q q q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25_score for r in bm25_scores(df, ("x", "y")).collect()}
+
+    n, avgdl = 3.0, (4 + 4 + 6) / 3.0
+    k1, b = 1.2, 0.75
+
+    def score(tfs, dl):
+        s = 0.0
+        for t, df_t in (("x", 2.0), ("y", 1.0)):
+            tf = float(tfs.get(t, 0))
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return round(s + 1e-9, 4)
+
+    want = {
+        1: score({"x": 2, "y": 1}, 4.0),
+        2: score({"x": 1}, 4.0),
+        3: score({}, 6.0),
+    }
+    assert got == want
+    assert got[3] == 0.0  # no query terms -> zero relevance
+    assert got[1] > got[2]  # more matching mass ranks higher
+
+
+def test_bm25_matches_duckdb(spark, sf_dir, duckcon):
+    """The operator and its generated oracle agree on the real corpus."""
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators.retrieval import (
+        bm25_oracle_sql,
+        bm25_scores,
+    )
+
+    terms = ("hash", "join", "stream")
+    docs = load_tables(spark, sf_dir)["documents"]
+    got = {
+        r.doc_id: r.bm25_score
+        for r in bm25_scores(docs, terms).select("doc_id", "bm25_score").collect()
+    }
+    want = {int(i): float(s) for i, s in duckcon.sql(bm25_oracle_sql(terms)).fetchall()}
+    assert got == want
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """p(w2|w1) = c(w1 w2)/c(w1 .) with context counts over positions
+    1..n-1; per-context probabilities sum to 1."""
+    import math
+
+    from datafusion_dft_spark.operators.text import bigram_logprob_scores
+
+    # corpus bigrams: "a b" x2, "b a" x1, "a c" x1 ; contexts: a x3, b x1
+    rows = [(1, "a b a c"), (2, "a b"), (3, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.avg_neg_logprob2 for r in bigram_logprob_scores(df).collect()
+    }
+    p_ab = 2 / 3  # c("a b")=2, c(a as context)=3
+    p_ba = 1 / 1
+    p_ac = 1 / 3
+    want1 = round((-math.log(p_ab) - math.log(p_ba) - math.log(p_ac)) / 3 + 1e-9, 4)
+    want2 = round(-math.log(p_ab) + 1e-9, 4)
+    assert got == {1: want1, 2: want2}  # doc 3: no bigrams -> absent
+    # scrambled common words score HIGHER surprisal than a repeated
+    # frequent transition: the order-sensitivity the unigram model lacks
+    assert got[1] > got[2]

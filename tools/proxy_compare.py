@@ -94,6 +94,13 @@ def main() -> int:
     # Warm Spark codegen + Python workers once (bench.py protocol).
     next(iter(specs.values())).build(spark, sf_dir).collect()
 
+    # Host-noise canary (BASELINE.md bench governance): the frozen
+    # control workload brackets the proxy run too, so PROXY.md's
+    # ratios carry their own contamination receipt.
+    from bench import control_canary_sec
+
+    control_pre = control_canary_sec(spark, sf_dir)
+
     # Arrow-first materialization, shared with bench.py so both
     # harnesses measure result delivery identically (DuckDB's fetchall()
     # materializes at the C level; per-row python Row construction would
@@ -128,6 +135,8 @@ def main() -> int:
         rows.append((name, s_med, d_med))
         print(f"{name}: spark={s_med:.4f} duckdb={'-' if d_med is None else f'{d_med:.4f}'}")
 
+    control_post = control_canary_sec(spark, sf_dir)
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = m.group(1).rstrip(".") if m else "?"
     flagged = []
@@ -139,6 +148,10 @@ def main() -> int:
         " runs; DuckDB: same statement on views over the same parquet,"
         " one warm-up). Generated by tools/proxy_compare.py — re-run it"
         " after performance work.",
+        "",
+        f"Host-noise canary (BASELINE.md governance): pre={control_pre:.4f}s"
+        f" post={control_post:.4f}s — compare against the committed"
+        " BENCH_DETAIL.json control band before trusting any ratio here.",
         "",
         "`gt` marks oracles that are exhaustive ground-truth reformulations"
         " of sketch/index operators (not equivalent plans): the proxy there"
