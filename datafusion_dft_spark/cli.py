@@ -14,7 +14,7 @@ Reference: ``dft -c "SELECT ..." -f file.sql --time --bench -n N -o out``
   --run-before     cache-warming statement before each bench
   --save / --append  export bench results to CSV
   --analyze        single-run plan + phase breakdown
-  -o FILE          write the last result (format by suffix: csv/json/parquet/arrow)
+  -o FILE          write the last result (format by suffix: csv/json/parquet/arrow/orc)
   --limit N        cap printed rows (reference http result_limit analog)
   --flightsql / --host      route -c/-f statements through a FlightSQL server
   --header / --headers-file headers for FlightSQL calls (simple + curl

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 # applicability from it — one table, no drift between "known key" and
 # "applies to this format".
 COPY_OPTIONS: dict[str, tuple[str, frozenset[str]]] = {
-    "compression": ("compression", frozenset({"parquet", "csv", "json"})),
+    "compression": ("compression", frozenset({"parquet", "csv", "json", "orc"})),
     "delimiter": ("sep", frozenset({"csv"})),
     "has_header": ("header", frozenset({"csv"})),
     "quote": ("quote", frozenset({"csv"})),
@@ -46,6 +46,11 @@ READ_FORMATS = {
     ".jsonl": "json",
     ".arrow": "arrow",
     ".vortex": "vortex",
+    # Beyond-reference (the reference sniffs parquet/csv/ndjson/arrow,
+    # src/db.rs:37-52): ORC is native to Spark's JVM datasources and
+    # common in Hive-era lakes a 100 TB ingest reads from — predicate
+    # pushdown and column pruning work like parquet's.
+    ".orc": "orc",
 }
 
 

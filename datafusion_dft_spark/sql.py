@@ -37,6 +37,7 @@ _EXT_FMT = {
     ".json": "json",
     ".ndjson": "json",
     ".jsonl": "json",
+    ".orc": "orc",
 }
 
 
@@ -440,7 +441,7 @@ def _rewrite_external_table(spark: SparkSession, stmt: str) -> str | None:
         from .sources.io import read_vortex
 
         read_vortex(spark, path).createOrReplaceTempView(name)
-    elif fmt in ("parquet", "csv", "json", "ndjson"):
+    elif fmt in ("parquet", "csv", "json", "ndjson", "orc"):
         reader = spark.read
         if cols:
             # explicit column list: DataFusion type spellings mapped to
