@@ -152,6 +152,41 @@ def paragraph_duplicates(
     )
 
 
+def span_duplicates(
+    df: DataFrame, id_col: str, text_col: str, span_words: int = 20
+) -> DataFrame:
+    """Sliding-window exact SUBSTRING dedup (hash-grain approximation of
+    the suffix-array method in Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better").
+
+    Every ``span_words``-word window at EVERY alignment is hashed; a
+    window whose exact text occurs more than once corpus-wide becomes a
+    ``(content_hash, keep_id, n_copies)`` decision row. This catches
+    duplicated passages at arbitrary offsets — the case fixed paragraph
+    blocks (``paragraph_duplicates``) miss when the copy is shifted by
+    a few words. Only duplicated spans are emitted (occurrence ≥ 2):
+    unlike the doc/para grains, the non-duplicated span population is
+    ~the corpus token count and carries no decision value.
+
+    Shape at scale: the window stream is built from shifted array
+    slices of each row's own split (operators/text.py::ngrams — one
+    split evaluation, no re-split per window), so the plan is one
+    explode + one map-side-combining hash aggregation, one shuffle, no
+    joins. md5 keys make it engine-portable; differentially checked in
+    the ``dedup_exact`` driver row.
+    """
+    from .text import ngrams
+
+    g = df.select(
+        F.col(id_col), F.explode(ngrams(text_col, span_words)).alias("_span")
+    )
+    return (
+        g.groupBy(F.md5("_span").alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
 ) -> DataFrame:

@@ -40,16 +40,28 @@ from ..registry import query
             )
             GROUP BY 1
         ) p
+        UNION ALL
+        SELECT 'span' AS variant, content_hash, keep_id, n_copies FROM (
+            SELECT md5(array_to_string(words[i:i+19], ' ')) AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+                 LATERAL (SELECT unnest(range(1, greatest(len(words) - 18, 1))) AS i) ix
+            GROUP BY 1 HAVING count(*) >= 2
+        ) s
     """,
     tags=("dedup",),
-    doc="Exact dedup at BOTH granularities, variant-tagged: 'doc' = one "
+    doc="Exact dedup at THREE granularities, variant-tagged: 'doc' = one "
     "representative (min doc_id) per distinct content hash; 'para' = the "
     "C4/CCNet sub-document trick — each distinct 10-word paragraph block "
     "gets a (hash, keep_id=min owner, n_copies) decision row, so "
     "boilerplate repeated ACROSS documents (invisible to doc-level dedup) "
-    "is droppable per-paragraph. One explode + one map-side-combining "
-    "hash agg, one shuffle, no joins (operators/dedup.py::"
-    "paragraph_duplicates).",
+    "is droppable per-paragraph; 'span' = SLIDING 20-word windows at "
+    "every alignment (the hash-grain approximation of Lee et al. 2022's "
+    "suffix-array substring dedup), emitting only corpus-duplicated "
+    "spans — catches shifted copies fixed blocks miss. Each grain is one "
+    "explode + one map-side-combining hash agg, one shuffle, no joins "
+    "(operators/dedup.py::paragraph_duplicates / span_duplicates).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
@@ -59,7 +71,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     para = dd.paragraph_duplicates(docs, "doc_id", "text", block_words=10).select(
         F.lit("para").alias("variant"), "content_hash", "keep_id", "n_copies"
     )
-    return doc.unionAll(para)
+    span = dd.span_duplicates(docs, "doc_id", "text", span_words=20).select(
+        F.lit("span").alias("variant"), "content_hash", "keep_id", "n_copies"
+    )
+    return doc.unionAll(para).unionAll(span)
 
 
 @query(

@@ -307,3 +307,26 @@ def test_paragraph_duplicates_null_text(spark):
     assert len(got) == 1
     assert got[0].keep_id == 2 and got[0].n_copies == 1
     assert got[0].content_hash is not None
+
+
+def test_span_duplicates_sliding_alignment(spark):
+    """Sliding spans catch SHIFTED copies fixed blocks miss, count
+    within-document repetitions, and emit only duplicated spans."""
+    from datafusion_dft_spark.operators.dedup import span_duplicates
+
+    rows = [
+        (1, "a b c d e"),      # 3-grams: abc bcd cde
+        (2, "x a b c d"),      # xab abc bcd  (shares abc+bcd, shifted)
+        (3, "q r s t u"),      # all unique
+        (4, "m n m n m"),      # mnm nmn mnm  (within-doc repeat)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.keep_id, r.n_copies)
+        for r in span_duplicates(df, "doc_id", "text", span_words=3).collect()
+    }
+    # duplicated spans: 'a b c' (docs 1,2), 'b c d' (docs 1,2),
+    # 'm n m' (doc 4 twice); nothing from doc 3, no singletons
+    assert got == {(1, 2), (4, 2)}
+    n_rows = span_duplicates(df, "doc_id", "text", span_words=3).count()
+    assert n_rows == 3
