@@ -130,3 +130,56 @@ def salted_aggregate(
     return stage1.groupBy(key).agg(
         *[mergers[fn](f"__p_{c}").alias(f"{fn}_{c}") for c, fn in agg_exprs.items()]
     )
+
+
+def skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Pre-flight skew diagnostic for a shuffle key: one row per metric.
+
+    The question every 100 TB groupBy/join plan review asks first —
+    "how hot is the hottest key?" — answered as a relation:
+    ``(metric, val)`` with n_keys, max_count, mean_count, p99_count,
+    max_over_mean (the skew factor), and suggested_salt =
+    ceil(max/mean), the bucket count that levels the hottest key down
+    to roughly average task load (the salting heuristic
+    ``salted_aggregate`` consumes). Exact percentile runs on integer
+    counts, where linear interpolation midpoints are IEEE-exact — the
+    repo's engine-portability convention for oracle-checked quantiles.
+
+    Plan: one map-side-combining count aggregate on the key + a
+    single-row summary aggregate — the same cost class as the groupBy
+    being diagnosed, so running it first is never the bottleneck.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    s = counts.agg(
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
+        F.max("cnt").cast("double").alias("max_count"),
+        F.avg("cnt").alias("mean_count"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_count"),
+    ).select(
+        "n_keys",
+        "max_count",
+        F.round(F.col("mean_count") + 1e-9, 4).alias("mean_count"),
+        F.round(F.col("p99_count") + 1e-9, 4).alias("p99_count"),
+        F.round(F.col("max_count") / F.col("mean_count") + 1e-9, 4).alias(
+            "max_over_mean"
+        ),
+        F.ceil(F.col("max_count") / F.col("mean_count")).cast("double").alias(
+            "suggested_salt"
+        ),
+    )
+    metrics = [
+        "n_keys",
+        "max_count",
+        "mean_count",
+        "p99_count",
+        "max_over_mean",
+        "suggested_salt",
+    ]
+    # unpivot to (metric, val) rows — stack is a projection, no shuffle
+    return s.select(
+        F.expr(
+            "stack({}, {})".format(
+                len(metrics), ", ".join(f"'{m}', {m}" for m in metrics)
+            )
+        ).alias("metric", "val")
+    )

@@ -44,21 +44,49 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "salted_aggregate_skew",
     oracle="""
-        SELECT event_type, sum(value) IS NOT NULL AS has_sum,
-               round(sum(value), 2) AS sum_value, count(*) AS n
+        SELECT 'agg' AS variant, event_type AS key,
+               round(sum(value), 2) AS val, count(*) AS n
         FROM events
         GROUP BY event_type
+        UNION ALL
+        SELECT 'skew' AS variant, metric AS key, val, NULL::BIGINT AS n
+        FROM (
+            SELECT round(CAST(count(*) AS DOUBLE) + 1e-9, 4) AS n_keys,
+                   round(CAST(max(cnt) AS DOUBLE) + 1e-9, 4) AS max_count,
+                   round(avg(cnt) + 1e-9, 4) AS mean_count,
+                   round(quantile_cont(cnt, 0.99) + 1e-9, 4) AS p99_count,
+                   round(max(cnt) / avg(cnt) + 1e-9, 4) AS max_over_mean,
+                   CAST(ceil(max(cnt) / avg(cnt)) AS DOUBLE) AS suggested_salt
+            FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+        ) s
+        UNPIVOT (val FOR metric IN (n_keys, max_count, mean_count,
+                                    p99_count, max_over_mean, suggested_salt))
     """,
-    tags=("aggregate", "skew"),
-    doc="Two-stage salted aggregation over a low-cardinality (maximally "
-    "skewed) key — result must equal the direct groupBy.",
+    tags=("aggregate", "skew", "diagnostics"),
+    doc="Skew handling as a pair, variant-tagged: 'agg' = two-stage SALTED "
+    "aggregation over a low-cardinality (maximally skewed) key — result "
+    "must equal the direct groupBy; 'skew' = the PRE-FLIGHT SKEW REPORT "
+    "(operators/joins.py::skew_report) on events.user_id: per-key counts "
+    "summarized to n_keys / max / mean / exact-p99 / max-over-mean and "
+    "suggested_salt = ceil(max/mean) — the diagnostic a 100 TB plan "
+    "review runs before choosing the salt factor the 'agg' variant "
+    "consumes. One count aggregate + a one-row summary; the exact "
+    "percentile runs on integer counts (IEEE-exact interpolation, the "
+    "repo's oracle-checked-quantile convention).",
 )
 def salted_aggregate_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     out = J.salted_aggregate(ev, "event_type", {"value": "sum", "event_id": "count"}, 8)
-    return out.select(
-        "event_type",
-        F.col("sum_value").isNotNull().alias("has_sum"),
-        F.round("sum_value", 2).alias("sum_value"),
+    agg = out.select(
+        F.lit("agg").alias("variant"),
+        F.col("event_type").alias("key"),
+        F.round("sum_value", 2).alias("val"),
         F.col("count_event_id").alias("n"),
     )
+    skew = J.skew_report(ev, "user_id").select(
+        F.lit("skew").alias("variant"),
+        F.col("metric").alias("key"),
+        "val",
+        F.lit(None).cast("long").alias("n"),
+    )
+    return agg.unionAll(skew)

@@ -347,3 +347,62 @@ def test_compat_sql_udfs_inline_into_codegen(spark, sf_dir):
     # the filter's locate() expression reaches the scan as a pushable
     # predicate region (at minimum it planned as a plain Filter)
     assert "locate" in plan.lower() or "Filter" in plan, plan
+
+
+def test_bm25_zero_data_shuffles(spark, sf_dir):
+    """BM25's contract (operators/retrieval.py): per-doc term
+    frequencies are array folds and the corpus stats are ONE
+    map-side-combining aggregate broadcast back — the only exchange in
+    the plan is the single-row stats aggregation, never a data
+    shuffle, and the stats join is a broadcast."""
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators.retrieval import bm25_scores
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = bm25_scores(docs, ("hash", "join", "stream"))
+    # one Exchange pair for the global agg (partial->final single row);
+    # no repartition of the documents themselves
+    assert ex.exchange_count(df) <= 1, ex.simple_plan(df)
+    assert ex.uses_broadcast_join(df), ex.simple_plan(df)
+    assert "SortMergeJoin" not in ex.simple_plan(df)
+
+
+def test_span_dedup_single_shuffle_no_joins(spark, sf_dir):
+    """Span-grain substring dedup is one explode + one map-side-
+    combining hash aggregation: exactly one full-data exchange, no
+    joins, and partial aggregation before it."""
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators.dedup import span_duplicates
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = span_duplicates(docs, "doc_id", "text", span_words=20)
+    assert ex.exchange_count(df) <= 1, ex.simple_plan(df)
+    assert "Join" not in ex.simple_plan(df), ex.simple_plan(df)
+    assert ex.has_partial_aggregation(df), ex.formatted_plan(df)
+
+
+def test_top_ngrams_prunes_before_global_topk(spark, sf_dir):
+    """Vocabulary building: the min_count tail-prune must run in the
+    AGGREGATE stage (before the global top-k ordering), and the final
+    top-k plans as TakeOrderedAndProject — never a global sort of the
+    full gram population."""
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators.text import top_ngrams
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = top_ngrams(docs, "text", n=2, k=8, min_count=2)
+    plan = ex.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """ORC must carry the same pushdown/pruning contract as parquet —
+    the reason it qualifies as a 100 TB source."""
+    src = str(tmp_path / "ev.orc")
+    spark.range(1000).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id AS DOUBLE) AS v"
+    ).write.format("orc").save(src)
+    df = spark.read.orc(src).filter("grp = 3").select("id")
+    assert ex.pushed_filters(df), ex.formatted_plan(df)
+    cols = ex.scan_columns(df)
+    assert cols and all(len(c) <= 2 for c in cols), cols

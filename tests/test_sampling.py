@@ -129,3 +129,22 @@ def test_inverse_frequency_validation(spark):
         sp.inverse_frequency_sample(docs, "doc_id", "lang", temperature=1.5)
     empty = spark.createDataFrame([], "doc_id long, lang string")
     assert sp.inverse_frequency_sample(empty, "doc_id", "lang").count() == 0
+
+
+def test_skew_report_hand_computed(spark):
+    """skew_report metrics on a known distribution: keys a:6 b:2 c:1 ->
+    n_keys=3, max=6, mean=3, p99 interpolated on [1,2,6], ratio=2,
+    suggested_salt=ceil(2)=2."""
+    from datafusion_dft_spark.operators.joins import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.metric: r.val for r in skew_report(df, "k").collect()}
+    assert got["n_keys"] == 3.0
+    assert got["max_count"] == 6.0
+    assert got["mean_count"] == 3.0
+    # percentile(cnt, .99) over sorted [1,2,6]: pos=0.99*2=1.98 ->
+    # 2 + 0.98*(6-2) = 5.92
+    assert got["p99_count"] == 5.92
+    assert got["max_over_mean"] == 2.0
+    assert got["suggested_salt"] == 2.0
