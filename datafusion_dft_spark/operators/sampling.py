@@ -109,6 +109,39 @@ def inverse_frequency_sample(
     return df.filter(hash_bucket(key) < expr.otherwise(F.lit(0)))
 
 
+def quality_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    score: Column,
+    quantile: float = 0.75,
+) -> DataFrame:
+    """Curriculum/quality binning: keep rows whose ``score`` is at or
+    above the per-stratum ``quantile`` — e.g. the top quality quartile
+    of every language, the standard high-quality-subset stage a
+    training mix applies after cleaning.
+
+    Unlike the content-hash samplers (membership decided per row at
+    scan level), the threshold here is DATA-DEPENDENT: one exact
+    percentile aggregate per stratum (#strata rows), broadcast back,
+    one filter — two scans of the score projection, zero data
+    shuffles beyond the tiny threshold aggregate. The exact percentile
+    runs on 4-dp-rounded scores whose interpolation midpoints both
+    engines compute identically (oracle-checked in ``sampling_suite``).
+    Ties at the threshold are INCLUDED (>=) so the subset is
+    deterministic under re-runs and engine swaps.
+    """
+    scored = df.select(F.col(id_col), F.col(stratum_col), score.alias("_q"))
+    th = scored.groupBy(stratum_col).agg(
+        F.expr(f"percentile(_q, {quantile})").alias("_t")
+    )
+    return (
+        scored.join(F.broadcast(th), stratum_col)
+        .filter(F.col("_q") >= F.col("_t"))
+        .select(id_col, stratum_col)
+    )
+
+
 def sample_oracle_sql(key: str, fraction: float, table: str = "documents") -> str:
     """The DuckDB-equivalent predicate, for differential tests."""
     return (

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..operators import sampling as sp
+from ..operators import text as tx
 from ..operators.ordering import deterministic_shuffle
 from ..registry import query
 
@@ -23,6 +24,12 @@ _SHUFFLE_SEED = 7
 # drop everything else (absent strata drop — explicit beats implicit
 # when the output feeds a training mix).
 _STRATA = {"en": 0.5, "de": 1.0}
+# Quality-stratified ('curriculum') variant: keep documents at or above
+# this per-language quality-score quantile (top quartile).
+_QUALITY_QUANTILE = 0.75
+# DuckDB replay of operators/text.py::quality_score — keep in sync with
+# the stopword list there.
+_STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
 
 
 @query(
@@ -56,6 +63,30 @@ _STRATA = {"en": 0.5, "de": 1.0}
                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#{_SHUFFLE_SEED}'),
                             doc_id) - 1 AS BIGINT) AS shuffle_pos
         FROM documents
+        UNION ALL
+        SELECT 'qual' AS variant, doc_id, lang, NULL::BIGINT AS shuffle_pos
+        FROM (
+            SELECT doc_id, lang,
+                   round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                         + len(list_filter(string_split(text, ' '),
+                               w -> list_contains({_STOPLIST_SQL}, w)))
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+                         + 1e-9, 4) AS q
+            FROM documents
+        ) d
+        JOIN (
+            SELECT lang, quantile_cont(q, {_QUALITY_QUANTILE}) AS t
+            FROM (
+                SELECT lang,
+                       round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                             + len(list_filter(string_split(text, ' '),
+                                   w -> list_contains({_STOPLIST_SQL}, w)))
+                               / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+                             + 1e-9, 4) AS q
+                FROM documents
+            ) GROUP BY lang
+        ) th USING (lang)
+        WHERE d.q >= th.t
     """,
     tags=("sampling", "pipeline"),
     doc="Deterministic content-hash sampling (md5(key) mod M < p*M): a flat "
@@ -74,7 +105,12 @@ _STRATA = {"en": 0.5, "de": 1.0}
     "order-aligned md5 buckets, prefix counts to the driver, one "
     "shuffle — never a single-task global row_number; "
     "operators/ordering.py), differentially checked against the plain "
-    "SQL row_number definition. operators/sampling.py.",
+    "SQL row_number definition. The fifth variant is QUALITY-STRATIFIED "
+    "(curriculum) sampling: keep rows at/above the per-language 0.75 "
+    "quality-score quantile (operators/sampling.py::"
+    "quality_stratified_sample — one exact-percentile agg per stratum "
+    "broadcast back, ties included so the subset is deterministic). "
+    "operators/sampling.py.",
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
@@ -91,4 +127,7 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuf = deterministic_shuffle(docs, "doc_id", seed=_SHUFFLE_SEED).select(
         F.lit("shuf").alias("variant"), "doc_id", "lang", "shuffle_pos"
     )
-    return det.unionAll(strat).unionAll(mix).unionAll(shuf)
+    qual = sp.quality_stratified_sample(
+        docs, "doc_id", "lang", tx.quality_score("text"), quantile=_QUALITY_QUANTILE
+    ).select(F.lit("qual").alias("variant"), "doc_id", "lang", nopos)
+    return det.unionAll(strat).unionAll(mix).unionAll(shuf).unionAll(qual)

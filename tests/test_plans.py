@@ -271,14 +271,17 @@ def test_window_topk_no_extra_shuffle(spark, sf_dir):
 
 
 def test_sampling_suite_is_scan_level(spark, sf_dir):
-    """The three sampling variants stay filters over the scan; the
+    """The three hash-sampling variants stay filters over the scan; the
     reproducible-shuffle variant adds EXACTLY ONE exchange (its
-    256-bucket distributed-rank window) and no join — the prefix map
-    rides as a literal."""
+    256-bucket distributed-rank window; the prefix map rides as a
+    literal) and the quality-stratified variant adds only its
+    per-stratum percentile aggregate exchange plus a BROADCAST
+    threshold join — two exchanges total, no shuffle join anywhere."""
     df = _build("sampling_suite", spark, sf_dir)
     plan = ex.formatted_plan(df)
-    assert ex.exchange_count(df) == 1, plan
-    assert "Join" not in plan, plan
+    assert ex.exchange_count(df) == 2, plan
+    assert ex.uses_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
