@@ -276,3 +276,30 @@ def test_bigram_logprob_hand_computed(spark):
     # scrambled common words score HIGHER surprisal than a repeated
     # frequent transition: the order-sensitivity the unigram model lacks
     assert got[1] > got[2]
+
+
+def test_bm25_edge_cases(spark):
+    """Terms absent from the corpus contribute idf*0 = 0; a doc with
+    zero query terms scores exactly 0.0; empty input yields no rows."""
+    from datafusion_dft_spark.operators.retrieval import bm25_scores
+
+    df = spark.createDataFrame([(1, "p q r s")], "doc_id long, text string")
+    got = bm25_scores(df, ("zz", "yy")).collect()
+    assert [r.bm25_score for r in got] == [0.0]
+    empty = df.filter("doc_id < 0")
+    assert bm25_scores(empty, ("p",)).count() == 0
+
+
+def test_quality_stratified_ties_included(spark):
+    """All-equal scores within a stratum: threshold == the score, so
+    EVERY row survives (>= semantics) — deterministic under re-runs."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dft_spark.operators.sampling import quality_stratified_sample
+
+    rows = [(i, "en") for i in range(6)] + [(10 + i, "de") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = quality_stratified_sample(
+        df, "doc_id", "lang", F.lit(0.5), quantile=0.75
+    )
+    assert out.count() == 9  # ties at the threshold are kept, all strata
