@@ -55,7 +55,16 @@ def decode_image(content: bytes):
 
 
 def decode_audio(content: bytes):
-    raise NotImplementedError("audio decode needs soundfile/ffmpeg")
+    """Full SAMPLE decode requires soundfile/ffmpeg — not in this container.
+
+    Header/structure decode (format, sample rate, channels, bit depth,
+    declared sample count) IS implemented — see ``parse_audio_header``
+    / ``decode_audio_headers``.
+    """
+    raise NotImplementedError(
+        "audio sample decode needs soundfile/ffmpeg; header parse is "
+        "real — use parse_audio_header / decode_audio_headers"
+    )
 
 
 # --- real image header decode (no codec libraries required) ----------------
@@ -310,6 +319,262 @@ def plant_images(
     return df.withColumn(image_col, F.when(did % 2 == 0, png).otherwise(jpeg))
 
 
+# --- real audio header decode (no codec libraries required) ----------------
+#
+# WAV (RIFF, Microsoft/IBM multimedia spec): "RIFF" <size:4 LE> "WAVE",
+# then a chunk walk — each chunk is <id:4> <size:4 LE> <payload>,
+# word-aligned (odd sizes carry a pad byte). The "fmt " chunk holds the
+# PCM header: audio_format(2 LE) channels(2 LE) sample_rate(4 LE)
+# byte_rate(4 LE) block_align(2 LE) bits_per_sample(2 LE). The "data"
+# chunk's DECLARED size gives the sample count (size / block_align) —
+# a header parse trusts the declaration and never reads sample bytes,
+# so it is exact and bounded by header size regardless of payload size
+# (the same contract as the image header parsers above).
+
+_WAV_CANONICAL_DATA_OFF = 36  # "data" chunk id offset when fmt is first
+
+
+def parse_audio_header(b: bytes):
+    """(format, sample_rate, channels, bits, data_size) from RIFF bytes,
+    else 5×None.
+
+    The scalar reference implementation (and the chunk-walk fallback of
+    the vectorized batch kernel, for WAVs carrying extra chunks — LIST
+    metadata, fact — before "data"). Reads ONLY chunk structure; the
+    data payload may be truncated or absent entirely and the declared
+    sizes still parse, matching how duration probes (ffprobe, soxi)
+    read headers without decoding samples.
+    """
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None, None
+    rate = ch = bits = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        sz = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            if sz < 16 or i + 8 + 16 > len(b):
+                return None, None, None, None, None  # truncated/corrupt fmt
+            body = b[i + 8 : i + 24]
+            ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data_size = sz
+            break  # sample bytes follow — the header walk stops here
+        i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if rate is None:
+        return None, None, None, None, None
+    return "wav", rate, ch, bits, data_size
+
+
+def _parse_audio_arrays(arr):
+    """Vectorized WAV header parse over a pyarrow (large_)binary array.
+
+    Returns (format, rate, channels, bits, n_samples) as object/int64
+    numpy arrays with None/-1 for unparseable rows. The CANONICAL
+    layout (fmt chunk first, data second — what every encoder writes)
+    is fully vectorized: all fields sit at fixed offsets, read as
+    little-endian gathers on the shared data buffer. RIFF files with
+    extra chunks before "data" fall back to the scalar chunk walk —
+    still bounded by header bytes, not payload.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if pa.types.is_binary(arr.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        raise TypeError(f"expected (large_)binary, got {arr.type}")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+    )
+    n = len(arr)
+    fmt = np.full(n, None, dtype=object)
+    rate = np.full(n, -1, dtype=np.int64)
+    channels = np.full(n, -1, dtype=np.int64)
+    bits = np.full(n, -1, dtype=np.int64)
+    nsamp = np.full(n, -1, dtype=np.int64)
+    starts, lens = offsets[:-1], offsets[1:] - offsets[:-1]
+
+    # RIFF/WAVE at the fixed signature offsets (header needs 44 bytes
+    # in the canonical layout: 12 sig + 24 fmt + 8 data header)
+    riff = np.nonzero(lens >= 44)[0]
+    if riff.size:
+        s = starts[riff]
+        ok = np.ones(riff.size, dtype=bool)
+        for k, byte in enumerate(b"RIFF"):
+            ok &= data[s + k] == byte
+        for k, byte in enumerate(b"WAVE"):
+            ok &= data[s + 8 + k] == byte
+        riff, s = riff[ok], s[ok]
+    if riff.size:
+        # canonical fast path: "fmt " (size 16, PCM) at 12, "data" at 36
+        ok = np.ones(riff.size, dtype=bool)
+        for k, byte in enumerate(b"fmt \x10\x00\x00\x00"):
+            ok &= data[s + 12 + k] == byte
+        for k, byte in enumerate(b"data"):
+            ok &= data[s + _WAV_CANONICAL_DATA_OFF + k] == byte
+        canon, sc = riff[ok], s[ok]
+        if canon.size:
+
+            def le(o, nbytes):
+                v = np.zeros(sc.size, dtype=np.int64)
+                for k in range(nbytes):
+                    v |= data[sc + o + k].astype(np.int64) << (8 * k)
+                return v
+
+            channels[canon] = le(22, 2)
+            rate[canon] = le(24, 4)
+            align = le(32, 2)
+            bits[canon] = le(34, 2)
+            dsz = le(40, 4)
+            nsamp[canon] = np.where(align > 0, dsz // np.maximum(align, 1), -1)
+            fmt[canon] = "wav"
+        # non-canonical RIFF rows (extra chunks) → scalar chunk walk
+        for i in riff[~ok]:
+            f, r, c, bt, dsz = parse_audio_header(
+                data[starts[i] : starts[i] + lens[i]].tobytes()
+            )
+            if f is not None:
+                fmt[i] = f
+                rate[i] = -1 if r is None else r
+                channels[i] = -1 if c is None else c
+                bits[i] = -1 if bt is None else bt
+                align = (c or 0) * ((bt or 0) // 8)
+                if dsz is not None and align > 0:
+                    nsamp[i] = dsz // align
+    return fmt, rate, channels, bits, nsamp
+
+
+def decode_audio_headers(
+    binary_df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio"
+) -> DataFrame:
+    """(id, aud_format, aud_rate, aud_channels, aud_bits, aud_samples,
+    aud_ms) per row.
+
+    Real decode of audio STRUCTURE from RIFF bytes inside one
+    ``mapInArrow`` stage — same contract as ``decode_image_headers``:
+    bytes never leave the executor, no codec library, canonical-layout
+    rows fully vectorized, unrecognized payloads yield NULLs rather
+    than erroring. ``aud_ms`` is exact integer milliseconds
+    (samples*1000 div rate) so cross-engine checks never touch floats.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    id_field = binary_df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("aud_format", T.StringType()),
+            T.StructField("aud_rate", T.LongType()),
+            T.StructField("aud_channels", T.LongType()),
+            T.StructField("aud_bits", T.LongType()),
+            T.StructField("aud_samples", T.LongType()),
+            T.StructField("aud_ms", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            content = batch.column(batch.schema.get_field_index(audio_col))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index(id_col))]
+                + _audio_header_arrays(content),
+                names=[
+                    id_col, "aud_format", "aud_rate", "aud_channels",
+                    "aud_bits", "aud_samples", "aud_ms",
+                ],
+            )
+
+    return binary_df.mapInArrow(run, schema=out_schema)
+
+
+def _audio_header_arrays(content) -> list:
+    """pyarrow output columns for one batch of audio payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    fmt, rate, ch, bits, nsamp = _parse_audio_arrays(content)
+    ms = np.where((nsamp >= 0) & (rate > 0), nsamp * 1000 // np.maximum(rate, 1), -1)
+    return [
+        pa.array(fmt, pa.string()),
+        pa.array([None if x < 0 else x for x in rate], pa.int64()),
+        pa.array([None if x < 0 else x for x in ch], pa.int64()),
+        pa.array([None if x < 0 else x for x in bits], pa.int64()),
+        pa.array([None if x < 0 else x for x in nsamp], pa.int64()),
+        pa.array([None if x < 0 else x for x in ms], pa.int64()),
+    ]
+
+
+def plant_audio(
+    df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio"
+) -> DataFrame:
+    """Append a deterministic, structurally VALID WAV header per row.
+
+    Entirely JVM-side (concat/unhex/shiftright — whole-stage codegen,
+    no UDF): every row gets a canonical RIFF/WAVE PCM header whose
+    declared "data" size encodes the sample count; the sample bytes
+    themselves are omitted (a truncated file — the header parse trusts
+    declared sizes by contract, and planting them would add
+    data_size bytes per row for a decode that never reads them).
+    Field formulas (documented here, recomputed independently by the
+    DuckDB oracle):
+
+        rate     = [8000, 16000, 22050, 44100][id % 4]
+        channels = id % 2 + 1
+        bits     = 8 if id % 3 == 0 else 16
+        samples  = id % 1000 + 1
+        data sz  = samples * channels * bits/8
+    """
+    did = F.col(id_col)
+
+    def le(col, nbytes):
+        c = col.cast("long")
+        return F.unhex(
+            F.concat(
+                *[
+                    F.lpad(F.hex(F.shiftright(c, 8 * i) % 256), 2, "0")
+                    for i in range(nbytes)
+                ]
+            )
+        )
+
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (did % 4 + 1).cast("int"),
+    )
+    ch = did % 2 + 1
+    bytes_per = F.when(did % 3 == 0, F.lit(1)).otherwise(F.lit(2))
+    nsamp = did % 1000 + 1
+    block_align = ch * bytes_per
+    data_size = nsamp * block_align
+    wav = F.concat(
+        F.unhex(F.lit("52494646")),  # "RIFF"
+        le(F.lit(36) + data_size, 4),  # riff size = 4 + (8+16) + 8 + data
+        F.unhex(F.lit("57415645")),  # "WAVE"
+        F.unhex(F.lit("666D7420")),  # "fmt "
+        F.unhex(F.lit("10000000")),  # fmt chunk size = 16 (LE)
+        F.unhex(F.lit("0100")),  # audio format 1 = PCM (LE)
+        le(ch, 2),
+        le(rate, 4),
+        le(rate * block_align, 4),  # byte rate
+        le(block_align, 2),
+        le(bytes_per * 8, 2),  # bits per sample
+        F.unhex(F.lit("64617461")),  # "data"
+        le(data_size, 4),
+    )
+    return df.withColumn(audio_col, wav)
+
+
 def _fake_features(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic byte-level 'decode': length, 8-byte checksum, frame count.
 
@@ -358,7 +623,11 @@ def _byte_sums(arr) -> "object":
     return csum[offsets[1:]] - csum[offsets[:-1]]
 
 
-def extract_features(binary_df: DataFrame, image_col: str | None = None) -> DataFrame:
+def extract_features(
+    binary_df: DataFrame,
+    image_col: str | None = None,
+    audio_col: str | None = None,
+) -> DataFrame:
     """Arrow-native feature extraction over the binary column.
 
     ``mapInArrow``, not ``mapInPandas``: the stand-in features are pure
@@ -368,14 +637,24 @@ def extract_features(binary_df: DataFrame, image_col: str | None = None) -> Data
     operator's r6 DuckDB-proxy gap — is skipped. With ``image_col`` the
     SAME batch pass also runs the real image-header decode
     (``_parse_image_arrays``) and appends img_format/width/height/
-    channels — one Arrow stage, one scan, no join."""
+    channels; with ``audio_col`` it additionally runs the real WAV
+    header decode (``_parse_audio_arrays``) and appends the aud_*
+    columns — one Arrow stage, one scan, no join, no extra Python
+    boundary (the per-stage launch round trip is this operator's
+    measured dominant cost, so every decoder must ride the same stage)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    schema = FEATURE_SCHEMA if image_col is None else (
-        FEATURE_SCHEMA
-        + ", img_format string, img_width long, img_height long, img_channels long"
-    )
+    schema = FEATURE_SCHEMA
+    if image_col is not None:
+        schema += (
+            ", img_format string, img_width long, img_height long, img_channels long"
+        )
+    if audio_col is not None:
+        schema += (
+            ", aud_format string, aud_rate long, aud_channels long,"
+            " aud_bits long, aud_samples long, aud_ms long"
+        )
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
@@ -402,6 +681,13 @@ def extract_features(binary_df: DataFrame, image_col: str | None = None) -> Data
                     pa.array([None if x < 0 else x for x in ch], pa.int64()),
                 ]
                 names += ["img_format", "img_width", "img_height", "img_channels"]
+            if audio_col is not None:
+                aud = batch.column(batch.schema.get_field_index(audio_col))
+                arrays += _audio_header_arrays(aud)
+                names += [
+                    "aud_format", "aud_rate", "aud_channels",
+                    "aud_bits", "aud_samples", "aud_ms",
+                ]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return binary_df.mapInArrow(run, schema=schema)

@@ -32,12 +32,20 @@ from ..registry import query
                    CASE WHEN doc_id % 2 = 0
                         THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
                         ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
-                   END AS img_channels
+                   END AS img_channels,
+                   'wav' AS aud_format,
+                   CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS aud_rate,
+                   doc_id % 2 + 1 AS aud_channels,
+                   CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS aud_bits,
+                   doc_id % 1000 + 1 AS aud_samples
             FROM documents
         )
         SELECT doc_id, byte_len, checksum8, n_frames,
                count(*) OVER (PARTITION BY n_frames) AS n_docs_same_frames,
-               img_format, img_width, img_height, img_channels
+               img_format, img_width, img_height, img_channels,
+               aud_format, aud_rate, aud_channels, aud_bits, aud_samples,
+               aud_samples * 1000 // aud_rate AS aud_ms
         FROM base
     """,
     tags=("multimodal", "pandas-udf"),
@@ -53,14 +61,23 @@ from ..registry import query
     "recomputes the planted dimension formulas independently, so a "
     "planting/parsing disagreement on either side fails the row. The "
     "parser itself is pinned to real-world fixture bytes in "
-    "tests/test_multimodal.py.",
+    "tests/test_multimodal.py. The aud_* columns are the same pattern "
+    "for AUDIO: spec-valid RIFF/WAVE PCM headers are planted JVM-side "
+    "(plant_audio — true little-endian chunk layout, declared data size "
+    "encoding the sample count) and parsed back OUT in the SAME Arrow "
+    "stage (parse_audio_header — no extra Python boundary); aud_ms is "
+    "exact integer math (samples*1000 div rate) on both engines.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    binary = mm.plant_images(
-        mm.to_binary_table(docs, "doc_id", "text"), "doc_id", "image"
+    binary = mm.plant_audio(
+        mm.plant_images(
+            mm.to_binary_table(docs, "doc_id", "text"), "doc_id", "image"
+        ),
+        "doc_id",
+        "audio",
     )
-    feats = mm.extract_features(binary, image_col="image")
+    feats = mm.extract_features(binary, image_col="image", audio_col="audio")
     # Frame path: mapInPandas chunking -> per-doc frame count -> histogram.
     frames = mm.sample_frames(binary)
     per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
@@ -70,4 +87,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "byte_len", "checksum8", "n_frames", "n_docs_same_frames",
         "img_format", "img_width", "img_height", "img_channels",
+        "aud_format", "aud_rate", "aud_channels", "aud_bits", "aud_samples",
+        "aud_ms",
     )
