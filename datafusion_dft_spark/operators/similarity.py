@@ -812,6 +812,34 @@ def refine_centroids(
     return cents
 
 
+def _stride_centroid_rows(
+    cd: DataFrame, nrows: int, n_centroids: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic md5-stride centroid sample, materialized.
+
+    A distributed hash-stride filter keeps ~n_centroids candidates
+    executor-side (collecting all corpus ids to the driver would OOM at
+    the scales these operators target), then a tiny ordered limit pins
+    the exact set — <= n_centroids rows BY CONSTRUCTION. md5 (not
+    xxhash64) keeps the sample engine-portable: DuckDB reproduces
+    ('0x'||substr(md5(id),1,8))::BIGINT % stride. Shared by the IVF
+    index and the SemDeDup clustering so both replay identically in the
+    differential oracles. ``cd`` must carry (cid, cv) columns.
+    """
+    stride = max(1, nrows // n_centroids)
+    stride_hash = F.conv(
+        F.substring(F.md5(F.col("cid").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rows = (
+        cd.filter(F.pmod(stride_hash, F.lit(stride)) == 0)
+        .orderBy("cid")
+        .limit(n_centroids)
+        .select(F.col("cid").alias("centroid_id"), F.col("cv").alias("centv"))
+        .collect()
+    )
+    return [(int(r.centroid_id), [float(x) for x in r.centv]) for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -844,24 +872,6 @@ def ivf_topk(
         .filter(valid_vec("cv", dim)),
         nrows,
     )
-    # Deterministic distributed sample: hash-stride filter keeps ~n_centroids
-    # candidates executor-side (collecting all corpus ids to the driver would
-    # OOM at the scales this operator targets), then a tiny ordered limit
-    # pins the exact set.
-    stride = max(1, nrows // n_centroids)
-    # md5-based stride (not xxhash64) keeps the sample engine-portable:
-    # DuckDB reproduces ('0x'||substr(md5(id),1,8))::BIGINT % stride.
-    stride_hash = F.conv(
-        F.substring(F.md5(F.col("cid").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    cents = (
-        cd.filter(F.pmod(stride_hash, F.lit(stride)) == 0)
-        .orderBy("cid")
-        .limit(n_centroids)
-        .select(F.col("cid").alias("centroid_id"), F.col("cv").alias("centv"))
-    )
-    if refine_iters:
-        cents = refine_centroids(cd, cents, iters=refine_iters)
     # Pin the centroid table: it is <= n_centroids rows BY CONSTRUCTION
     # (a bounded coarse quantizer, not data-scaled), but as a lazy plan
     # it would re-scan the corpus once per consumer (corpus assignment
@@ -870,8 +880,14 @@ def ivf_topk(
     # move every IVF implementation makes (the codebook lives with the
     # index, not the data).
     cents = corpus.sparkSession.createDataFrame(
-        cents.collect(), "centroid_id long, centv array<double>"
+        _stride_centroid_rows(cd, nrows, n_centroids),
+        "centroid_id long, centv array<double>",
     )
+    if refine_iters:
+        cents = refine_centroids(cd, cents, iters=refine_iters)
+        cents = corpus.sparkSession.createDataFrame(
+            cents.collect(), "centroid_id long, centv array<double>"
+        )
 
     def nearest(vec_df: DataFrame, vec: str, id_: str, n: int) -> DataFrame:
         scored = vec_df.crossJoin(F.broadcast(cents)).select(
@@ -964,3 +980,144 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# A single SemDeDup cell is verified O(cell^2) inside its owning task
+# (vectorized, blockwise) — the same placement a groupBy gives any hot
+# key. Cells beyond this bound mean n_clusters is mis-sized for the
+# corpus; fail LOUDLY instead of grinding one straggler task.
+_SEMANTIC_CELL_MAX = int(_os.environ.get("SPARK_GRAFT_SEMANTIC_CELL_MAX", "250000"))
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nrows: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster, then dedup
+    within each cluster only.
+
+    The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", arXiv
+    2303.09540): coarse-cluster the embedding space with k-means and
+    search for near-duplicates ONLY inside each cluster — the O(n^2)
+    pair space drops to O(n^2 / K) and each cell's pairwise pass runs
+    vectorized in worker memory. Pairs straddling a cluster boundary
+    are missed BY DESIGN (the approximation the paper measures); the
+    exhaustive formulations in ``cosine_dup_pairs`` are the recall
+    oracle.
+
+    Engine-portable clustering: centroids are the same deterministic
+    md5-stride sample the IVF index uses (``_stride_centroid_rows``) so
+    DuckDB replays assignment exactly; production at 100 TB would
+    Lloyd-refine them (``refine_centroids``) and scale ``n_clusters``
+    with the corpus so cells stay bounded. Plan shape: assignment is a
+    ZERO-SHUFFLE vectorized Arrow stage — one ``mapInArrow`` pass
+    computing ``argmax(mat @ centroids.T / centroid_norms)`` per batch
+    (the row norm is constant within a row so it CANCELS in the argmax;
+    K x dim doubles ride the closure, no crossJoin, no window; ties ->
+    smallest centroid_id via np.argmax-first over the id-sorted
+    centroid rows, matching the IVF oracle convention) — and the ONLY
+    exchange is the groupBy(cluster) feeding the in-cell vectorized
+    verify (one applyInPandas stage, blockwise numpy matmul,
+    >= threshold survivors only). An earlier formulation unrolled the
+    16 x dim literal dot products as JVM expressions; at dim 64 the
+    ~2000-node projection fell out of whole-stage codegen into
+    interpreted evaluation and cost 1.6 s at sf0.1 — 5x the entire
+    Arrow-stage formulation, measured.
+    """
+    spark = corpus.sparkSession
+    if nrows is None:
+        nrows = corpus.count()
+    if dim is None:
+        dim = _dim_of(corpus, vec_col)
+    empty_schema = "id1 long, id2 long, cosine double"
+    cd = corpus.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    ).filter(valid_vec("cv", dim))
+    cent_rows = _stride_centroid_rows(cd, nrows, n_clusters)
+    if not cent_rows:
+        return spark.createDataFrame([], empty_schema)
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    cmat = np.array([cv for _, cv in cent_rows], dtype=np.float64)  # K x dim
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cids_arr = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    assign_schema = T.StructType(
+        list(cd.schema.fields) + [T.StructField("cluster_id", T.LongType())]
+    )
+
+    def assign(batches):
+        for batch in batches:
+            cv_arr = batch.column(batch.schema.get_field_index("cv"))
+            n = len(cv_arr)
+            if n == 0:
+                continue
+            # valid_vec guarantees every row is exactly `dim` non-null
+            # doubles, so the flattened values reshape losslessly
+            mat = cv_arr.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            am = np.argmax(mat @ cmat.T / cnorm, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(cids_arr[am], pa.int64())],
+                names=list(batch.schema.names) + ["cluster_id"],
+            )
+
+    assigned = cd.mapInArrow(assign, schema=assign_schema)
+    thr = threshold
+    cell_max = _SEMANTIC_CELL_MAX
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_g = len(pdf)
+        if n_g > cell_max:
+            raise ValueError(
+                f"SemDeDup cell holds {n_g} rows (> {cell_max}); raise "
+                "n_clusters (cells scale as n/K) or "
+                "SPARK_GRAFT_SEMANTIC_CELL_MAX"
+            )
+        empty = pd.DataFrame(
+            {
+                "id1": np.array([], np.int64),
+                "id2": np.array([], np.int64),
+                "cosine": np.array([], np.float64),
+            }
+        )
+        if n_g < 2:
+            return empty
+        order = np.argsort(pdf["cid"].to_numpy())
+        ids = pdf["cid"].to_numpy()[order]
+        mat = np.stack(pdf["cv"].to_numpy()[order]).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        out1, out2, outc = [], [], []
+        for r0 in range(0, n_g, 2048):  # bound per-task memory
+            r1 = min(r0 + 2048, n_g)
+            sims = (mat[r0:r1] @ mat.T) / np.outer(nrm[r0:r1], nrm)
+            # prefilter with 1e-4 slack (2x the rounding step), round
+            # only the near-threshold superset — same convention as
+            # the bounded/banded verifies so all formulations hash
+            # identically against the oracle
+            ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
+            if not len(ri):
+                continue
+            c = np.round(sims[ri, cj] + 1e-9, 4)
+            keep = (c >= thr) & ((ri + r0) < cj)  # upper tri: id1 < id2
+            if keep.any():
+                out1.append(ids[(ri + r0)[keep]])
+                out2.append(ids[cj[keep]])
+                outc.append(c[keep])
+        if not out1:
+            return empty
+        return pd.DataFrame(
+            {
+                "id1": np.concatenate(out1),
+                "id2": np.concatenate(out2),
+                "cosine": np.concatenate(outc),
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(dedup_cell, empty_schema)

@@ -198,10 +198,43 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2'))
            OR id2 IN (SELECT vec_id FROM aug
                       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2'))
+        UNION ALL
+        SELECT 'semantic' AS method, p.id1, p.id2, p.cosine
+        FROM pairs p
+        JOIN (
+            SELECT vec_id, centroid_id FROM (
+                SELECT a.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                           list_dot_product(a.v, c.cv)
+                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                           DESC, c.centroid_id ASC) AS rnk
+                FROM aug a CROSS JOIN (
+                    SELECT vec_id AS centroid_id, v AS cv
+                    FROM aug, (SELECT greatest(1, count(*) // 16) AS s FROM aug)
+                    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % s = 0
+                    ORDER BY vec_id LIMIT 16
+                ) c
+            ) WHERE rnk = 1
+        ) a1 ON a1.vec_id = p.id1
+        JOIN (
+            SELECT vec_id, centroid_id FROM (
+                SELECT a.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                           list_dot_product(a.v, c.cv)
+                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                           DESC, c.centroid_id ASC) AS rnk
+                FROM aug a CROSS JOIN (
+                    SELECT vec_id AS centroid_id, v AS cv
+                    FROM aug, (SELECT greatest(1, count(*) // 16) AS s FROM aug)
+                    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % s = 0
+                    ORDER BY vec_id LIMIT 16
+                ) c
+            ) WHERE rnk = 1
+        ) a2 ON a2.vec_id = p.id2 AND a2.centroid_id = a1.centroid_id
     """,
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH candidates + "
-    "exact rerank, ALL THREE formulations method-tagged in one query "
+    "exact rerank, ALL FOUR formulations method-tagged in one query "
     "(consolidated for the driver's 50-query cap, the ann_pruned_topk "
     "pattern): 'bounded' = driver LSH bucketing over an Arrow-collected "
     "matrix + distributed two-tier verify; 'unbounded' = the fully "
@@ -211,7 +244,13 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verification instead of only a pytest equivalence check; "
     "'incremental' = the daily batch-vs-corpus increment "
     "(cosine_dup_pairs_incremental over an md5-stride split, oracle "
-    "restriction recomputed independently in DuckDB). The "
+    "restriction recomputed independently in DuckDB); 'semantic' = the "
+    "SemDeDup recipe (Abbas et al. 2023) — md5-stride k-means cells, "
+    "near-dup search WITHIN each cell only (pairs straddling a cell "
+    "boundary missed by design, O(n^2/K) at scale), zero-shuffle "
+    "literal-centroid argmax assignment + one applyInPandas in-cell "
+    "verify; the oracle replays the identical clustering and restricts "
+    "the exhaustive pair join to same-cell pairs. The "
     "natural corpus has no qualifying pairs at test SF, which made the "
     "oracle vacuously pass on 0 == 0 rows; both engines therefore seed "
     "five deterministic near-duplicates (vec_id<5 perturbed by +0.05 on "
@@ -271,12 +310,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_id_overlap=False,  # the split partitions one relation
         broadcast=True,  # ~19% stride batch is always in budget here
     )
+    semantic = sim.semantic_dup_pairs(
+        aug, threshold=0.95, n_clusters=16, dim=_DIM, nrows=nrows
+    )
     return bounded.select(
         F.lit("bounded").alias("method"), "id1", "id2", "cosine"
     ).unionByName(
         unbounded.select(F.lit("unbounded").alias("method"), "id1", "id2", "cosine")
     ).unionByName(
         incremental.select(F.lit("incremental").alias("method"), "id1", "id2", "cosine")
+    ).unionByName(
+        semantic.select(F.lit("semantic").alias("method"), "id1", "id2", "cosine")
     )
 
 

@@ -269,3 +269,115 @@ def test_cosine_incremental_equals_unbounded_restricted(spark, emb):
     want = {t for t in full if t[0] % 3 == 0 or t[1] % 3 == 0}
     assert inc == want
     assert inc  # the perturbed pairs must actually appear
+
+
+def test_semantic_dup_pairs_matches_clustered_reference(spark, emb):
+    """SemDeDup formulation vs an independent numpy reference: identical
+    md5-stride centroids, argmax-cosine assignment, exhaustive pairwise
+    >= threshold WITHIN each cell. Perturbed near-dups are planted so
+    the check is non-vacuous."""
+    import numpy as np
+
+    base = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    nrows = aug.count()
+    got = {
+        (r.id1, r.id2, r.cosine)
+        for r in sim.semantic_dup_pairs(
+            aug, threshold=0.95, n_clusters=16, dim=64, nrows=nrows
+        ).collect()
+    }
+    # independent reference: same centroid sample via the operator's own
+    # helper (itself pinned by the DuckDB differential), then plain numpy
+    rows = aug.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    cd = aug.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    cents = sim._stride_centroid_rows(cd, nrows, 16)
+    cmat = np.stack([np.array(v) for _, v in cents])
+    cids = np.array([c for c, _ in cents])
+    sims_c = (mat @ cmat.T) / (
+        np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(cmat, axis=1)[None, :]
+    )
+    assign = cids[np.argmax(sims_c, axis=1)]  # argmax ties -> first (min cid)
+    nrm = np.linalg.norm(mat, axis=1)
+    full = (mat @ mat.T) / np.outer(nrm, nrm)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and assign[i] == assign[j]:
+                c = round(full[i, j] + 1e-9, 4)
+                if c >= 0.95:
+                    want.add((int(ids[i]), int(ids[j]), c))
+    assert got == want and len(want) >= 5
+
+
+def test_semantic_dup_pairs_is_subset_of_exhaustive(spark, emb):
+    """Cell-boundary pairs are missed BY DESIGN — but every emitted pair
+    must appear in the exhaustive (unbounded) formulation."""
+    base = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    n = aug.count()
+    semantic = {
+        (r.id1, r.id2)
+        for r in sim.semantic_dup_pairs(aug, 0.95, dim=64, nrows=n).collect()
+    }
+    exhaustive = {
+        (r.id1, r.id2)
+        for r in sim.cosine_dup_pairs(
+            aug, threshold=0.95, dim=64, nrows=n, strategy="unbounded"
+        ).collect()
+    }
+    assert semantic and semantic <= exhaustive
+
+
+def test_semantic_dup_pairs_edge_cases(spark, emb, monkeypatch):
+    from datafusion_dft_spark.operators import similarity as simmod
+
+    # empty corpus -> empty typed result
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = sim.semantic_dup_pairs(empty, dim=64, nrows=0)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id1", "id2", "cosine"]
+    # invalid rows (NULL / ragged / zero vectors) are dropped, not fatal
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0] * 3), (3, [0.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    assert sim.semantic_dup_pairs(bad, dim=64, nrows=3).count() == 0
+    # an over-sized cell fails LOUDLY (mis-sized n_clusters at scale)
+    monkeypatch.setattr(simmod, "_SEMANTIC_CELL_MAX", 2)
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0] + [0.0] * 62) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="SemDeDup cell"):
+        sim.semantic_dup_pairs(dup, n_clusters=1, dim=64, nrows=6).collect()
+
+
+def test_semantic_assignment_is_shuffle_free(spark, emb):
+    """The cluster assignment must be a pure projection: the ONLY
+    exchange in the whole semantic plan is the groupBy(cluster) feeding
+    the in-cell verify — no crossJoin, no window, no extra shuffle."""
+    n = emb.count()
+    out = sim.semantic_dup_pairs(emb, 0.95, dim=64, nrows=n)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") <= 1, final
+    assert "CartesianProduct" not in final and "BroadcastNestedLoop" not in final
+    assert "FlatMapGroupsInPandas" in final  # in-cell verify
+    assert "MapInArrow" in final  # vectorized assignment stage
