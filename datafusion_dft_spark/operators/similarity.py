@@ -1121,3 +1121,58 @@ def semantic_dup_pairs(
         )
 
     return assigned.groupBy("cluster_id").applyInPandas(dedup_cell, empty_schema)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", scale_col: str = "q8_scale",
+    q_col: str = "q8",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the FAISS SQ8 scheme).
+
+    Appends ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)``
+    (q in [-127, 127]) — 4x smaller embedding storage, and because the
+    scale is symmetric AND per-vector it CANCELS in cosine, so ANN over
+    the quantized vectors approximates the full-precision ranking with
+    no dequantization join. All-zero vectors get scale 0 and an all-zero
+    q (dequantizes exactly). Entirely JVM-side higher-order expressions
+    — round() is HALF_UP on both Spark and DuckDB (away-from-zero), so
+    the quantized values are engine-exact and every downstream error
+    statistic is differentially checkable.
+    """
+    v = as_double(vec_col)
+    s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    sc = F.col(scale_col)
+    q = F.when(
+        sc > 0, F.transform(v, lambda x: F.round(x / sc))
+    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+    return df.withColumn(scale_col, s).withColumn(q_col, q)
+
+
+def quantization_error_cols(
+    vec_col: str = "embedding", scale_col: str = "q8_scale", q_col: str = "q8"
+) -> dict[str, Column]:
+    """Per-row reconstruction-quality columns for a quantized vector.
+
+    - ``q8_max_err``: max |x_i - q_i * scale| (bounded by scale/2)
+    - ``q8_mean_err``: mean absolute reconstruction error
+    - ``q8_cos_self``: cosine(original, quantized) — the scale cancels,
+      so this is computed directly on q (1.0 for all-zero vectors by
+      convention: quantization is exact there)
+
+    Per-element ops are engine-exact (same doubles, same HALF_UP
+    round); sums run left-to-right on both engines (F.aggregate /
+    list_sum, list_dot_product), the same convention the dedup verifies
+    rely on.
+    """
+    v = as_double(vec_col)
+    s = F.col(scale_col)
+    err = F.zip_with(v, F.col(q_col), lambda x, qq: F.abs(x - qq * s))
+    cos_self = F.when(
+        s > 0, cosine(v, F.col(q_col))
+    ).otherwise(F.lit(1.0))
+    return {
+        "q8_max_err": F.array_max(err),
+        "q8_mean_err": F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
+        / F.size(v).cast("double"),
+        "q8_cos_self": cos_self,
+    }

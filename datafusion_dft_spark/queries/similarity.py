@@ -327,26 +327,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_label_stats",
     oracle="""
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) / 127.0 AS s
+            FROM embeddings
+        ),
+        q AS (
+            SELECT label, v, s,
+                   CASE WHEN s > 0 THEN list_transform(v, x -> round(x / s))
+                        ELSE list_transform(v, x -> 0.0) END AS qv
+            FROM e
+        ),
+        m AS (
+            SELECT label, v, s, qv,
+                   [abs(v[i] - qv[i] * s) for i in range(1, len(v) + 1)] AS err
+            FROM q
+        )
         SELECT label,
                count(*) AS n_vectors,
-               round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                               CAST(embedding AS DOUBLE[])))) + 1e-9, 4) AS avg_norm,
-               round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                               CAST(embedding AS DOUBLE[])))) + 1e-9, 4) AS min_norm,
-               round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                               CAST(embedding AS DOUBLE[])))) + 1e-9, 4) AS max_norm
-        FROM embeddings
+               round(avg(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS avg_norm,
+               round(min(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS min_norm,
+               round(max(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS max_norm,
+               round(max(list_max(err)) + 1e-9, 6) AS q8_max_err,
+               round(avg(list_sum(err) / len(v)) * 1000 + 1e-9, 4) AS q8_avg_err_milli,
+               round(min(CASE WHEN s > 0 THEN
+                   list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                   ELSE 1.0 END) + 1e-9, 4) AS q8_min_cos
+        FROM m
         GROUP BY label
     """,
-    tags=("similarity", "aggregate"),
-    doc="Vector-norm statistics per label (array aggregation entirely JVM-side).",
+    tags=("similarity", "aggregate", "quantization"),
+    doc="Vector-norm statistics per label (array aggregation entirely "
+    "JVM-side) PLUS int8 quantization quality (consolidated for the "
+    "driver's 50-query cap): symmetric per-vector SQ8 quantization "
+    "(quantize_int8 — scale = max|x|/127, round HALF_UP on both "
+    "engines so quantized values are engine-exact) with per-label "
+    "reconstruction stats — max absolute error (order-independent "
+    "max-of-max), mean error in millis, and the minimum "
+    "original-vs-quantized cosine (the ANN-ranking-fidelity bound; the "
+    "per-vector scale cancels in cosine so quantized ANN needs no "
+    "dequantization join). The 100 TB story: 4x smaller embedding "
+    "storage with measured, differentially-verified quality bounds.",
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
+    qdf = sim.quantize_int8(emb)
+    ec = sim.quantization_error_cols()
     nrm = sim.norm(sim.as_double("embedding"))
-    return emb.groupBy("label").agg(
+    return qdf.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(nrm) + 1e-9, 4).alias("avg_norm"),
         F.round(F.min(nrm) + 1e-9, 4).alias("min_norm"),
         F.round(F.max(nrm) + 1e-9, 4).alias("max_norm"),
+        F.round(F.max(ec["q8_max_err"]) + 1e-9, 6).alias("q8_max_err"),
+        F.round(F.avg(ec["q8_mean_err"]) * 1000 + 1e-9, 4).alias("q8_avg_err_milli"),
+        F.round(F.min(ec["q8_cos_self"]) + 1e-9, 4).alias("q8_min_cos"),
     )

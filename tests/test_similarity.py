@@ -381,3 +381,53 @@ def test_semantic_assignment_is_shuffle_free(spark, emb):
     assert "CartesianProduct" not in final and "BroadcastNestedLoop" not in final
     assert "FlatMapGroupsInPandas" in final  # in-cell verify
     assert "MapInArrow" in final  # vectorized assignment stage
+
+
+def test_quantize_int8_roundtrip_properties(spark, emb):
+    """SQ8 invariants: q integer-valued in [-127,127], reconstruction
+    error bounded by scale/2, all-zero vectors quantize exactly."""
+    aug = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(999001, [0.0] * 64)], "vec_id long, embedding array<double>"
+        ).select("vec_id", sim.as_double("embedding").alias("embedding"))
+    )
+    qdf = sim.quantize_int8(aug)
+    ec = sim.quantization_error_cols()
+    rows = qdf.select(
+        "vec_id", "q8_scale", "q8",
+        ec["q8_max_err"].alias("max_err"), ec["q8_cos_self"].alias("cos_self"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert all(q == int(q) and -127 <= q <= 127 for q in r.q8)
+        if r.vec_id == 999001:
+            assert r.q8_scale == 0.0 and set(r.q8) == {0.0}
+            assert r.cos_self == 1.0 and r.max_err == 0.0
+        else:
+            assert r.q8_scale > 0
+            assert r.max_err <= r.q8_scale / 2 + 1e-12
+            assert r.cos_self > 0.99  # 8-bit keeps cosine essentially intact
+
+
+def test_quantized_ann_preserves_ranking(emb):
+    """The per-vector scale cancels in cosine, so brute-force top-k over
+    the quantized vectors reproduces the full-precision neighbors with
+    high overlap — the property that makes SQ8 storage usable for ANN
+    without a dequantization join."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5, dim=64).collect()
+    }
+    qcorpus = sim.quantize_int8(emb).select(
+        "vec_id", F.col("q8").alias("embedding")
+    )
+    qqueries = sim.quantize_int8(queries).select(
+        "vec_id", F.col("q8").alias("embedding")
+    )
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(qcorpus, qqueries, k=5, dim=64).collect()
+    }
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.9, f"SQ8 top-k overlap {overlap:.2f}"
