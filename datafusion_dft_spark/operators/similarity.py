@@ -988,11 +988,18 @@ def lsh_topk(
 # corpus; fail LOUDLY instead of grinding one straggler task.
 _SEMANTIC_CELL_MAX = int(_os.environ.get("SPARK_GRAFT_SEMANTIC_CELL_MAX", "250000"))
 
+# Auto-sized K targets this mean cell size: big enough that the fixed
+# per-cell costs amortize, small enough that a cell's O(cell^2)
+# verify stays a sub-second numpy matmul. Env-tunable.
+_SEMANTIC_TARGET_CELL = int(
+    _os.environ.get("SPARK_GRAFT_SEMANTIC_TARGET_CELL", "4096")
+)
+
 
 def semantic_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nrows: int | None = None,
@@ -1029,12 +1036,23 @@ def semantic_dup_pairs(
     ~2000-node projection fell out of whole-stage codegen into
     interpreted evaluation and cost 1.6 s at sf0.1 — 5x the entire
     Arrow-stage formulation, measured.
+
+    ``n_clusters=None`` auto-sizes K as ``ceil(nrows /
+    _SEMANTIC_TARGET_CELL)`` (min 16) so mean cell size — and with it
+    the O(cell^2) in-cell work — stays CONSTANT as the corpus grows:
+    total work O(n * target_cell), linear. The sf1→sf10 receipt
+    (``BENCH_SEMANTIC_SCALE.json``) measures both settings: K held
+    fixed grows toward quadratic, K scaled tracks row growth. The
+    oracled registry query pins K=16 so the DuckDB differential stays
+    closed-form.
     """
     spark = corpus.sparkSession
     if nrows is None:
         nrows = corpus.count()
     if dim is None:
         dim = _dim_of(corpus, vec_col)
+    if n_clusters is None:
+        n_clusters = max(16, -(-nrows // _SEMANTIC_TARGET_CELL))
     empty_schema = "id1 long, id2 long, cosine double"
     cd = corpus.select(
         F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")

@@ -431,3 +431,26 @@ def test_quantized_ann_preserves_ranking(emb):
     }
     overlap = len(exact & approx) / len(exact)
     assert overlap >= 0.9, f"SQ8 top-k overlap {overlap:.2f}"
+
+
+def test_semantic_auto_k_scales_with_corpus(spark, emb, monkeypatch):
+    """n_clusters=None derives K from the corpus so mean cell size stays
+    constant — the production setting that keeps in-cell work linear."""
+    from datafusion_dft_spark.operators import similarity as simmod
+
+    seen = {}
+    real_stride = simmod._stride_centroid_rows
+
+    def spy(cd, nrows, n_centroids):
+        seen["k"] = n_centroids
+        return real_stride(cd, nrows, n_centroids)
+
+    monkeypatch.setattr(simmod, "_SEMANTIC_TARGET_CELL", 100)
+    monkeypatch.setattr(simmod, "_stride_centroid_rows", spy)
+    n = emb.count()
+    out = sim.semantic_dup_pairs(emb, 0.95, n_clusters=None, dim=64, nrows=n)
+    # the auto-derived K is ceil(n/target_cell), floored at 16 (the
+    # stride SAMPLE may return fewer — binomial — which only makes
+    # cells coarser, never incorrect)
+    assert seen["k"] == max(16, -(-n // 100))
+    assert out.count() >= 0  # plan executes end-to-end
