@@ -333,18 +333,40 @@ def plant_images(
 
 _WAV_CANONICAL_DATA_OFF = 36  # "data" chunk id offset when fmt is first
 
+# FLAC (public xiph.org spec): "fLaC" magic, then metadata blocks —
+# 1 byte (is-last bit | type, type 0 = STREAMINFO) + 24-bit BE length.
+# The spec REQUIRES STREAMINFO to be the first block, so its bit-packed
+# fields sit at fixed offsets: sample rate 20 bits starting at byte 18,
+# channels-1 3 bits, bits-per-sample-1 5 bits, total samples 36 bits.
+
 
 def parse_audio_header(b: bytes):
-    """(format, sample_rate, channels, bits, data_size) from RIFF bytes,
-    else 5×None.
+    """(format, sample_rate, channels, bits, n_samples) from WAV/FLAC
+    bytes, else 5×None.
 
     The scalar reference implementation (and the chunk-walk fallback of
     the vectorized batch kernel, for WAVs carrying extra chunks — LIST
-    metadata, fact — before "data"). Reads ONLY chunk structure; the
-    data payload may be truncated or absent entirely and the declared
-    sizes still parse, matching how duration probes (ffprobe, soxi)
-    read headers without decoding samples.
+    metadata, fact — before "data"). Reads ONLY header structure; the
+    sample payload may be truncated or absent entirely and the declared
+    counts still parse, matching how duration probes (ffprobe, soxi,
+    metaflac) read headers without decoding samples. WAV sample count
+    derives from the declared data size / block align; FLAC carries it
+    directly in STREAMINFO.
     """
+    if len(b) >= 42 and b[:4] == b"fLaC" and (b[4] & 0x7F) == 0:
+        if int.from_bytes(b[5:8], "big") < 34:
+            return None, None, None, None, None  # corrupt STREAMINFO
+        rate = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+        ch = ((b[20] >> 1) & 0x7) + 1
+        bits = (((b[20] & 0x1) << 4) | (b[21] >> 4)) + 1
+        nsamp = (
+            ((b[21] & 0xF) << 32)
+            | (b[22] << 24)
+            | (b[23] << 16)
+            | (b[24] << 8)
+            | b[25]
+        )
+        return "flac", rate, ch, bits, nsamp
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None, None, None, None, None
     rate = ch = bits = None
@@ -366,19 +388,25 @@ def parse_audio_header(b: bytes):
         i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
     if rate is None:
         return None, None, None, None, None
-    return "wav", rate, ch, bits, data_size
+    align = (ch or 0) * ((bits or 0) // 8)
+    nsamp = data_size // align if (data_size is not None and align > 0) else None
+    return "wav", rate, ch, bits, nsamp
 
 
 def _parse_audio_arrays(arr):
-    """Vectorized WAV header parse over a pyarrow (large_)binary array.
+    """Vectorized WAV/FLAC header parse over a pyarrow (large_)binary
+    array.
 
     Returns (format, rate, channels, bits, n_samples) as object/int64
-    numpy arrays with None/-1 for unparseable rows. The CANONICAL
+    numpy arrays with None/-1 for unparseable rows. The CANONICAL WAV
     layout (fmt chunk first, data second — what every encoder writes)
     is fully vectorized: all fields sit at fixed offsets, read as
-    little-endian gathers on the shared data buffer. RIFF files with
+    little-endian gathers on the shared data buffer; RIFF files with
     extra chunks before "data" fall back to the scalar chunk walk —
-    still bounded by header bytes, not payload.
+    still bounded by header bytes, not payload. FLAC is ALWAYS fully
+    vectorized: the spec mandates STREAMINFO as the first metadata
+    block, so its bit-packed fields sit at fixed offsets (big-endian
+    gathers + shifts/masks).
     """
     import numpy as np
     import pyarrow as pa
@@ -440,7 +468,7 @@ def _parse_audio_arrays(arr):
             fmt[canon] = "wav"
         # non-canonical RIFF rows (extra chunks) → scalar chunk walk
         for i in riff[~ok]:
-            f, r, c, bt, dsz = parse_audio_header(
+            f, r, c, bt, ns = parse_audio_header(
                 data[starts[i] : starts[i] + lens[i]].tobytes()
             )
             if f is not None:
@@ -448,9 +476,35 @@ def _parse_audio_arrays(arr):
                 rate[i] = -1 if r is None else r
                 channels[i] = -1 if c is None else c
                 bits[i] = -1 if bt is None else bt
-                align = (c or 0) * ((bt or 0) // 8)
-                if dsz is not None and align > 0:
-                    nsamp[i] = dsz // align
+                nsamp[i] = -1 if ns is None else ns
+
+    # FLAC fast path: "fLaC" + first-block STREAMINFO (spec-mandated
+    # first, so every field is a fixed-offset BE gather)
+    flac = np.nonzero((lens >= 42) & (fmt == None))[0]  # noqa: E711
+    if flac.size:
+        s = starts[flac]
+        ok = np.ones(flac.size, dtype=bool)
+        for k, byte in enumerate(b"fLaC"):
+            ok &= data[s + k] == byte
+        ok &= (data[s + 4] & 0x7F) == 0  # block type 0 = STREAMINFO
+        # declared STREAMINFO length must cover the 34 spec bytes
+        blen = (
+            (data[s + 5].astype(np.int64) << 16)
+            | (data[s + 6].astype(np.int64) << 8)
+            | data[s + 7].astype(np.int64)
+        )
+        ok &= blen >= 34
+        flac, s = flac[ok], s[ok]
+        if flac.size:
+            b = lambda o: data[s + o].astype(np.int64)  # noqa: E731
+            rate[flac] = (b(18) << 12) | (b(19) << 4) | (b(20) >> 4)
+            channels[flac] = ((b(20) >> 1) & 0x7) + 1
+            bits[flac] = ((b(20) & 0x1) << 4 | (b(21) >> 4)) + 1
+            nsamp[flac] = (
+                ((b(21) & 0xF) << 32) | (b(22) << 24) | (b(23) << 16)
+                | (b(24) << 8) | b(25)
+            )
+            fmt[flac] = "flac"
     return fmt, rate, channels, bits, nsamp
 
 
@@ -518,22 +572,24 @@ def _audio_header_arrays(content) -> list:
 def plant_audio(
     df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio"
 ) -> DataFrame:
-    """Append a deterministic, structurally VALID WAV header per row.
+    """Append a deterministic, structurally VALID audio header per row.
 
     Entirely JVM-side (concat/unhex/shiftright — whole-stage codegen,
-    no UDF): every row gets a canonical RIFF/WAVE PCM header whose
-    declared "data" size encodes the sample count; the sample bytes
-    themselves are omitted (a truncated file — the header parse trusts
-    declared sizes by contract, and planting them would add
-    data_size bytes per row for a decode that never reads them).
-    Field formulas (documented here, recomputed independently by the
-    DuckDB oracle):
+    no UDF): even ids get a canonical RIFF/WAVE PCM header whose
+    declared "data" size encodes the sample count, odd ids a FLAC
+    "fLaC" + STREAMINFO metadata block with the bit-packed rate/
+    channels/bits/total-samples fields (md5 zeroed = unknown,
+    spec-legal). Sample bytes themselves are omitted (a truncated file
+    — header parses trust declared counts by contract, and planting
+    them would add data-size bytes per row for a decode that never
+    reads them). Field formulas (documented here, recomputed
+    independently by the DuckDB oracle, IDENTICAL for both formats):
 
         rate     = [8000, 16000, 22050, 44100][id % 4]
         channels = id % 2 + 1
         bits     = 8 if id % 3 == 0 else 16
         samples  = id % 1000 + 1
-        data sz  = samples * channels * bits/8
+        wav data sz = samples * channels * bits/8
     """
     did = F.col(id_col)
 
@@ -547,6 +603,9 @@ def plant_audio(
                 ]
             )
         )
+
+    def byte(col):
+        return F.unhex(F.lpad(F.hex(col.cast("long") % 256), 2, "0"))
 
     rate = F.element_at(
         F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
@@ -572,7 +631,35 @@ def plant_audio(
         F.unhex(F.lit("64617461")),  # "data"
         le(data_size, 4),
     )
-    return df.withColumn(audio_col, wav)
+    bits = bytes_per * 8
+    flac = F.concat(
+        F.unhex(F.lit("664C6143")),  # "fLaC"
+        F.unhex(F.lit("80000022")),  # last-block | STREAMINFO, len 34
+        F.unhex(F.lit("10001000")),  # min/max block size 4096
+        F.unhex(F.lit("000000000000")),  # min/max frame size unknown
+        byte(F.shiftright(rate, 12)),
+        byte(F.shiftright(rate, 4)),
+        byte(
+            F.shiftleft(rate % 16, 4)
+            + F.shiftleft(ch - 1, 1)
+            + F.shiftright(bits - 1, 4)
+        ),
+        byte(F.shiftleft((bits - 1) % 16, 4) + F.shiftright(nsamp, 32) % 16),
+        F.unhex(
+            F.concat(
+                *[
+                    F.lpad(
+                        F.hex(F.shiftright(nsamp.cast("long"), 8 * i) % 256), 2, "0"
+                    )
+                    for i in (3, 2, 1, 0)  # big-endian 32-bit sample count
+                ]
+            )
+        ),
+        F.unhex(F.lit("00" * 16)),  # md5 of samples: 0 = unknown
+    )
+    return df.withColumn(
+        audio_col, F.when(did % 2 == 0, wav).otherwise(flac)
+    )
 
 
 def _fake_features(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -33,7 +33,7 @@ from ..registry import query
                         THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
                         ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
                    END AS img_channels,
-                   'wav' AS aud_format,
+                   CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS aud_format,
                    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                         WHEN 2 THEN 22050 ELSE 44100 END AS aud_rate,
                    doc_id % 2 + 1 AS aud_channels,
@@ -62,11 +62,14 @@ from ..registry import query
     "planting/parsing disagreement on either side fails the row. The "
     "parser itself is pinned to real-world fixture bytes in "
     "tests/test_multimodal.py. The aud_* columns are the same pattern "
-    "for AUDIO: spec-valid RIFF/WAVE PCM headers are planted JVM-side "
-    "(plant_audio — true little-endian chunk layout, declared data size "
-    "encoding the sample count) and parsed back OUT in the SAME Arrow "
-    "stage (parse_audio_header — no extra Python boundary); aud_ms is "
-    "exact integer math (samples*1000 div rate) on both engines.",
+    "for AUDIO: spec-valid RIFF/WAVE PCM headers (even ids — true "
+    "little-endian chunk layout, declared data size encoding the sample "
+    "count) and FLAC fLaC+STREAMINFO blocks (odd ids — bit-packed "
+    "rate/channels/bits/36-bit total samples per the xiph spec) are "
+    "planted JVM-side (plant_audio) and parsed back OUT in the SAME "
+    "Arrow stage (parse_audio_header — no extra Python boundary); "
+    "aud_ms is exact integer math (samples*1000 div rate) on both "
+    "engines.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]

@@ -284,14 +284,15 @@ def _real_wav(rate, ch, bits, nsamples, pre_chunks=(), with_data=True):
 
 def test_parse_audio_header_complete_wav():
     # a COMPLETE spec-valid PCM WAV (real sample bytes) — not just a
-    # header fragment
+    # header fragment; the parser reports the SAMPLE COUNT derived from
+    # the declared data size / block align
     b = _real_wav(44100, 2, 16, 1000)
-    assert mm.parse_audio_header(b) == ("wav", 44100, 2, 16, 4000)
+    assert mm.parse_audio_header(b) == ("wav", 44100, 2, 16, 1000)
     assert mm.parse_audio_header(_real_wav(8000, 1, 8, 3)) == ("wav", 8000, 1, 8, 3)
     # truncated file (declared data, no sample bytes) still parses —
     # header probes trust declared sizes by contract
     t = _real_wav(16000, 1, 16, 500, with_data=False)
-    assert mm.parse_audio_header(t) == ("wav", 16000, 1, 16, 1000)
+    assert mm.parse_audio_header(t) == ("wav", 16000, 1, 16, 500)
 
 
 def test_parse_audio_header_chunk_walk():
@@ -301,7 +302,7 @@ def test_parse_audio_header_chunk_walk():
         22050, 2, 16, 7,
         pre_chunks=[(b"LIST", b"INFOIART" + b"x" * 5), (b"fact", bytes(4))],
     )
-    assert mm.parse_audio_header(b) == ("wav", 22050, 2, 16, 28)
+    assert mm.parse_audio_header(b) == ("wav", 22050, 2, 16, 7)
 
 
 def test_parse_audio_header_rejects_garbage():
@@ -329,20 +330,37 @@ def test_planted_audio_is_spec_valid(spark, sf_dir):
         ch = r.doc_id % 2 + 1
         bits = 8 if r.doc_id % 3 == 0 else 16
         nsamp = r.doc_id % 1000 + 1
-        data_size = nsamp * ch * bits // 8
-        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
-        (riff_size,) = struct.unpack("<I", b[4:8])
-        assert riff_size == 36 + data_size
-        assert b[12:16] == b"fmt "
-        fsz, afmt, pch, prate, pbyte, palign, pbits = struct.unpack(
-            "<IHHIIHH", b[16:36]
-        )
-        assert (fsz, afmt) == (16, 1)
-        assert (pch, prate, pbits) == (ch, rate, bits)
-        assert palign == ch * bits // 8 and pbyte == rate * palign
-        assert b[36:40] == b"data"
-        (psize,) = struct.unpack("<I", b[40:44])
-        assert psize == data_size
+        if r.doc_id % 2 == 0:
+            data_size = nsamp * ch * bits // 8
+            assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+            (riff_size,) = struct.unpack("<I", b[4:8])
+            assert riff_size == 36 + data_size
+            assert b[12:16] == b"fmt "
+            fsz, afmt, pch, prate, pbyte, palign, pbits = struct.unpack(
+                "<IHHIIHH", b[16:36]
+            )
+            assert (fsz, afmt) == (16, 1)
+            assert (pch, prate, pbits) == (ch, rate, bits)
+            assert palign == ch * bits // 8 and pbyte == rate * palign
+            assert b[36:40] == b"data"
+            (psize,) = struct.unpack("<I", b[40:44])
+            assert psize == data_size
+        else:
+            # FLAC: independent bit-level reading of STREAMINFO
+            assert b[:4] == b"fLaC"
+            assert b[4] == 0x80  # last block, type 0 = STREAMINFO
+            assert int.from_bytes(b[5:8], "big") == 34
+            assert struct.unpack(">HH", b[8:12]) == (4096, 4096)
+            prate = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+            pch = ((b[20] >> 1) & 0x7) + 1
+            pbits = (((b[20] & 1) << 4) | (b[21] >> 4)) + 1
+            pns = (
+                ((b[21] & 0xF) << 32)
+                | int.from_bytes(b[22:26], "big")
+            )
+            assert (prate, pch, pbits, pns) == (rate, ch, bits, nsamp)
+            assert b[26:42] == bytes(16)  # md5 unknown
+            assert len(b) == 42
 
 
 def test_decode_audio_headers_distributed(spark, sf_dir):
@@ -355,11 +373,12 @@ def test_decode_audio_headers_distributed(spark, sf_dir):
     planted_rows = {r.doc_id: bytes(r.audio) for r in planted.collect()}
     assert len(out) == len(planted_rows)
     for did, r in out.items():
-        f, rate, ch, bits, dsz = mm.parse_audio_header(planted_rows[did])
+        f, rate, ch, bits, ns = mm.parse_audio_header(planted_rows[did])
         assert (r.aud_format, r.aud_rate, r.aud_channels, r.aud_bits) == (
             f, rate, ch, bits,
         )
-        assert r.aud_samples == dsz // (ch * bits // 8) == did % 1000 + 1
+        assert f == ("wav" if did % 2 == 0 else "flac")
+        assert r.aud_samples == ns == did % 1000 + 1
         assert r.aud_ms == r.aud_samples * 1000 // rate
 
 
@@ -390,10 +409,72 @@ def test_extract_features_with_audio_single_stage(spark, binary_docs):
     rows = combined.collect()
     assert {r.doc_id: (r.byte_len, r.checksum8, r.n_frames) for r in rows} == a
     for r in rows:
-        assert r.aud_format == "wav"
+        assert r.aud_format == ("wav" if r.doc_id % 2 == 0 else "flac")
         assert r.aud_rate == [8000, 16000, 22050, 44100][r.doc_id % 4]
         assert r.aud_bits == (8 if r.doc_id % 3 == 0 else 16)
         assert r.img_format in ("png", "jpeg")
     plan = combined._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
     assert final.count("MapInArrow") == 1, final
+
+
+def _real_flac(rate, ch, bits, nsamples, last_block=True, extra_padding=False):
+    """fLaC + STREAMINFO built bit-by-bit from the xiph spec — a
+    different code path than the parser under test."""
+    import struct
+
+    hdr = bytes([0x00 if not last_block else 0x80]) + b"\x00\x00\x22"
+    si = struct.pack(">HH", 4096, 4096)  # min/max block size
+    si += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    si += bytes(
+        [
+            (rate >> 12) & 0xFF,
+            (rate >> 4) & 0xFF,
+            ((rate & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4),
+            (((bits - 1) & 0xF) << 4) | ((nsamples >> 32) & 0xF),
+        ]
+    ) + struct.pack(">I", nsamples & 0xFFFFFFFF)
+    si += bytes(16)  # md5 unknown
+    out = b"fLaC" + hdr + si
+    if extra_padding:  # a PADDING block after STREAMINFO (not last)
+        out = out.replace(bytes([0x80]), bytes([0x00]), 1)
+        out += b"\x81\x00\x00\x04" + bytes(4)
+    return out
+
+
+def test_parse_audio_header_flac_streaminfo():
+    # 36-bit total-samples field: check a count beyond 2^32
+    big = (3 << 32) | 123456
+    assert mm.parse_audio_header(_real_flac(96000, 2, 24, big)) == (
+        "flac", 96000, 2, 24, big,
+    )
+    assert mm.parse_audio_header(_real_flac(44100, 1, 16, 777)) == (
+        "flac", 44100, 1, 16, 777,
+    )
+    # STREAMINFO not flagged last (more blocks follow) still parses
+    assert mm.parse_audio_header(
+        _real_flac(8000, 8, 32, 5, extra_padding=True)
+    ) == ("flac", 8000, 8, 32, 5)
+    # garbage: truncated, wrong first block type, short declared length
+    assert mm.parse_audio_header(b"fLaC") == (None,) * 5
+    assert mm.parse_audio_header(b"fLaC\x84\x00\x00\x22" + bytes(34)) == (None,) * 5
+    assert mm.parse_audio_header(b"fLaC\x80\x00\x00\x10" + bytes(34)) == (None,) * 5
+
+
+def test_decode_audio_headers_flac_vectorized(spark):
+    """The FLAC fixed-offset fast path agrees with the scalar parser,
+    mixed WAV/FLAC/garbage in one batch."""
+    rows = [
+        (1, _real_flac(22050, 2, 16, 999)),
+        (2, _real_wav(16000, 1, 16, 42)),
+        (3, b"neither format"),
+        (4, _real_flac(192000, 4, 24, (1 << 35) + 7)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    got = {r.doc_id: r for r in mm.decode_audio_headers(df).collect()}
+    for did, payload in rows:
+        want = mm.parse_audio_header(payload)
+        r = got[did]
+        assert (r.aud_format, r.aud_rate, r.aud_channels, r.aud_bits,
+                r.aud_samples) == want
+    assert got[4].aud_samples == (1 << 35) + 7  # 36-bit field survives int64
