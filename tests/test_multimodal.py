@@ -11,6 +11,7 @@ import pytest
 
 from datafusion_dft_spark.catalog import load_tables
 from datafusion_dft_spark.operators import multimodal as mm
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -478,3 +479,92 @@ def test_decode_audio_headers_flac_vectorized(spark):
         assert (r.aud_format, r.aud_rate, r.aud_channels, r.aud_bits,
                 r.aud_samples) == want
     assert got[4].aud_samples == (1 << 35) + 7  # 36-bit field survives int64
+
+
+def test_media_header_parsers_never_crash_on_fuzz():
+    """Hypothesis fuzz: arbitrary bytes — including truncations and
+    mutations of valid headers — must parse to a tuple or all-Nones,
+    never raise. This is the 'a corrupt member must not kill the
+    stage at 100 TB' contract, enforced at the scalar layer both
+    vectorized kernels fall back to."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seeds = [
+        _real_wav(44100, 2, 16, 9),
+        _real_flac(22050, 1, 16, 9),
+        _real_png(5, 4),
+        _real_jpeg(5, 4),
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=256),
+            st.sampled_from(seeds).flatmap(
+                lambda b: st.integers(0, len(b)).map(lambda i: b[:i])
+            ),
+            st.sampled_from(seeds).flatmap(
+                lambda b: st.tuples(
+                    st.integers(0, max(0, len(b) - 1)), st.integers(0, 255)
+                ).map(lambda t: b[: t[0]] + bytes([t[1]]) + b[t[0] + 1 :])
+            ),
+        )
+    )
+    def check(payload):
+        a = mm.parse_audio_header(payload)
+        assert len(a) == 5
+        i = mm.parse_image_header(payload)
+        assert len(i) == 4
+
+    check()
+
+
+def test_audio_vectorized_kernel_handles_sliced_arrays():
+    """pyarrow slices share buffers with a non-zero offset — the
+    vectorized kernel must respect it (same contract as the image
+    kernel's offset handling)."""
+    import pyarrow as pa
+
+    payloads = [
+        _real_wav(8000, 1, 8, 5),
+        _real_flac(44100, 2, 16, 321),
+        b"junk",
+        _real_wav(22050, 2, 16, 77),
+    ]
+    arr = pa.array(payloads, pa.binary())
+    sliced = arr.slice(1, 3)  # offset=1: flac, junk, wav
+    fmt, rate, ch, bits, ns = mm._parse_audio_arrays(sliced)
+    assert list(fmt) == ["flac", None, "wav"]
+    assert list(ns) == [321, -1, 77]
+    assert list(rate) == [44100, -1, 22050]
+
+
+def test_binary_dir_roundtrip_decode(spark, tmp_path):
+    """The production source shape: spark.read.format('binaryFile') over
+    a media directory -> header decode. Files written independently
+    with the struct-built fixtures."""
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.wav").write_bytes(_real_wav(16000, 1, 16, 111))
+    (d / "b.flac").write_bytes(_real_flac(48000, 2, 24, 222))
+    (d / "c.png").write_bytes(_real_png(12, 34, color_type=2))
+    df = (
+        spark.read.format("binaryFile")
+        .load(str(d))
+        .select(F.col("path"), F.col("content").alias("audio"))
+    )
+    got = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in mm.decode_audio_headers(df, id_col="path").collect()
+    }
+    assert got["a.wav"].aud_format == "wav" and got["a.wav"].aud_samples == 111
+    assert got["b.flac"].aud_format == "flac" and got["b.flac"].aud_rate == 48000
+    assert got["c.png"].aud_format is None  # not audio; no crash
+    img = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in mm.decode_image_headers(
+            df.withColumnRenamed("audio", "image"), id_col="path"
+        ).collect()
+    }
+    assert (img["c.png"].img_width, img["c.png"].img_height) == (12, 34)
