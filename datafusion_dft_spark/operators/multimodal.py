@@ -247,9 +247,9 @@ def decode_image_headers(
                 [
                     batch.column(batch.schema.get_field_index(id_col)),
                     pa.array(fmt, pa.string()),
-                    pa.array([None if x < 0 else x for x in w], pa.int64()),
-                    pa.array([None if x < 0 else x for x in h], pa.int64()),
-                    pa.array([None if x < 0 else x for x in ch], pa.int64()),
+                    _sentinel_nulls(w),
+                    _sentinel_nulls(h),
+                    _sentinel_nulls(ch),
                 ],
                 names=[id_col, "img_format", "img_width", "img_height", "img_channels"],
             )
@@ -432,9 +432,12 @@ def _parse_audio_arrays(arr):
     nsamp = np.full(n, -1, dtype=np.int64)
     starts, lens = offsets[:-1], offsets[1:] - offsets[:-1]
 
-    # RIFF/WAVE at the fixed signature offsets (header needs 44 bytes
-    # in the canonical layout: 12 sig + 24 fmt + 8 data header)
-    riff = np.nonzero(lens >= 44)[0]
+    # RIFF/WAVE signature needs 12 bytes; the canonical fast path
+    # additionally needs the full 44 (12 sig + 24 fmt + 8 data header).
+    # Shorter-but-valid RIFF rows (truncated header-only probes the
+    # scalar reference still parses) must fall through to the scalar
+    # walk, NOT silently null out.
+    riff = np.nonzero(lens >= 12)[0]
     if riff.size:
         s = starts[riff]
         ok = np.ones(riff.size, dtype=bool)
@@ -445,11 +448,17 @@ def _parse_audio_arrays(arr):
         riff, s = riff[ok], s[ok]
     if riff.size:
         # canonical fast path: "fmt " (size 16, PCM) at 12, "data" at 36
-        ok = np.ones(riff.size, dtype=bool)
+        # — probed only on rows long enough to hold the full 44-byte
+        # canonical header (gathers stay in-bounds by construction)
+        ok = np.zeros(riff.size, dtype=bool)
+        has44 = lens[riff] >= 44
+        s44 = s[has44]
+        probe = np.ones(s44.size, dtype=bool)
         for k, byte in enumerate(b"fmt \x10\x00\x00\x00"):
-            ok &= data[s + 12 + k] == byte
+            probe &= data[s44 + 12 + k] == byte
         for k, byte in enumerate(b"data"):
-            ok &= data[s + _WAV_CANONICAL_DATA_OFF + k] == byte
+            probe &= data[s44 + _WAV_CANONICAL_DATA_OFF + k] == byte
+        ok[np.nonzero(has44)[0][probe]] = True
         canon, sc = riff[ok], s[ok]
         if canon.size:
 
@@ -552,6 +561,16 @@ def decode_audio_headers(
     return binary_df.mapInArrow(run, schema=out_schema)
 
 
+def _sentinel_nulls(arr) -> "object":
+    """int64 pyarrow column with the -1 sentinels nulled — one
+    vectorized mask instead of a per-row Python loop (this runs inside
+    the Arrow stage whose per-batch Python cost is the operator
+    family's measured dominant term)."""
+    import pyarrow as pa
+
+    return pa.array(arr, type=pa.int64(), mask=arr < 0)
+
+
 def _audio_header_arrays(content) -> list:
     """pyarrow output columns for one batch of audio payloads."""
     import numpy as np
@@ -561,11 +580,11 @@ def _audio_header_arrays(content) -> list:
     ms = np.where((nsamp >= 0) & (rate > 0), nsamp * 1000 // np.maximum(rate, 1), -1)
     return [
         pa.array(fmt, pa.string()),
-        pa.array([None if x < 0 else x for x in rate], pa.int64()),
-        pa.array([None if x < 0 else x for x in ch], pa.int64()),
-        pa.array([None if x < 0 else x for x in bits], pa.int64()),
-        pa.array([None if x < 0 else x for x in nsamp], pa.int64()),
-        pa.array([None if x < 0 else x for x in ms], pa.int64()),
+        _sentinel_nulls(rate),
+        _sentinel_nulls(ch),
+        _sentinel_nulls(bits),
+        _sentinel_nulls(nsamp),
+        _sentinel_nulls(ms),
     ]
 
 
@@ -763,9 +782,9 @@ def extract_features(
                 fmt, w, h, ch = _parse_image_arrays(img)
                 arrays += [
                     pa.array(fmt, pa.string()),
-                    pa.array([None if x < 0 else x for x in w], pa.int64()),
-                    pa.array([None if x < 0 else x for x in h], pa.int64()),
-                    pa.array([None if x < 0 else x for x in ch], pa.int64()),
+                    _sentinel_nulls(w),
+                    _sentinel_nulls(h),
+                    _sentinel_nulls(ch),
                 ]
                 names += ["img_format", "img_width", "img_height", "img_channels"]
             if audio_col is not None:

@@ -692,6 +692,43 @@ def _bounded_dup_pairs(
     return bdf.mapInPandas(verify_pairs, empty_schema), bc
 
 
+def _blockwise_dup_pairs(ids, mat, nrm, thr: float, block: int = 2048):
+    """Upper-triangle >= ``thr`` cosine pairs of one id-SORTED vector
+    set, blockwise to bound per-task memory.
+
+    Returns (id1, id2, cosine) numpy arrays (possibly empty). THE
+    shared numeric convention lives only here so every verify
+    formulation stays bit-identical against the oracles: prefilter
+    with 1e-4 slack (2x the rounding step) so np.round — the measured
+    per-candidate hot spot — touches only the near-threshold superset;
+    +1e-9 nudge applied identically on every engine pushes values off
+    exact .xxxx5 ties so numpy's half-even and Spark/DuckDB's HALF_UP
+    can't disagree on reachable inputs; ``ids`` ascending makes the
+    upper triangle emit id1 < id2.
+    """
+    out1, out2, outc = [], [], []
+    n = len(ids)
+    for r0 in range(0, n, block):
+        r1 = min(r0 + block, n)
+        sims = (mat[r0:r1] @ mat.T) / np.outer(nrm[r0:r1], nrm)
+        ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
+        if not len(ri):
+            continue
+        c = np.round(sims[ri, cj] + 1e-9, 4)
+        keep = (c >= thr) & ((ri + r0) < cj)  # upper tri: id1 < id2
+        if keep.any():
+            out1.append(ids[(ri + r0)[keep]])
+            out2.append(ids[cj[keep]])
+            outc.append(c[keep])
+    if not out1:
+        return (
+            np.array([], np.int64),
+            np.array([], np.int64),
+            np.array([], np.float64),
+        )
+    return np.concatenate(out1), np.concatenate(out2), np.concatenate(outc)
+
+
 def _bucket_verify(spark, bc, groups: list, thr: float, empty_schema: str) -> DataFrame:
     """High-candidate bounded verify: ship deduped bucket member lists.
 
@@ -721,23 +758,15 @@ def _bucket_verify(spark, bc, groups: list, thr: float, empty_schema: str) -> Da
             out1, out2, outc = [], [], []
             for members in pdf["idx"]:
                 g = np.asarray(members, dtype=np.int64)
-                sub, nrm = b_mat[g], b_norms[g]
-                b = len(g)
-                for r0 in range(0, b, 2048):  # bound per-task memory
-                    r1 = min(r0 + 2048, b)
-                    sims = (sub[r0:r1] @ sub.T) / np.outer(nrm[r0:r1], nrm)
-                    # prefilter with 1e-4 slack, round only the
-                    # near-threshold superset (np.round over the full
-                    # b x block matrix was the dominant non-BLAS cost)
-                    ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
-                    if not len(ri):
-                        continue
-                    c = np.round(sims[ri, cj] + 1e-9, 4)
-                    keep = (c >= thr) & ((ri + r0) < cj)  # upper tri: id1 < id2
-                    if keep.any():
-                        out1.append(b_ids[g[(ri + r0)[keep]]])
-                        out2.append(b_ids[g[cj[keep]]])
-                        outc.append(c[keep])
+                # g is index-sorted and index order mirrors id order, so
+                # the shared blockwise kernel's id1 < id2 contract holds
+                i1, i2, c = _blockwise_dup_pairs(
+                    b_ids[g], b_mat[g], b_norms[g], thr
+                )
+                if len(i1):
+                    out1.append(i1)
+                    out2.append(i2)
+                    outc.append(c)
             if out1:
                 yield pd.DataFrame(
                     {
@@ -1024,11 +1053,13 @@ def semantic_dup_pairs(
     Lloyd-refine them (``refine_centroids``) and scale ``n_clusters``
     with the corpus so cells stay bounded. Plan shape: assignment is a
     ZERO-SHUFFLE vectorized Arrow stage — one ``mapInArrow`` pass
-    computing ``argmax(mat @ centroids.T / centroid_norms)`` per batch
-    (the row norm is constant within a row so it CANCELS in the argmax;
-    K x dim doubles ride the closure, no crossJoin, no window; ties ->
-    smallest centroid_id via np.argmax-first over the id-sorted
-    centroid rows, matching the IVF oracle convention) — and the ONLY
+    computing the argmax of the per-centroid cosine per batch, ROUNDED
+    (+1e-9, 6dp) before comparison so a near-tie between two centroids
+    resolves to an exact tie on both engines and the shared
+    centroid_id tie-break (np.argmax-first over the id-sorted centroid
+    rows = the oracle's ORDER BY ... centroid_id ASC) keeps assignment
+    engine-identical (K x dim doubles ride the closure, no crossJoin,
+    no window) — and the ONLY
     exchange is the groupBy(cluster) feeding the in-cell vectorized
     verify (one applyInPandas stage, blockwise numpy matmul,
     >= threshold survivors only). An earlier formulation unrolled the
@@ -1079,7 +1110,18 @@ def semantic_dup_pairs(
             # valid_vec guarantees every row is exactly `dim` non-null
             # doubles, so the flattened values reshape losslessly
             mat = cv_arr.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
-            am = np.argmax(mat @ cmat.T / cnorm, axis=1)
+            # full cosine, +1e-9 nudge, 6dp round BEFORE the argmax:
+            # the oracle recomputes the same rounded value with its own
+            # summation order, so a near-tie between two centroids
+            # resolves to an EXACT tie on both engines and the shared
+            # centroid_id tie-break (argmax-first over id-sorted
+            # centroids) keeps assignment engine-identical — the same
+            # rounding guard every other cross-engine comparison in
+            # this module uses
+            sims = (mat @ cmat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * cnorm
+            )
+            am = np.argmax(np.round(sims + 1e-9, 6), axis=1)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in range(batch.num_columns)]
                 + [pa.array(cids_arr[am], pa.int64())],
@@ -1110,33 +1152,12 @@ def semantic_dup_pairs(
         order = np.argsort(pdf["cid"].to_numpy())
         ids = pdf["cid"].to_numpy()[order]
         mat = np.stack(pdf["cv"].to_numpy()[order]).astype(np.float64)
-        nrm = np.linalg.norm(mat, axis=1)
-        out1, out2, outc = [], [], []
-        for r0 in range(0, n_g, 2048):  # bound per-task memory
-            r1 = min(r0 + 2048, n_g)
-            sims = (mat[r0:r1] @ mat.T) / np.outer(nrm[r0:r1], nrm)
-            # prefilter with 1e-4 slack (2x the rounding step), round
-            # only the near-threshold superset — same convention as
-            # the bounded/banded verifies so all formulations hash
-            # identically against the oracle
-            ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
-            if not len(ri):
-                continue
-            c = np.round(sims[ri, cj] + 1e-9, 4)
-            keep = (c >= thr) & ((ri + r0) < cj)  # upper tri: id1 < id2
-            if keep.any():
-                out1.append(ids[(ri + r0)[keep]])
-                out2.append(ids[cj[keep]])
-                outc.append(c[keep])
-        if not out1:
-            return empty
-        return pd.DataFrame(
-            {
-                "id1": np.concatenate(out1),
-                "id2": np.concatenate(out2),
-                "cosine": np.concatenate(outc),
-            }
+        i1, i2, c = _blockwise_dup_pairs(
+            ids, mat, np.linalg.norm(mat, axis=1), thr
         )
+        if not len(i1):
+            return empty
+        return pd.DataFrame({"id1": i1, "id2": i2, "cosine": c})
 
     return assigned.groupBy("cluster_id").applyInPandas(dedup_cell, empty_schema)
 

@@ -188,6 +188,27 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                   + 1e-9 >= 0.95
+        ),
+        sem_cents AS (
+            SELECT vec_id AS centroid_id, v AS cv
+            FROM aug, (SELECT greatest(1, count(*) // 16) AS s FROM aug)
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % s = 0
+            ORDER BY vec_id LIMIT 16
+        ),
+        sem_asgn AS (
+            -- cosine rounded (+1e-9, 6dp) BEFORE the argmax so a
+            -- near-tie resolves to an exact tie on both engines and
+            -- the centroid_id ASC tie-break decides identically
+            SELECT vec_id, centroid_id FROM (
+                SELECT a.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                           round(list_dot_product(a.v, c.cv)
+                                 / (sqrt(list_dot_product(a.v, a.v))
+                                    * sqrt(list_dot_product(c.cv, c.cv)))
+                                 + 1e-9, 6)
+                           DESC, c.centroid_id ASC) AS rnk
+                FROM aug a CROSS JOIN sem_cents c
+            ) WHERE rnk = 1
         )
         SELECT 'bounded' AS method, id1, id2, cosine FROM pairs
         UNION ALL
@@ -201,36 +222,9 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'semantic' AS method, p.id1, p.id2, p.cosine
         FROM pairs p
-        JOIN (
-            SELECT vec_id, centroid_id FROM (
-                SELECT a.vec_id, c.centroid_id,
-                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                           list_dot_product(a.v, c.cv)
-                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-                           DESC, c.centroid_id ASC) AS rnk
-                FROM aug a CROSS JOIN (
-                    SELECT vec_id AS centroid_id, v AS cv
-                    FROM aug, (SELECT greatest(1, count(*) // 16) AS s FROM aug)
-                    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % s = 0
-                    ORDER BY vec_id LIMIT 16
-                ) c
-            ) WHERE rnk = 1
-        ) a1 ON a1.vec_id = p.id1
-        JOIN (
-            SELECT vec_id, centroid_id FROM (
-                SELECT a.vec_id, c.centroid_id,
-                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                           list_dot_product(a.v, c.cv)
-                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-                           DESC, c.centroid_id ASC) AS rnk
-                FROM aug a CROSS JOIN (
-                    SELECT vec_id AS centroid_id, v AS cv
-                    FROM aug, (SELECT greatest(1, count(*) // 16) AS s FROM aug)
-                    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % s = 0
-                    ORDER BY vec_id LIMIT 16
-                ) c
-            ) WHERE rnk = 1
-        ) a2 ON a2.vec_id = p.id2 AND a2.centroid_id = a1.centroid_id
+        JOIN sem_asgn a1 ON a1.vec_id = p.id1
+        JOIN sem_asgn a2 ON a2.vec_id = p.id2
+                        AND a2.centroid_id = a1.centroid_id
     """,
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH candidates + "

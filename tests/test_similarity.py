@@ -306,7 +306,8 @@ def test_semantic_dup_pairs_matches_clustered_reference(spark, emb):
     sims_c = (mat @ cmat.T) / (
         np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(cmat, axis=1)[None, :]
     )
-    assign = cids[np.argmax(sims_c, axis=1)]  # argmax ties -> first (min cid)
+    # same rounded-argmax convention as the operator and the oracle
+    assign = cids[np.argmax(np.round(sims_c + 1e-9, 6), axis=1)]
     nrm = np.linalg.norm(mat, axis=1)
     full = (mat @ mat.T) / np.outer(nrm, nrm)
     want = set()
