@@ -35,7 +35,7 @@ from __future__ import annotations
 import os as _os
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Driver-side budget for the collected (word, count) table. ~2M words
@@ -85,12 +85,14 @@ def learn_bpe(
     Stops early when no pair reaches ``min_pair_count``. Ties on
     frequency break lexicographically (deterministic merge sequence).
     """
-    rows = word_counts(docs, text_col).collect()
+    # limit BEFORE collecting so an over-budget vocab raises the loud
+    # guard instead of OOMing the driver during the collect itself
+    rows = word_counts(docs, text_col).limit(_BPE_VOCAB_MAX + 1).collect()
     if len(rows) > _BPE_VOCAB_MAX:
         raise ValueError(
-            f"BPE vocab holds {len(rows)} distinct words (> "
-            f"{_BPE_VOCAB_MAX}); raise SPARK_GRAFT_BPE_VOCAB_MAX or "
-            "pre-filter the corpus (min word frequency) before training"
+            f"BPE vocab exceeds {_BPE_VOCAB_MAX} distinct words; raise "
+            "SPARK_GRAFT_BPE_VOCAB_MAX or pre-filter the corpus (min "
+            "word frequency) before training"
         )
     # word -> (symbol tuple, count); chars + end-of-word marker
     vocab: dict[tuple, int] = {}
