@@ -588,6 +588,261 @@ def _audio_header_arrays(content) -> list:
     ]
 
 
+# --- real video container header decode (no codec libraries required) ------
+#
+# MP4 / ISO-BMFF (public spec ISO/IEC 14496-12): a file is a sequence
+# of boxes — size(4 BE) type(4), size==1 → 64-bit largesize follows,
+# size==0 → box extends to EOF. `ftyp` (major brand) comes first;
+# `moov` is a container whose `mvhd` child carries the movie header
+# (version 0: timescale 4 BE + duration 4 BE after 8 bytes of times;
+# version 1: 8-byte times and duration) and whose `trak` children are
+# the tracks. The box walk SKIPS payloads via the declared sizes, so
+# cost is O(#boxes), never O(bytes) — a multi-GB mdat is one size
+# field. Layout is inherently variable (real muxers put moov before
+# OR after mdat), so there is no fixed-offset vectorized path; the
+# walk itself is the decoder, exactly like the JPEG marker walk.
+
+
+def parse_video_header(b: bytes):
+    """(format, brand, timescale, duration, n_tracks) from ISO-BMFF
+    bytes, else 5×None.
+
+    Reads ONLY box structure: payloads are skipped via declared sizes
+    (moov-at-end files walk past mdat in one hop). Corrupt sizes stop
+    the walk; a file with no ftyp or no mvhd yields all-Nones rather
+    than raising.
+    """
+    n = len(b)
+    i = 0
+    brand = None
+    timescale = duration = None
+    tracks = 0
+    seen_ftyp = False
+    while i + 8 <= n:
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > n:
+                break
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = n - i
+        if size < hdr:
+            break  # corrupt declared size — refuse to walk garbage
+        if typ == b"ftyp":
+            if i != 0:
+                break  # spec: ftyp is the first box
+            if i + hdr + 4 <= n:
+                brand = b[i + hdr : i + hdr + 4].decode("latin1")
+                seen_ftyp = True
+        elif typ == b"moov":
+            j = i + hdr
+            end = min(i + size, n)
+            while j + 8 <= end:
+                csz = int.from_bytes(b[j : j + 4], "big")
+                ct = b[j + 4 : j + 8]
+                chdr = 8
+                if csz == 1:
+                    if j + 16 > end:
+                        break
+                    csz = int.from_bytes(b[j + 8 : j + 16], "big")
+                    chdr = 16
+                elif csz == 0:
+                    csz = end - j
+                if csz < chdr:
+                    break
+                if ct == b"mvhd" and j + chdr + 4 <= end:
+                    ver = b[j + chdr]
+                    if ver == 0 and j + chdr + 20 <= end:
+                        timescale = int.from_bytes(
+                            b[j + chdr + 12 : j + chdr + 16], "big"
+                        )
+                        duration = int.from_bytes(
+                            b[j + chdr + 16 : j + chdr + 20], "big"
+                        )
+                    elif ver == 1 and j + chdr + 32 <= end:
+                        timescale = int.from_bytes(
+                            b[j + chdr + 20 : j + chdr + 24], "big"
+                        )
+                        duration = int.from_bytes(
+                            b[j + chdr + 24 : j + chdr + 32], "big"
+                        )
+                elif ct == b"trak":
+                    tracks += 1
+                j += csz
+        i += size
+    if not seen_ftyp or timescale is None:
+        return None, None, None, None, None
+    return "mp4", brand, timescale, duration, tracks
+
+
+def decode_video_headers(
+    binary_df: DataFrame, id_col: str = "doc_id", video_col: str = "video"
+) -> DataFrame:
+    """(id, vid_format, vid_brand, vid_timescale, vid_duration,
+    vid_ms, vid_tracks) per row.
+
+    Same contract as the image/audio decoders: one ``mapInArrow``
+    stage, bytes never leave the executor, no codec library,
+    unrecognized payloads yield NULLs. The box walk reads a 64 KiB
+    prefix first and retries on the full payload only when the prefix
+    had ftyp but no mvhd (moov-at-end files) — the JPEG oversized-APPn
+    pattern.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    id_field = binary_df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("vid_format", T.StringType()),
+            T.StructField("vid_brand", T.StringType()),
+            T.StructField("vid_timescale", T.LongType()),
+            T.StructField("vid_duration", T.LongType()),
+            T.StructField("vid_ms", T.LongType()),
+            T.StructField("vid_tracks", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            content = batch.column(batch.schema.get_field_index(video_col))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index(id_col))]
+                + _video_header_arrays(content),
+                names=[
+                    id_col, "vid_format", "vid_brand", "vid_timescale",
+                    "vid_duration", "vid_ms", "vid_tracks",
+                ],
+            )
+
+    return binary_df.mapInArrow(run, schema=out_schema)
+
+
+def _video_header_arrays(content) -> list:
+    """pyarrow output columns for one batch of video payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(content)
+    fmt = np.full(n, None, dtype=object)
+    brand = np.full(n, None, dtype=object)
+    timescale = np.full(n, -1, dtype=np.int64)
+    duration = np.full(n, -1, dtype=np.int64)
+    tracks = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        v = content[i]
+        if not v.is_valid:
+            continue
+        raw = v.as_buffer()
+        # prefix-capped walk; full-payload retry covers moov-at-end
+        prefix = raw[:65536].to_pybytes() if len(raw) > 65536 else raw.to_pybytes()
+        f, br, ts, dur, tr = parse_video_header(prefix)
+        if f is None and len(raw) > len(prefix):
+            f, br, ts, dur, tr = parse_video_header(raw.to_pybytes())
+        if f is not None:
+            fmt[i], brand[i] = f, br
+            timescale[i] = -1 if ts is None else ts
+            duration[i] = -1 if dur is None else dur
+            tracks[i] = -1 if tr is None else tr
+    ms = np.where(
+        (duration >= 0) & (timescale > 0),
+        duration * 1000 // np.maximum(timescale, 1),
+        -1,
+    )
+    return [
+        pa.array(fmt, pa.string()),
+        pa.array(brand, pa.string()),
+        _sentinel_nulls(timescale),
+        _sentinel_nulls(duration),
+        _sentinel_nulls(ms),
+        _sentinel_nulls(tracks),
+    ]
+
+
+def plant_video(
+    df: DataFrame, id_col: str = "doc_id", video_col: str = "video"
+) -> DataFrame:
+    """Append a deterministic, structurally VALID MP4 header per row.
+
+    Entirely JVM-side: ftyp (major brand isom/mp42 by id parity) +
+    moov containing an mvhd v0 (true 108-byte layout: identity matrix,
+    1.0 rate/volume) and 1-3 trak boxes each holding a spec-shaped
+    92-byte tkhd v0 with its track id. No mdat — a header parse never
+    reads samples (same truncated-file contract as the audio plants).
+    Field formulas (recomputed independently by the DuckDB oracle):
+
+        brand     = 'isom' if id % 2 == 0 else 'mp42'
+        timescale = [600, 1000, 44100, 90000][id % 4]
+        duration  = id % 100000 + 1          (timescale units)
+        tracks    = id % 3 + 1
+    """
+    did = F.col(id_col)
+
+    def be(col, hexdigits):
+        return F.unhex(F.lpad(F.hex(col.cast("long")), hexdigits, "0"))
+
+    brand = F.when(did % 2 == 0, F.lit("isom")).otherwise(F.lit("mp42"))
+    timescale = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(44100), F.lit(90000)),
+        (did % 4 + 1).cast("int"),
+    )
+    duration = did % 100000 + 1
+    ntracks = (did % 3 + 1).cast("int")
+    matrix = (
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    )
+    mvhd = F.concat(
+        F.unhex(F.lit("0000006C6D766864")),  # size 108, "mvhd"
+        F.unhex(F.lit("00000000")),  # version 0 + flags
+        F.unhex(F.lit("00000000" * 2)),  # creation/modification
+        be(timescale, 8),
+        be(duration, 8),
+        F.unhex(F.lit("00010000")),  # rate 1.0
+        F.unhex(F.lit("0100")),  # volume 1.0
+        F.unhex(F.lit("0000" + "00000000" * 2)),  # reserved
+        F.unhex(F.lit(matrix)),
+        F.unhex(F.lit("00000000" * 6)),  # pre_defined
+        be(ntracks + 1, 8),  # next_track_ID
+    )
+
+    def trak(k: int):
+        return F.concat(
+            F.unhex(F.lit("000000647472616B")),  # size 100, "trak"
+            F.unhex(F.lit("0000005C746B6864")),  # size 92, "tkhd"
+            F.unhex(F.lit("00000007")),  # v0 + enabled/in-movie flags
+            F.unhex(F.lit("00000000" * 2)),  # creation/modification
+            be(F.lit(k), 8),  # track_ID
+            F.unhex(F.lit("00000000")),  # reserved
+            be(duration, 8),
+            F.unhex(F.lit("00000000" * 2)),  # reserved
+            F.unhex(F.lit("0000" * 4)),  # layer/group/volume/reserved
+            F.unhex(F.lit(matrix)),
+            F.unhex(F.lit("00000000" * 2)),  # width/height (non-visual)
+        )
+
+    traks = (
+        F.when(ntracks == 1, trak(1))
+        .when(ntracks == 2, F.concat(trak(1), trak(2)))
+        .otherwise(F.concat(trak(1), trak(2), trak(3)))
+    )
+    moov_size = F.lit(8 + 108) + ntracks * 100
+    mp4 = F.concat(
+        F.unhex(F.lit("0000001466747970")),  # size 20, "ftyp"
+        brand.cast("binary"),  # major brand (4 ASCII bytes)
+        F.unhex(F.lit("00000200")),  # minor version
+        F.unhex(F.lit("00000000")),  # one compatible-brand slot
+        be(moov_size, 8),
+        F.unhex(F.lit("6D6F6F76")),  # "moov"
+        mvhd,
+        traks,
+    )
+    return df.withColumn(video_col, mp4)
+
+
 def plant_audio(
     df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio"
 ) -> DataFrame:
@@ -733,6 +988,7 @@ def extract_features(
     binary_df: DataFrame,
     image_col: str | None = None,
     audio_col: str | None = None,
+    video_col: str | None = None,
 ) -> DataFrame:
     """Arrow-native feature extraction over the binary column.
 
@@ -743,11 +999,13 @@ def extract_features(
     operator's r6 DuckDB-proxy gap — is skipped. With ``image_col`` the
     SAME batch pass also runs the real image-header decode
     (``_parse_image_arrays``) and appends img_format/width/height/
-    channels; with ``audio_col`` it additionally runs the real WAV
+    channels; with ``audio_col`` it additionally runs the real WAV/FLAC
     header decode (``_parse_audio_arrays``) and appends the aud_*
-    columns — one Arrow stage, one scan, no join, no extra Python
-    boundary (the per-stage launch round trip is this operator's
-    measured dominant cost, so every decoder must ride the same stage)."""
+    columns; with ``video_col`` the real MP4 box walk
+    (``parse_video_header``) appends the vid_* columns — one Arrow
+    stage, one scan, no join, no extra Python boundary (the per-stage
+    launch round trip is this operator's measured dominant cost, so
+    every decoder must ride the same stage)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -760,6 +1018,11 @@ def extract_features(
         schema += (
             ", aud_format string, aud_rate long, aud_channels long,"
             " aud_bits long, aud_samples long, aud_ms long"
+        )
+    if video_col is not None:
+        schema += (
+            ", vid_format string, vid_brand string, vid_timescale long,"
+            " vid_duration long, vid_ms long, vid_tracks long"
         )
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -793,6 +1056,13 @@ def extract_features(
                 names += [
                     "aud_format", "aud_rate", "aud_channels",
                     "aud_bits", "aud_samples", "aud_ms",
+                ]
+            if video_col is not None:
+                vid = batch.column(batch.schema.get_field_index(video_col))
+                arrays += _video_header_arrays(vid)
+                names += [
+                    "vid_format", "vid_brand", "vid_timescale",
+                    "vid_duration", "vid_ms", "vid_tracks",
                 ]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 

@@ -38,14 +38,23 @@ from ..registry import query
                         WHEN 2 THEN 22050 ELSE 44100 END AS aud_rate,
                    doc_id % 2 + 1 AS aud_channels,
                    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS aud_bits,
-                   doc_id % 1000 + 1 AS aud_samples
+                   doc_id % 1000 + 1 AS aud_samples,
+                   'mp4' AS vid_format,
+                   CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS vid_brand,
+                   CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                        WHEN 2 THEN 44100 ELSE 90000 END AS vid_timescale,
+                   doc_id % 100000 + 1 AS vid_duration,
+                   doc_id % 3 + 1 AS vid_tracks
             FROM documents
         )
         SELECT doc_id, byte_len, checksum8, n_frames,
                count(*) OVER (PARTITION BY n_frames) AS n_docs_same_frames,
                img_format, img_width, img_height, img_channels,
                aud_format, aud_rate, aud_channels, aud_bits, aud_samples,
-               aud_samples * 1000 // aud_rate AS aud_ms
+               aud_samples * 1000 // aud_rate AS aud_ms,
+               vid_format, vid_brand, vid_timescale, vid_duration,
+               vid_duration * 1000 // vid_timescale AS vid_ms,
+               vid_tracks
         FROM base
     """,
     tags=("multimodal", "pandas-udf"),
@@ -69,18 +78,29 @@ from ..registry import query
     "planted JVM-side (plant_audio) and parsed back OUT in the SAME "
     "Arrow stage (parse_audio_header — no extra Python boundary); "
     "aud_ms is exact integer math (samples*1000 div rate) on both "
-    "engines.",
+    "engines. The vid_* columns complete the modality set with VIDEO "
+    "container structure: spec-valid MP4/ISO-BMFF boxes planted "
+    "JVM-side (plant_video — true 108-byte mvhd v0, per-track 92-byte "
+    "tkhd v0) and brand/timescale/duration/track-count walked back out "
+    "of the box tree (parse_video_header — O(#boxes) via declared "
+    "sizes, moov-at-end retry), again in the SAME Arrow stage.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    binary = mm.plant_audio(
-        mm.plant_images(
-            mm.to_binary_table(docs, "doc_id", "text"), "doc_id", "image"
+    binary = mm.plant_video(
+        mm.plant_audio(
+            mm.plant_images(
+                mm.to_binary_table(docs, "doc_id", "text"), "doc_id", "image"
+            ),
+            "doc_id",
+            "audio",
         ),
         "doc_id",
-        "audio",
+        "video",
     )
-    feats = mm.extract_features(binary, image_col="image", audio_col="audio")
+    feats = mm.extract_features(
+        binary, image_col="image", audio_col="audio", video_col="video"
+    )
     # Frame path: mapInPandas chunking -> per-doc frame count -> histogram.
     frames = mm.sample_frames(binary)
     per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
@@ -92,4 +112,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "img_format", "img_width", "img_height", "img_channels",
         "aud_format", "aud_rate", "aud_channels", "aud_bits", "aud_samples",
         "aud_ms",
+        "vid_format", "vid_brand", "vid_timescale", "vid_duration",
+        "vid_ms", "vid_tracks",
     )

@@ -568,3 +568,97 @@ def test_binary_dir_roundtrip_decode(spark, tmp_path):
         ).collect()
     }
     assert (img["c.png"].img_width, img["c.png"].img_height) == (12, 34)
+
+
+# --- real video (MP4/ISO-BMFF) header decode --------------------------------
+
+
+def _real_mp4(ts, dur, tracks=1, brand=b"isom", v=0, moov_at_end=False,
+              mdat_bytes=0):
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    if v == 0:
+        body = b"\x00\x00\x00\x00" + bytes(8) + struct.pack(">II", ts, dur)
+    else:
+        body = b"\x01\x00\x00\x00" + bytes(16) + struct.pack(">IQ", ts, dur)
+    body += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+    body += bytes(10) + bytes(36) + bytes(24) + struct.pack(">I", tracks + 1)
+    mvhd = box(b"mvhd", body)
+    traks = b""
+    for k in range(1, tracks + 1):
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + bytes(8) + struct.pack(">I", k)
+            + bytes(4) + struct.pack(">I", dur & 0xFFFFFFFF)
+            + bytes(8) + bytes(8) + bytes(36) + bytes(8),
+        )
+        traks += box(b"trak", tkhd)
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0x200) + b"mp41")
+    moov = box(b"moov", mvhd + traks)
+    mdat = box(b"mdat", bytes(mdat_bytes)) if mdat_bytes else b""
+    return ftyp + (mdat + moov if moov_at_end else moov + mdat)
+
+
+def test_parse_video_header_box_walk():
+    assert mm.parse_video_header(_real_mp4(90000, 123456, tracks=2)) == (
+        "mp4", "isom", 90000, 123456, 2,
+    )
+    # moov AFTER mdat (what real muxers write without -movflags faststart):
+    # the walk skips the payload via the declared size
+    b = _real_mp4(1000, 42, tracks=3, moov_at_end=True, mdat_bytes=5000)
+    assert mm.parse_video_header(b) == ("mp4", "isom", 1000, 42, 3)
+    # version-1 mvhd: 64-bit duration survives
+    big = (1 << 33) + 5
+    assert mm.parse_video_header(_real_mp4(600, big, v=1)) == (
+        "mp4", "isom", 600, big, 1,
+    )
+    # garbage / ftyp-not-first / corrupt declared size
+    assert mm.parse_video_header(b"") == (None,) * 5
+    assert mm.parse_video_header(bytes(64)) == (None,) * 5
+    import struct
+    assert mm.parse_video_header(struct.pack(">I", 3) + b"ftypisom") == (None,) * 5
+
+
+def test_planted_video_is_spec_valid(spark, sf_dir):
+    """The JVM-planted MP4 parses with the independently-written
+    fixture-grade reader (struct-based scalar) AND its field formulas
+    hold."""
+    docs = load_tables(spark, sf_dir)["documents"].limit(40)
+    rows = mm.plant_video(docs.select("doc_id"), "doc_id").collect()
+    assert rows
+    import struct
+    for r in rows:
+        b = bytes(r.video)
+        f, brand, ts, dur, tr = mm.parse_video_header(b)
+        assert f == "mp4"
+        assert brand == ("isom" if r.doc_id % 2 == 0 else "mp42")
+        assert ts == [600, 1000, 44100, 90000][r.doc_id % 4]
+        assert dur == r.doc_id % 100000 + 1
+        assert tr == r.doc_id % 3 + 1
+        # independent structural reads: ftyp first, declared moov size
+        # covers mvhd + traks exactly
+        assert b[4:8] == b"ftyp" and struct.unpack(">I", b[:4])[0] == 20
+        (moov_size,) = struct.unpack(">I", b[20:24])
+        assert b[24:28] == b"moov"
+        assert moov_size == 8 + 108 + tr * 100 == len(b) - 20
+
+
+def test_decode_video_headers_distributed(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"].limit(200)
+    planted = mm.plant_video(docs.select("doc_id"), "doc_id")
+    out = {r.doc_id: r for r in mm.decode_video_headers(planted).collect()}
+    assert len(out) == 200
+    for did, r in out.items():
+        assert r.vid_format == "mp4"
+        assert r.vid_tracks == did % 3 + 1
+        assert r.vid_ms == r.vid_duration * 1000 // r.vid_timescale
+    # non-video payloads yield NULLs, not errors
+    mixed = spark.createDataFrame(
+        [(1, _real_mp4(1000, 99)), (2, b"not a video")],
+        "doc_id long, video binary",
+    )
+    got = {r.doc_id: r for r in mm.decode_video_headers(mixed).collect()}
+    assert got[1].vid_duration == 99 and got[2].vid_format is None
