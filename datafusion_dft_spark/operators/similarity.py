@@ -1025,6 +1025,52 @@ _SEMANTIC_TARGET_CELL = int(
 )
 
 
+def _semantic_assign(
+    cd: DataFrame, centroids: list[tuple[int, list[float]]], dim: int
+) -> DataFrame:
+    """(cid, cv) -> + cluster_id via one zero-shuffle mapInArrow pass.
+
+    Full cosine, +1e-9 nudge, 6dp round BEFORE the argmax: the oracle
+    recomputes the same rounded value with its own summation order, so
+    a near-tie between two centroids resolves to an EXACT tie on both
+    engines and the shared centroid_id tie-break (argmax-first over
+    the id-sorted centroid rows = the oracle's ORDER BY ...
+    centroid_id ASC) keeps assignment engine-identical — the same
+    rounding guard every other cross-engine comparison in this module
+    uses. ``cd`` rows must already satisfy ``valid_vec`` (exactly
+    ``dim`` non-null doubles) so the flattened Arrow values reshape
+    losslessly.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    cmat = np.array([cv for _, cv in centroids], dtype=np.float64)  # K x dim
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cids_arr = np.array([c for c, _ in centroids], dtype=np.int64)
+    assign_schema = T.StructType(
+        list(cd.schema.fields) + [T.StructField("cluster_id", T.LongType())]
+    )
+
+    def assign(batches):
+        for batch in batches:
+            cv_arr = batch.column(batch.schema.get_field_index("cv"))
+            n = len(cv_arr)
+            if n == 0:
+                continue
+            mat = cv_arr.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            sims = (mat @ cmat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * cnorm
+            )
+            am = np.argmax(np.round(sims + 1e-9, 6), axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(cids_arr[am], pa.int64())],
+                names=list(batch.schema.names) + ["cluster_id"],
+            )
+
+    return cd.mapInArrow(assign, schema=assign_schema)
+
+
 def semantic_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -1033,6 +1079,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     nrows: int | None = None,
     dim: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster, then dedup
     within each cluster only.
@@ -1068,6 +1115,9 @@ def semantic_dup_pairs(
     interpreted evaluation and cost 1.6 s at sf0.1 — 5x the entire
     Arrow-stage formulation, measured.
 
+    ``centroids`` overrides the internal stride sample with an explicit
+    codebook (the incremental variant passes the established corpus
+    codebook so batch and corpus land in the SAME cells).
     ``n_clusters=None`` auto-sizes K as ``ceil(nrows /
     _SEMANTIC_TARGET_CELL)`` (min 16) so mean cell size — and with it
     the O(cell^2) in-cell work — stays CONSTANT as the corpus grows:
@@ -1088,47 +1138,11 @@ def semantic_dup_pairs(
     cd = corpus.select(
         F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
     ).filter(valid_vec("cv", dim))
-    cent_rows = _stride_centroid_rows(cd, nrows, n_clusters)
-    if not cent_rows:
+    if centroids is None:
+        centroids = _stride_centroid_rows(cd, nrows, n_clusters)
+    if not centroids:
         return spark.createDataFrame([], empty_schema)
-    import pyarrow as pa
-    from pyspark.sql import types as T
-
-    cmat = np.array([cv for _, cv in cent_rows], dtype=np.float64)  # K x dim
-    cnorm = np.linalg.norm(cmat, axis=1)
-    cids_arr = np.array([c for c, _ in cent_rows], dtype=np.int64)
-    assign_schema = T.StructType(
-        list(cd.schema.fields) + [T.StructField("cluster_id", T.LongType())]
-    )
-
-    def assign(batches):
-        for batch in batches:
-            cv_arr = batch.column(batch.schema.get_field_index("cv"))
-            n = len(cv_arr)
-            if n == 0:
-                continue
-            # valid_vec guarantees every row is exactly `dim` non-null
-            # doubles, so the flattened values reshape losslessly
-            mat = cv_arr.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
-            # full cosine, +1e-9 nudge, 6dp round BEFORE the argmax:
-            # the oracle recomputes the same rounded value with its own
-            # summation order, so a near-tie between two centroids
-            # resolves to an EXACT tie on both engines and the shared
-            # centroid_id tie-break (argmax-first over id-sorted
-            # centroids) keeps assignment engine-identical — the same
-            # rounding guard every other cross-engine comparison in
-            # this module uses
-            sims = (mat @ cmat.T) / (
-                np.linalg.norm(mat, axis=1)[:, None] * cnorm
-            )
-            am = np.argmax(np.round(sims + 1e-9, 6), axis=1)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(batch.num_columns)]
-                + [pa.array(cids_arr[am], pa.int64())],
-                names=list(batch.schema.names) + ["cluster_id"],
-            )
-
-    assigned = cd.mapInArrow(assign, schema=assign_schema)
+    assigned = _semantic_assign(cd, centroids, dim)
     thr = threshold
     cell_max = _SEMANTIC_CELL_MAX
 
@@ -1211,7 +1225,139 @@ def quantization_error_cols(
     ).otherwise(F.lit(1.0))
     return {
         "q8_max_err": F.array_max(err),
+        # greatest(size, 1): an EMPTY embedding array (adversarial
+        # corpora) must yield mean 0, not an ANSI divide-by-zero
         "q8_mean_err": F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
-        / F.size(v).cast("double"),
+        / F.greatest(F.size(v), F.lit(1)).cast("double"),
         "q8_cos_self": cos_self,
     }
+
+
+def _blockwise_cross_pairs(ids_a, mat_a, nrm_a, ids_b, mat_b, nrm_b, thr, block=2048):
+    """>= ``thr`` cosine pairs of A x B (rectangular — no triangle),
+    blockwise over A; emits (min_id, max_id, cosine) per pair so the
+    id1 < id2 convention holds regardless of which side an id came
+    from. Same numeric convention as ``_blockwise_dup_pairs``.
+    """
+    out1, out2, outc = [], [], []
+    for r0 in range(0, len(ids_a), block):
+        r1 = min(r0 + block, len(ids_a))
+        sims = (mat_a[r0:r1] @ mat_b.T) / np.outer(nrm_a[r0:r1], nrm_b)
+        ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
+        if not len(ri):
+            continue
+        c = np.round(sims[ri, cj] + 1e-9, 4)
+        keep = c >= thr
+        if keep.any():
+            a = ids_a[(ri + r0)[keep]]
+            b = ids_b[cj[keep]]
+            out1.append(np.minimum(a, b))
+            out2.append(np.maximum(a, b))
+            outc.append(c[keep])
+    if not out1:
+        return (
+            np.array([], np.int64),
+            np.array([], np.int64),
+            np.array([], np.float64),
+        )
+    return np.concatenate(out1), np.concatenate(out2), np.concatenate(outc)
+
+
+def semantic_dup_pairs_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int | None = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_nrows: int | None = None,
+    dim: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Daily-increment SemDeDup: batch-vs-(corpus + batch) pairs only.
+
+    The production shape the other dedup families already carry
+    (``minhash_lsh_pairs_incremental`` / ``cosine_dup_pairs_
+    incremental``): the accumulated corpus is never self-joined — the
+    batch assigns into the ESTABLISHED cells (``centroids`` defaults to
+    the corpus codebook, so appends never shift assignment) and each
+    cell verifies batch x (corpus-cell + batch-cell) vectorized. Plan
+    shape: two zero-shuffle assignment stages, then ONE cogrouped
+    applyInPandas — Spark shuffles both sides by cell once and hands
+    each cell's (batch rows, corpus rows) to a single task; per-batch
+    cost ∝ batch x mean cell size, not corpus². Same loud cell guard
+    as the full formulation; corpus-corpus pairs are excluded by
+    contract (they were reported when THOSE rows were the batch).
+    """
+    spark = corpus.sparkSession
+    if dim is None:
+        dim = _dim_of(corpus, vec_col)
+    if corpus_nrows is None:
+        corpus_nrows = corpus.count()
+    empty_schema = "id1 long, id2 long, cosine double"
+    bd = batch.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    ).filter(valid_vec("cv", dim))
+    cd = corpus.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    ).filter(valid_vec("cv", dim))
+    if centroids is None:
+        if n_clusters is None:
+            n_clusters = max(16, -(-corpus_nrows // _SEMANTIC_TARGET_CELL))
+        centroids = _stride_centroid_rows(cd, corpus_nrows, n_clusters)
+    if not centroids:
+        return spark.createDataFrame([], empty_schema)
+    b_assigned = _semantic_assign(bd, centroids, dim)
+    c_assigned = _semantic_assign(cd, centroids, dim)
+    thr = threshold
+    cell_max = _SEMANTIC_CELL_MAX
+
+    def verify_cell(bpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id1": np.array([], np.int64),
+                "id2": np.array([], np.int64),
+                "cosine": np.array([], np.float64),
+            }
+        )
+        nb, nc = len(bpdf), len(cpdf)
+        if nb + nc > cell_max:
+            raise ValueError(
+                f"SemDeDup cell holds {nb + nc} rows (> {cell_max}); "
+                "raise n_clusters (cells scale as n/K) or "
+                "SPARK_GRAFT_SEMANTIC_CELL_MAX"
+            )
+        if nb == 0:
+            return empty  # corpus-only cell: nothing batch-touching
+        order = np.argsort(bpdf["cid"].to_numpy())
+        b_ids = bpdf["cid"].to_numpy()[order]
+        b_mat = np.stack(bpdf["cv"].to_numpy()[order]).astype(np.float64)
+        b_nrm = np.linalg.norm(b_mat, axis=1)
+        parts = [
+            _blockwise_dup_pairs(b_ids, b_mat, b_nrm, thr)  # batch x batch
+        ]
+        if nc:
+            c_ids = cpdf["cid"].to_numpy()
+            c_mat = np.stack(cpdf["cv"].to_numpy()).astype(np.float64)
+            parts.append(
+                _blockwise_cross_pairs(
+                    b_ids, b_mat, b_nrm,
+                    c_ids, c_mat, np.linalg.norm(c_mat, axis=1), thr,
+                )
+            )
+        i1 = np.concatenate([p[0] for p in parts])
+        if not len(i1):
+            return empty
+        return pd.DataFrame(
+            {
+                "id1": i1,
+                "id2": np.concatenate([p[1] for p in parts]),
+                "cosine": np.concatenate([p[2] for p in parts]),
+            }
+        )
+
+    return (
+        b_assigned.groupBy("cluster_id")
+        .cogroup(c_assigned.groupBy("cluster_id"))
+        .applyInPandas(verify_cell, empty_schema)
+    )

@@ -216,19 +216,27 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'incremental' AS method, id1, id2, cosine FROM pairs
         WHERE id1 IN (SELECT vec_id FROM aug
-                      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2'))
+                      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', 'c'))
            OR id2 IN (SELECT vec_id FROM aug
-                      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2'))
+                      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', 'c'))
         UNION ALL
         SELECT 'semantic' AS method, p.id1, p.id2, p.cosine
         FROM pairs p
         JOIN sem_asgn a1 ON a1.vec_id = p.id1
         JOIN sem_asgn a2 ON a2.vec_id = p.id2
                         AND a2.centroid_id = a1.centroid_id
+        UNION ALL
+        SELECT 'semantic_incremental' AS method, p.id1, p.id2, p.cosine
+        FROM pairs p
+        JOIN sem_asgn a1 ON a1.vec_id = p.id1
+        JOIN sem_asgn a2 ON a2.vec_id = p.id2
+                        AND a2.centroid_id = a1.centroid_id
+        WHERE substr(md5(CAST(p.id1 AS VARCHAR)), 1, 1) IN ('0', '1', '2', 'c')
+           OR substr(md5(CAST(p.id2 AS VARCHAR)), 1, 1) IN ('0', '1', '2', 'c')
     """,
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH candidates + "
-    "exact rerank, ALL FOUR formulations method-tagged in one query "
+    "exact rerank, ALL FIVE formulations method-tagged in one query "
     "(consolidated for the driver's 50-query cap, the ann_pruned_topk "
     "pattern): 'bounded' = driver LSH bucketing over an Arrow-collected "
     "matrix + distributed two-tier verify; 'unbounded' = the fully "
@@ -244,7 +252,14 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundary missed by design, O(n^2/K) at scale), zero-shuffle "
     "literal-centroid argmax assignment + one applyInPandas in-cell "
     "verify; the oracle replays the identical clustering and restricts "
-    "the exhaustive pair join to same-cell pairs. The "
+    "the exhaustive pair join to same-cell pairs; "
+    "'semantic_incremental' = the daily-increment SemDeDup (cogrouped "
+    "applyInPandas: batch and corpus assign into the SHARED codebook "
+    "with zero-shuffle Arrow stages, one cell-shuffle hands each cell's "
+    "batch/corpus rows to a single vectorized verify — batch-touching "
+    "pairs only). The batch stride includes the 'c' bucket so the "
+    "planted near-dup sources land in the batch and BOTH incremental "
+    "arms are non-vacuous at test SF. The "
     "natural corpus has no qualifying pairs at test SF, which made the "
     "oracle vacuously pass on 0 == 0 rows; both engines therefore seed "
     "five deterministic near-duplicates (vec_id<5 perturbed by +0.05 on "
@@ -288,14 +303,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, threshold=0.95, dim=_DIM, nrows=nrows, strategy="unbounded"
     )
     # 'incremental' = the production daily-increment shape
-    # (cosine_dup_pairs_incremental): an md5-stride ~19% batch probes
+    # (cosine_dup_pairs_incremental): an md5-stride ~25% batch probes
     # the remaining corpus plus itself — corpus scanned once, never
     # self-joined. The oracle recomputes the same stride split
     # independently and restricts its exhaustive pair join to
     # batch-touching pairs, so the increment path gets its own
     # differential row instead of only the pytest equivalence property.
+    # the 'c' bucket is included so the PLANTED near-dup sources (ids
+    # 0/1/2 -> md5 first char 'c') land in the batch — without it both
+    # incremental arms row-vacuously pass on 0 == 0 at test SF (the
+    # same vacuity the planting exists to prevent)
     stride = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-    is_batch = stride.isin("0", "1", "2")
+    is_batch = stride.isin("0", "1", "2", "c")
     incremental = sim.cosine_dup_pairs_incremental(
         aug.filter(is_batch),
         aug.filter(~is_batch),
@@ -304,8 +323,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_id_overlap=False,  # the split partitions one relation
         broadcast=True,  # ~19% stride batch is always in budget here
     )
+    # one codebook shared by the full AND incremental semantic arms
+    # (and by the oracle's sem_cents CTE) — appends never shift cells
+    cents = sim._stride_centroid_rows(
+        aug.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+        nrows,
+        16,
+    )
     semantic = sim.semantic_dup_pairs(
-        aug, threshold=0.95, n_clusters=16, dim=_DIM, nrows=nrows
+        aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents
+    )
+    sem_inc = sim.semantic_dup_pairs_incremental(
+        aug.filter(is_batch),
+        aug.filter(~is_batch),
+        threshold=0.95,
+        dim=_DIM,
+        centroids=cents,
     )
     return bounded.select(
         F.lit("bounded").alias("method"), "id1", "id2", "cosine"
@@ -315,6 +348,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental.select(F.lit("incremental").alias("method"), "id1", "id2", "cosine")
     ).unionByName(
         semantic.select(F.lit("semantic").alias("method"), "id1", "id2", "cosine")
+    ).unionByName(
+        sem_inc.select(
+            F.lit("semantic_incremental").alias("method"), "id1", "id2", "cosine"
+        )
     )
 
 

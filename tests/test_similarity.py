@@ -455,3 +455,78 @@ def test_semantic_auto_k_scales_with_corpus(spark, emb, monkeypatch):
     # cells coarser, never incorrect)
     assert seen["k"] == max(16, -(-n // 100))
     assert out.count() >= 0  # plan executes end-to-end
+
+
+def test_semantic_incremental_equals_full_restricted(spark, emb):
+    """With the SAME codebook, the cogrouped batch-vs-corpus increment
+    must equal the full semantic formulation on the union restricted to
+    batch-touching pairs."""
+    base = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    n = aug.count()
+    cd = aug.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    cents = sim._stride_centroid_rows(cd, n, 16)
+    # md5-stride batch split (the production daily-increment shape)
+    stride = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    is_batch = stride.isin("0", "1", "2", "3", "4")
+    batch, corpus = aug.filter(is_batch), aug.filter(~is_batch)
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    got = {
+        tuple(r)
+        for r in sim.semantic_dup_pairs_incremental(
+            batch, corpus, threshold=0.9, dim=64, centroids=cents
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in sim.semantic_dup_pairs(
+            aug, threshold=0.9, dim=64, nrows=n, centroids=cents
+        ).collect()
+    }
+    want = {
+        (a, b, c) for a, b, c in full if a in batch_ids or b in batch_ids
+    }
+    assert got == want and got  # non-vacuous: planted pairs span the split
+
+
+def test_semantic_incremental_edge_cases(spark, emb, monkeypatch):
+    from datafusion_dft_spark.operators import similarity as simmod
+
+    corpus = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    n = corpus.count()
+    # empty batch -> empty result (corpus-only cells emit nothing)
+    empty_batch = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = sim.semantic_dup_pairs_incremental(
+        empty_batch, corpus, dim=64, corpus_nrows=n
+    )
+    assert out.count() == 0
+    # near-dup of a corpus row in the batch IS found across the split
+    probe = corpus.filter(F.col("vec_id") == 7).select(
+        F.lit(2000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    pairs = sim.semantic_dup_pairs_incremental(
+        probe, corpus, threshold=0.95, dim=64, corpus_nrows=n
+    ).collect()
+    assert {(r.id1, r.id2) for r in pairs} == {(7, 2000000)}
+    # oversized cell raises the loud guard (batch+corpus counted together)
+    monkeypatch.setattr(simmod, "_SEMANTIC_CELL_MAX", 3)
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0] + [0.0] * 62) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="SemDeDup cell"):
+        sim.semantic_dup_pairs_incremental(
+            dup, dup.withColumn("vec_id", F.col("vec_id") + 10),
+            n_clusters=1, dim=64, corpus_nrows=4,
+        ).collect()
