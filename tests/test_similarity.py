@@ -530,3 +530,22 @@ def test_semantic_incremental_edge_cases(spark, emb, monkeypatch):
             dup, dup.withColumn("vec_id", F.col("vec_id") + 10),
             n_clusters=1, dim=64, corpus_nrows=4,
         ).collect()
+
+
+def test_semantic_incremental_plan_shape(spark, emb):
+    """Two zero-shuffle Arrow assignment stages feeding ONE cogrouped
+    verify: the plan carries FlatMapCoGroupsInPandas, two MapInArrow
+    nodes, and no more exchanges than the cogroup's two cell-shuffles
+    (one per side) — no crossJoin, no window, no cartesian."""
+    corpus = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    batch = corpus.filter(F.col("vec_id") < 50)
+    n = corpus.count()
+    out = sim.semantic_dup_pairs_incremental(
+        batch, corpus, dim=64, corpus_nrows=n
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "FlatMapCoGroupsInPandas" in final
+    assert final.count("MapInArrow") == 2, final
+    assert final.count("Exchange") <= 2, final
+    assert "CartesianProduct" not in final and "BroadcastNestedLoop" not in final

@@ -12,6 +12,11 @@ sizes, in BOTH configurations the SCALE.md entry documents:
 - **scaled K** (n_clusters grown with the corpus, cells held at the
   sf-small size): the production setting — the receipt to look for is
   growth ≈ row growth (linear).
+- **incremental, fixed 1k batch** (``semantic_dup_pairs_incremental``
+  with scaled K): the daily-increment shape — per-batch growth is
+  bounded by the corpus-side assignment scan (which the
+  persisted-(id, cell) pattern removes in production), far below row
+  growth.
 
 Usage: python tools/rehearsal_semantic.py [SF_SMALL] [SF_BIG] [OUT_JSON]
 Defaults: 1 10 BENCH_SEMANTIC_SCALE.json (corpora under /tmp).
@@ -63,7 +68,10 @@ def main() -> int:
     out_json = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SEMANTIC_SCALE.json"
     base_k = 16
 
-    from datafusion_dft_spark.operators.similarity import semantic_dup_pairs
+    from datafusion_dft_spark.operators.similarity import (
+        semantic_dup_pairs,
+        semantic_dup_pairs_incremental,
+    )
     from datafusion_dft_spark.session import get_spark
 
     spark = get_spark(app_name="rehearsal-semantic")
@@ -87,7 +95,27 @@ def main() -> int:
             if scaled_k == base_k
             else {"k": scaled_k, **_time(lambda: run(scaled_k))}
         )
-        results[f"sf{sf:g}"] = {"rows": n, "fixed_k": fixed, "scaled_k": scaled}
+
+        # daily-increment shape: a FIXED 1k-row batch against the
+        # growing corpus, scaled K. Growth here is bounded by the
+        # corpus-side assignment scan (the persisted-(id,cell) pattern
+        # removes it in production); the in-cell verify itself is
+        # batch-proportional.
+        batch = emb.filter(F.col("vec_id") < 1000)
+        rest = emb.filter(F.col("vec_id") >= 1000)
+
+        def run_inc():
+            semantic_dup_pairs_incremental(
+                batch, rest, threshold=0.9, n_clusters=scaled_k, dim=64,
+                corpus_nrows=n - 1000,
+            ).agg(F.count(F.lit(1)), F.sum("id1")).collect()
+
+        results[f"sf{sf:g}"] = {
+            "rows": n,
+            "fixed_k": fixed,
+            "scaled_k": scaled,
+            "incremental_1k_batch": {"k": scaled_k, **_time(run_inc)},
+        }
 
     small, big = results[f"sf{sf_small:g}"], results[f"sf{sf_big:g}"]
     growth = big["rows"] / small["rows"]
@@ -98,7 +126,7 @@ def main() -> int:
             cfg: round(
                 big[cfg]["steady_sec"] / max(small[cfg]["steady_sec"], 1e-9), 2
             )
-            for cfg in ("fixed_k", "scaled_k")
+            for cfg in ("fixed_k", "scaled_k", "incremental_1k_batch")
         },
         "results": results,
     }
