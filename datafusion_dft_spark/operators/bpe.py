@@ -46,13 +46,23 @@ _BPE_VOCAB_MAX = int(_os.environ.get("SPARK_GRAFT_BPE_VOCAB_MAX", "2000000"))
 
 END = "</w>"  # end-of-word marker (paper convention)
 
+# ONE whitespace definition for training AND encoding. Java's \s (the
+# Spark split in word_counts) is ASCII-only by default while Python's
+# str.split() covers all Unicode whitespace — training and encoding
+# would tokenize 'foo\u00a0bar' differently and break the lossless
+# roundtrip. Both sides therefore split on this explicit ASCII class.
+_WS_CLASS = "[ \t\n\x0B\f\r]+"
+import re as _re
+
+_WS_RE = _re.compile(_WS_CLASS)
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over whitespace-lowercased tokens — one scan, one
     map-side-combining aggregate; the corpus-scale half of training."""
     return (
         docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+            F.explode(F.split(F.lower(F.col(text_col)), _WS_CLASS)).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -179,9 +189,16 @@ def apply_bpe(
     local cache (Zipf makes the hit rate high), then tokens concat in
     word order. One scan, zero shuffles.
     """
+    from pyspark.sql import types as T
+
     ranks = {pair: i for i, pair in enumerate(merges)}
-    out_schema = (
-        f"{id_col} long, bpe_tokens array<string>, n_bpe_tokens long"
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
     )
 
     def run(batches):
@@ -190,7 +207,9 @@ def apply_bpe(
             toks, ntoks = [], []
             for text in pdf[text_col]:
                 doc_tokens: list[str] = []
-                for w in str(text).lower().split():
+                for w in _WS_RE.split(str(text).lower()):
+                    if not w:
+                        continue
                     enc = cache.get(w)
                     if enc is None:
                         enc = encode_word(w, ranks)

@@ -610,14 +610,25 @@ def parse_video_header(b: bytes):
     Reads ONLY box structure: payloads are skipped via declared sizes
     (moov-at-end files walk past mdat in one hop). Corrupt sizes stop
     the walk; a file with no ftyp or no mvhd yields all-Nones rather
-    than raising.
+    than raising. A duration of ALL ONES means "unknown" per the spec
+    (common in fragmented MP4s) and maps to None, as does any duration
+    past int64 — never an overflow.
     """
+    return _parse_video_header_ex(b)[0]
+
+
+def _parse_video_header_ex(b: bytes):
+    """(result tuple, complete) — ``complete`` is False when any box's
+    declared extent ran past the supplied bytes (or a size-0 to-EOF box
+    was seen), i.e. parsing a PREFIX may have missed boxes and the
+    caller should retry on the full payload before trusting counts."""
     n = len(b)
     i = 0
     brand = None
     timescale = duration = None
     tracks = 0
     seen_ftyp = False
+    complete = True
     while i + 8 <= n:
         size = int.from_bytes(b[i : i + 4], "big")
         typ = b[i + 4 : i + 8]
@@ -629,8 +640,11 @@ def parse_video_header(b: bytes):
             hdr = 16
         elif size == 0:
             size = n - i
+            complete = False  # to-EOF box: a prefix can't bound it
         if size < hdr:
             break  # corrupt declared size — refuse to walk garbage
+        if i + size > n:
+            complete = False  # box tail past the supplied bytes
         if typ == b"ftyp":
             if i != 0:
                 break  # spec: ftyp is the first box
@@ -655,6 +669,10 @@ def parse_video_header(b: bytes):
                     break
                 if ct == b"mvhd" and j + chdr + 4 <= end:
                     ver = b[j + chdr]
+                    # duration ALL ONES = unknown per spec (fragmented
+                    # MP4s) — version-specific sentinel; v1 values past
+                    # int63 can't land in the int64 output columns —
+                    # all map to None, never an OverflowError
                     if ver == 0 and j + chdr + 20 <= end:
                         timescale = int.from_bytes(
                             b[j + chdr + 12 : j + chdr + 16], "big"
@@ -662,6 +680,8 @@ def parse_video_header(b: bytes):
                         duration = int.from_bytes(
                             b[j + chdr + 16 : j + chdr + 20], "big"
                         )
+                        if duration == 0xFFFFFFFF:
+                            duration = None
                     elif ver == 1 and j + chdr + 32 <= end:
                         timescale = int.from_bytes(
                             b[j + chdr + 20 : j + chdr + 24], "big"
@@ -669,13 +689,17 @@ def parse_video_header(b: bytes):
                         duration = int.from_bytes(
                             b[j + chdr + 24 : j + chdr + 32], "big"
                         )
+                        if duration >= 1 << 63:
+                            duration = None
                 elif ct == b"trak":
                     tracks += 1
+                if j + csz > end:
+                    complete = False  # child tail past the moov slice
                 j += csz
         i += size
     if not seen_ftyp or timescale is None:
-        return None, None, None, None, None
-    return "mp4", brand, timescale, duration, tracks
+        return (None, None, None, None, None), complete
+    return ("mp4", brand, timescale, duration, tracks), complete
 
 
 def decode_video_headers(
@@ -687,9 +711,11 @@ def decode_video_headers(
     Same contract as the image/audio decoders: one ``mapInArrow``
     stage, bytes never leave the executor, no codec library,
     unrecognized payloads yield NULLs. The box walk reads a 64 KiB
-    prefix first and retries on the full payload only when the prefix
-    had ftyp but no mvhd (moov-at-end files) — the JPEG oversized-APPn
-    pattern.
+    prefix first and retries on the full payload whenever the prefix
+    walk was INCOMPLETE (any box extending past the prefix — covers
+    moov-at-end files AND >64 KiB faststart moovs whose trak boxes
+    straddle the boundary) — the JPEG oversized-APPn pattern with a
+    completeness flag.
     """
     import pyarrow as pa
     from pyspark.sql import types as T
@@ -738,21 +764,23 @@ def _video_header_arrays(content) -> list:
         if not v.is_valid:
             continue
         raw = v.as_buffer()
-        # prefix-capped walk; full-payload retry covers moov-at-end
+        # prefix-capped walk; the full-payload retry covers BOTH
+        # moov-at-end files (prefix found nothing) AND boxes straddling
+        # the prefix boundary (a >64 KiB faststart moov would silently
+        # undercount trak boxes without the completeness flag)
         prefix = raw[:65536].to_pybytes() if len(raw) > 65536 else raw.to_pybytes()
-        f, br, ts, dur, tr = parse_video_header(prefix)
-        if f is None and len(raw) > len(prefix):
-            f, br, ts, dur, tr = parse_video_header(raw.to_pybytes())
+        (f, br, ts, dur, tr), done = _parse_video_header_ex(prefix)
+        if not done and len(raw) > len(prefix):
+            (f, br, ts, dur, tr), _ = _parse_video_header_ex(raw.to_pybytes())
         if f is not None:
             fmt[i], brand[i] = f, br
             timescale[i] = -1 if ts is None else ts
             duration[i] = -1 if dur is None else dur
             tracks[i] = -1 if tr is None else tr
-    ms = np.where(
-        (duration >= 0) & (timescale > 0),
-        duration * 1000 // np.maximum(timescale, 1),
-        -1,
-    )
+    # int64-safe milliseconds: durations large enough that *1000 would
+    # wrap report NULL ms (the duration itself is still emitted)
+    ms_safe = (duration >= 0) & (timescale > 0) & (duration <= (1 << 63) // 1000 - 1)
+    ms = np.where(ms_safe, duration * 1000 // np.maximum(timescale, 1), -1)
     return [
         pa.array(fmt, pa.string()),
         pa.array(brand, pa.string()),

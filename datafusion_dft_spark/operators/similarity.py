@@ -692,34 +692,44 @@ def _bounded_dup_pairs(
     return bdf.mapInPandas(verify_pairs, empty_schema), bc
 
 
+def _sieve_pairs(sims, thr: float):
+    """(row_idx, col_idx, cosine) of >= ``thr`` entries in a similarity
+    block — THE cross-engine numeric convention, living ONLY here so
+    every verify formulation (triangular, rectangular, bucketed) stays
+    bit-identical against the oracles: prefilter with 1e-4 slack (2x
+    the rounding step) so np.round — the measured per-candidate hot
+    spot — touches only the near-threshold superset; +1e-9 nudge
+    applied identically on every engine pushes values off exact .xxxx5
+    ties so numpy's half-even and Spark/DuckDB's HALF_UP can't
+    disagree on reachable inputs.
+    """
+    ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
+    if not len(ri):
+        return ri, cj, np.array([], np.float64)
+    c = np.round(sims[ri, cj] + 1e-9, 4)
+    keep = c >= thr
+    return ri[keep], cj[keep], c[keep]
+
+
 def _blockwise_dup_pairs(ids, mat, nrm, thr: float, block: int = 2048):
     """Upper-triangle >= ``thr`` cosine pairs of one id-SORTED vector
     set, blockwise to bound per-task memory.
 
-    Returns (id1, id2, cosine) numpy arrays (possibly empty). THE
-    shared numeric convention lives only here so every verify
-    formulation stays bit-identical against the oracles: prefilter
-    with 1e-4 slack (2x the rounding step) so np.round — the measured
-    per-candidate hot spot — touches only the near-threshold superset;
-    +1e-9 nudge applied identically on every engine pushes values off
-    exact .xxxx5 ties so numpy's half-even and Spark/DuckDB's HALF_UP
-    can't disagree on reachable inputs; ``ids`` ascending makes the
-    upper triangle emit id1 < id2.
+    Returns (id1, id2, cosine) numpy arrays (possibly empty); the
+    numeric convention is ``_sieve_pairs``'s, and ``ids`` ascending
+    makes the upper triangle emit id1 < id2.
     """
     out1, out2, outc = [], [], []
     n = len(ids)
     for r0 in range(0, n, block):
         r1 = min(r0 + block, n)
         sims = (mat[r0:r1] @ mat.T) / np.outer(nrm[r0:r1], nrm)
-        ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
-        if not len(ri):
-            continue
-        c = np.round(sims[ri, cj] + 1e-9, 4)
-        keep = (c >= thr) & ((ri + r0) < cj)  # upper tri: id1 < id2
-        if keep.any():
-            out1.append(ids[(ri + r0)[keep]])
-            out2.append(ids[cj[keep]])
-            outc.append(c[keep])
+        ri, cj, c = _sieve_pairs(sims, thr)
+        tri = (ri + r0) < cj  # upper tri: id1 < id2
+        if tri.any():
+            out1.append(ids[(ri + r0)[tri]])
+            out2.append(ids[cj[tri]])
+            outc.append(c[tri])
     if not out1:
         return (
             np.array([], np.int64),
@@ -1128,17 +1138,19 @@ def semantic_dup_pairs(
     closed-form.
     """
     spark = corpus.sparkSession
-    if nrows is None:
-        nrows = corpus.count()
     if dim is None:
         dim = _dim_of(corpus, vec_col)
-    if n_clusters is None:
-        n_clusters = max(16, -(-nrows // _SEMANTIC_TARGET_CELL))
     empty_schema = "id1 long, id2 long, cosine double"
     cd = corpus.select(
         F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
     ).filter(valid_vec("cv", dim))
     if centroids is None:
+        # nrows is only consumed here — an explicit codebook skips the
+        # corpus-scan count job entirely
+        if nrows is None:
+            nrows = corpus.count()
+        if n_clusters is None:
+            n_clusters = max(16, -(-nrows // _SEMANTIC_TARGET_CELL))
         centroids = _stride_centroid_rows(cd, nrows, n_clusters)
     if not centroids:
         return spark.createDataFrame([], empty_schema)
@@ -1237,23 +1249,19 @@ def _blockwise_cross_pairs(ids_a, mat_a, nrm_a, ids_b, mat_b, nrm_b, thr, block=
     """>= ``thr`` cosine pairs of A x B (rectangular — no triangle),
     blockwise over A; emits (min_id, max_id, cosine) per pair so the
     id1 < id2 convention holds regardless of which side an id came
-    from. Same numeric convention as ``_blockwise_dup_pairs``.
+    from. The numeric convention is ``_sieve_pairs``'s — one home.
     """
     out1, out2, outc = [], [], []
     for r0 in range(0, len(ids_a), block):
         r1 = min(r0 + block, len(ids_a))
         sims = (mat_a[r0:r1] @ mat_b.T) / np.outer(nrm_a[r0:r1], nrm_b)
-        ri, cj = np.nonzero(sims + 1e-9 >= thr - 1e-4)
-        if not len(ri):
-            continue
-        c = np.round(sims[ri, cj] + 1e-9, 4)
-        keep = c >= thr
-        if keep.any():
-            a = ids_a[(ri + r0)[keep]]
-            b = ids_b[cj[keep]]
+        ri, cj, c = _sieve_pairs(sims, thr)
+        if len(ri):
+            a = ids_a[(ri + r0)]
+            b = ids_b[cj]
             out1.append(np.minimum(a, b))
             out2.append(np.maximum(a, b))
-            outc.append(c[keep])
+            outc.append(c)
     if not out1:
         return (
             np.array([], np.int64),
@@ -1273,6 +1281,7 @@ def semantic_dup_pairs_incremental(
     corpus_nrows: int | None = None,
     dim: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    check_id_overlap: bool = True,
 ) -> DataFrame:
     """Daily-increment SemDeDup: batch-vs-(corpus + batch) pairs only.
 
@@ -1286,14 +1295,18 @@ def semantic_dup_pairs_incremental(
     applyInPandas — Spark shuffles both sides by cell once and hands
     each cell's (batch rows, corpus rows) to a single task; per-batch
     cost ∝ batch x mean cell size, not corpus². Same loud cell guard
-    as the full formulation; corpus-corpus pairs are excluded by
-    contract (they were reported when THOSE rows were the batch).
+    as the full formulation (work-scaled: corpus-only cells pass —
+    zero batch rows means zero verify work regardless of corpus-cell
+    size, so an ever-growing corpus can't brick the daily job);
+    corpus-corpus pairs are excluded by contract (they were reported
+    when THOSE rows were the batch). Overlapping batch/corpus ids mean
+    the batch was already merged — that raises (same contract as
+    ``cosine_dup_pairs_incremental``; ``check_id_overlap=False`` skips
+    the one verification job when the caller split one relation).
     """
     spark = corpus.sparkSession
     if dim is None:
         dim = _dim_of(corpus, vec_col)
-    if corpus_nrows is None:
-        corpus_nrows = corpus.count()
     empty_schema = "id1 long, id2 long, cosine double"
     bd = batch.select(
         F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
@@ -1301,7 +1314,18 @@ def semantic_dup_pairs_incremental(
     cd = corpus.select(
         F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
     ).filter(valid_vec("cv", dim))
+    if check_id_overlap:
+        overlap = bd.select("cid").join(cd.select("cid"), "cid")
+        if overlap.limit(1).count():
+            raise ValueError(
+                "semantic_dup_pairs_incremental: batch and corpus share "
+                "ids — was this batch already merged into the corpus?"
+            )
     if centroids is None:
+        # corpus_nrows is only consumed here — don't pay a corpus-scan
+        # count job when an explicit codebook makes it unused
+        if corpus_nrows is None:
+            corpus_nrows = corpus.count()
         if n_clusters is None:
             n_clusters = max(16, -(-corpus_nrows // _SEMANTIC_TARGET_CELL))
         centroids = _stride_centroid_rows(cd, corpus_nrows, n_clusters)
@@ -1321,14 +1345,14 @@ def semantic_dup_pairs_incremental(
             }
         )
         nb, nc = len(bpdf), len(cpdf)
+        if nb == 0:
+            return empty  # corpus-only cell: zero verify work — pass
         if nb + nc > cell_max:
             raise ValueError(
                 f"SemDeDup cell holds {nb + nc} rows (> {cell_max}); "
                 "raise n_clusters (cells scale as n/K) or "
                 "SPARK_GRAFT_SEMANTIC_CELL_MAX"
             )
-        if nb == 0:
-            return empty  # corpus-only cell: nothing batch-touching
         order = np.argsort(bpdf["cid"].to_numpy())
         b_ids = bpdf["cid"].to_numpy()[order]
         b_mat = np.stack(bpdf["cv"].to_numpy()[order]).astype(np.float64)

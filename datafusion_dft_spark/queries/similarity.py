@@ -339,6 +339,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.95,
         dim=_DIM,
         centroids=cents,
+        check_id_overlap=False,  # the split partitions one relation
     )
     return bounded.select(
         F.lit("bounded").alias("method"), "id1", "id2", "cosine"
@@ -381,7 +382,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(min(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS min_norm,
                round(max(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS max_norm,
                round(max(list_max(err)) + 1e-9, 6) AS q8_max_err,
-               round(avg(list_sum(err) / len(v)) * 1000 + 1e-9, 4) AS q8_avg_err_milli,
+               round(avg(list_sum(err) / greatest(len(v), 1)) * 1000 + 1e-9, 4) AS q8_avg_err_milli,
                round(min(CASE WHEN s > 0 THEN
                    list_dot_product(v, qv)
                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))

@@ -115,3 +115,32 @@ def test_learn_bpe_early_stop_below_min_count(spark):
         [(1, "abc def ghi")], "doc_id long, text string"
     )  # every pair occurs once
     assert bpe.learn_bpe(docs, n_merges=10, min_pair_count=2) == []
+
+
+def test_training_and_encoding_share_one_whitespace_definition(spark):
+    """Java's \\s is ASCII-only; Python's str.split() is Unicode-wide.
+    Both halves use the module's explicit ASCII class, so a
+    NBSP-joined token is ONE word in training AND encoding, and the
+    roundtrip reconstructs it."""
+    docs = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "foo bar qux")],
+        "doc_id long, text string",
+    )
+    wc = {r.word: r["count"] for r in bpe.word_counts(docs).collect()}
+    assert wc.get("foo bar") == 2  # NBSP does not split
+    merges = bpe.learn_bpe(docs, n_merges=12, min_pair_count=2)
+    enc = {r.doc_id: r for r in bpe.apply_bpe(docs, merges).collect()}
+    for did, text in [(1, "foo bar baz"), (2, "foo bar qux")]:
+        words = [w for w in "".join(enc[did].bpe_tokens).split(bpe.END) if w]
+        assert words == bpe._WS_RE.split(text.lower())
+
+
+def test_apply_bpe_string_ids(spark):
+    """The id column passes through under its own type (the
+    decode_video_headers pattern), not a hardcoded long."""
+    docs = spark.createDataFrame(
+        [("k1", "aa aa bb")], "doc_key string, text string"
+    )
+    merges = bpe.learn_bpe(docs, n_merges=2, min_pair_count=2)
+    rows = bpe.apply_bpe(docs, merges, id_col="doc_key").collect()
+    assert rows[0].doc_key == "k1" and rows[0].n_bpe_tokens >= 1

@@ -662,3 +662,54 @@ def test_decode_video_headers_distributed(spark, sf_dir):
     )
     got = {r.doc_id: r for r in mm.decode_video_headers(mixed).collect()}
     assert got[1].vid_duration == 99 and got[2].vid_format is None
+
+
+def test_parse_video_header_unknown_and_oversized_durations():
+    """Spec: duration ALL ONES = unknown (fragmented MP4s) -> None, per
+    version; v1 durations past int64 -> None (never OverflowError in
+    the int64 output columns)."""
+    v0_unknown = _real_mp4(1000, 0xFFFFFFFF, v=0)
+    assert mm.parse_video_header(v0_unknown) == ("mp4", "isom", 1000, None, 1)
+    v1_unknown = _real_mp4(1000, 0xFFFFFFFFFFFFFFFF, v=1)
+    assert mm.parse_video_header(v1_unknown) == ("mp4", "isom", 1000, None, 1)
+    v1_huge = _real_mp4(1000, 1 << 63, v=1)
+    assert mm.parse_video_header(v1_huge) == ("mp4", "isom", 1000, None, 1)
+    # a v1 duration that happens to equal 0xFFFFFFFF is LEGITIMATE
+    assert mm.parse_video_header(_real_mp4(90000, 0xFFFFFFFF, v=1)) == (
+        "mp4", "isom", 90000, 0xFFFFFFFF, 1,
+    )
+    # decode stage: NULL duration/ms, no crash; near-int64 duration
+    # reports NULL ms (the *1000 would wrap) but keeps the duration
+    import pyspark.sql.functions as SF  # noqa: F401
+    big_ok = (1 << 62)  # representable, but *1000 overflows
+    df_rows = [(1, v1_unknown), (2, _real_mp4(600, big_ok, v=1))]
+    import pyspark.sql as _s
+    spark = _s.SparkSession.getActiveSession()
+    df = spark.createDataFrame(df_rows, "doc_id long, video binary")
+    got = {r.doc_id: r for r in mm.decode_video_headers(df).collect()}
+    assert got[1].vid_duration is None and got[1].vid_ms is None
+    assert got[1].vid_format == "mp4" and got[1].vid_timescale == 1000
+    assert got[2].vid_duration == big_ok and got[2].vid_ms is None
+
+
+def test_decode_video_headers_moov_straddles_prefix(spark):
+    """A faststart MP4 whose moov exceeds the 64 KiB prefix (fat
+    metadata child before the traks) must still report the full track
+    count — the completeness flag forces the full-payload retry."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    base = _real_mp4(1000, 42, tracks=3)
+    # splice a 70 KiB 'udta' child into moov after mvhd, before traks
+    ftyp_end = 20
+    (moov_size,) = struct.unpack(">I", base[20:24])
+    mvhd_end = ftyp_end + 8 + 108
+    fat = box(b"udta", bytes(70000))
+    new_moov_payload = base[ftyp_end + 8 : mvhd_end] + fat + base[mvhd_end:]
+    b = base[:ftyp_end] + box(b"moov", new_moov_payload)
+    assert mm.parse_video_header(b) == ("mp4", "isom", 1000, 42, 3)
+    df = spark.createDataFrame([(1, b)], "doc_id long, video binary")
+    r = mm.decode_video_headers(df).collect()[0]
+    assert r.vid_tracks == 3 and r.vid_duration == 42

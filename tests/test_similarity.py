@@ -537,11 +537,12 @@ def test_semantic_incremental_plan_shape(spark, emb):
     verify: the plan carries FlatMapCoGroupsInPandas, two MapInArrow
     nodes, and no more exchanges than the cogroup's two cell-shuffles
     (one per side) — no crossJoin, no window, no cartesian."""
-    corpus = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
-    batch = corpus.filter(F.col("vec_id") < 50)
+    full = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    batch = full.filter(F.col("vec_id") < 50)
+    corpus = full.filter(F.col("vec_id") >= 50)
     n = corpus.count()
     out = sim.semantic_dup_pairs_incremental(
-        batch, corpus, dim=64, corpus_nrows=n
+        batch, corpus, dim=64, corpus_nrows=n, check_id_overlap=False
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
@@ -549,3 +550,13 @@ def test_semantic_incremental_plan_shape(spark, emb):
     assert final.count("MapInArrow") == 2, final
     assert final.count("Exchange") <= 2, final
     assert "CartesianProduct" not in final and "BroadcastNestedLoop" not in final
+
+
+def test_semantic_incremental_overlap_guard(spark, emb):
+    """Overlapping batch/corpus ids mean the batch was already merged
+    into the corpus — that must raise (same contract as the cosine
+    incremental), not silently emit (id, id, 1.0) self-pairs."""
+    corpus = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    batch = corpus.limit(5)  # ids also present in the corpus
+    with pytest.raises(ValueError, match="share ids"):
+        sim.semantic_dup_pairs_incremental(batch, corpus, dim=64)
