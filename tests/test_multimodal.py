@@ -495,6 +495,8 @@ def test_media_header_parsers_never_crash_on_fuzz():
         _real_flac(22050, 1, 16, 9),
         _real_png(5, 4),
         _real_jpeg(5, 4),
+        _real_mp4(1000, 42, tracks=2),
+        _real_mp4(90000, (1 << 33) + 5, v=1, moov_at_end=True, mdat_bytes=64),
     ]
 
     @settings(max_examples=300, deadline=None)
@@ -516,6 +518,12 @@ def test_media_header_parsers_never_crash_on_fuzz():
         assert len(a) == 5
         i = mm.parse_image_header(payload)
         assert len(i) == 4
+        v = mm.parse_video_header(payload)
+        assert len(v) == 5
+        # int64-safety contract: a parsed duration always fits the
+        # output column (the all-ones/oversized sentinels map to None)
+        if v[3] is not None:
+            assert 0 <= v[3] < (1 << 63)
 
     check()
 
