@@ -108,6 +108,7 @@ def main() -> int:
             semantic_dup_pairs_incremental(
                 batch, rest, threshold=0.9, n_clusters=scaled_k, dim=64,
                 corpus_nrows=n - 1000,
+                check_id_overlap=False,  # the vec_id split is disjoint
             ).agg(F.count(F.lit(1)), F.sum("id1")).collect()
 
         results[f"sf{sf:g}"] = {
