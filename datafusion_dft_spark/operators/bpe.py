@@ -51,6 +51,13 @@ END = "</w>"  # end-of-word marker (paper convention)
 # str.split() covers all Unicode whitespace — training and encoding
 # would tokenize 'foo\u00a0bar' differently and break the lossless
 # roundtrip. Both sides therefore split on this explicit ASCII class.
+# Case mapping is unified the same way: BOTH training and encoding
+# lowercase via the JVM (F.lower in word_counts / in apply_bpe's
+# projection, before the Python stage). Python's str.lower() and
+# Java's toLowerCase disagree on Unicode special cases (e.g. U+0130
+# LATIN CAPITAL I WITH DOT ABOVE, whose mappings also drift across
+# Unicode versions), which would tokenize a word differently at train
+# vs encode time and break the lossless-roundtrip contract.
 _WS_CLASS = "[ \t\n\x0B\f\r]+"
 import re as _re
 
@@ -187,7 +194,9 @@ def apply_bpe(
     (tens of KB for typical merge counts) into one Arrow-batched
     pandas stage; per-batch, distinct words encode once through a
     local cache (Zipf makes the hit rate high), then tokens concat in
-    word order. One scan, zero shuffles.
+    word order. One scan, zero shuffles. Lowercasing happens in the
+    JVM projection feeding the stage — the same runtime and mapping
+    word_counts uses at training time (see the module case note).
     """
     from pyspark.sql import types as T
 
@@ -207,7 +216,10 @@ def apply_bpe(
             toks, ntoks = [], []
             for text in pdf[text_col]:
                 doc_tokens: list[str] = []
-                for w in _WS_RE.split(str(text).lower()):
+                # text arrives pre-lowered by the JVM projection below —
+                # the SAME runtime word_counts lowers with at training
+                # time — so no str.lower() here (see module note)
+                for w in _WS_RE.split(str(text)):
                     if not w:
                         continue
                     enc = cache.get(w)
@@ -221,4 +233,6 @@ def apply_bpe(
                 {id_col: pdf[id_col], "bpe_tokens": toks, "n_bpe_tokens": ntoks}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    return docs.select(
+        id_col, F.lower(F.col(text_col)).alias(text_col)
+    ).mapInPandas(run, schema=out_schema)

@@ -1195,21 +1195,26 @@ def quantize_int8(
     """Symmetric per-vector int8 quantization (the FAISS SQ8 scheme).
 
     Appends ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)``
-    (q in [-127, 127]) — 4x smaller embedding storage, and because the
-    scale is symmetric AND per-vector it CANCELS in cosine, so ANN over
-    the quantized vectors approximates the full-precision ranking with
-    no dequantization join. All-zero vectors get scale 0 and an all-zero
-    q (dequantizes exactly). Entirely JVM-side higher-order expressions
-    — round() is HALF_UP on both Spark and DuckDB (away-from-zero), so
-    the quantized values are engine-exact and every downstream error
-    statistic is differentially checkable.
+    stored as ``array<tinyint>`` (q in [-127, 127]) — genuinely 8x
+    smaller than the double source column (the 4x figure usually quoted
+    is vs float32), and because the scale is symmetric AND per-vector
+    it CANCELS in cosine, so ANN over the quantized vectors
+    approximates the full-precision ranking with no dequantization join
+    (consumers promote with :func:`as_double` in the scan projection —
+    an elementwise cast, not a join; ``brute_force_topk`` et al.
+    already do). All-zero vectors get scale 0 and an all-zero q
+    (dequantizes exactly). Entirely JVM-side higher-order expressions —
+    round() is HALF_UP on both Spark and DuckDB (away-from-zero), so
+    the quantized values are engine-exact (the cast is lossless: the
+    rounded value is already an integer in [-127, 127]) and every
+    downstream error statistic is differentially checkable.
     """
     v = as_double(vec_col)
     s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     sc = F.col(scale_col)
     q = F.when(
-        sc > 0, F.transform(v, lambda x: F.round(x / sc))
-    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+        sc > 0, F.transform(v, lambda x: F.round(x / sc).cast("tinyint"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
     return df.withColumn(scale_col, s).withColumn(q_col, q)
 
 
@@ -1231,9 +1236,13 @@ def quantization_error_cols(
     """
     v = as_double(vec_col)
     s = F.col(scale_col)
-    err = F.zip_with(v, F.col(q_col), lambda x, qq: F.abs(x - qq * s))
+    # q is array<tinyint>; promote before any q*q product — Spark
+    # arithmetic stays in the operand type, and tinyint*tinyint (up to
+    # 127*127) would silently wrap inside norm(q)
+    qd = as_double(F.col(q_col))
+    err = F.zip_with(v, qd, lambda x, qq: F.abs(x - qq * s))
     cos_self = F.when(
-        s > 0, cosine(v, F.col(q_col))
+        s > 0, cosine(v, qd)
     ).otherwise(F.lit(1.0))
     return {
         "q8_max_err": F.array_max(err),
