@@ -8,8 +8,23 @@ compose them into their own projections.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Broadcast budget (rows) for the bigram-LM model relations. The
+# context-count relation is bounded by the unigram vocabulary and the
+# bigram-count relation by the observed-bigram vocabulary — Heaps'-law
+# growth, not corpus growth — so on real corpora both usually fit a
+# broadcast and the exploded gram stream (the CORPUS-scale side) never
+# shuffles for the joins. 2M rows x ~40 bytes/(gram,count) ~ 80 MB, the
+# same per-executor ceiling reasoning as the incremental-dedup guard in
+# operators/dedup.py. Above budget the join degrades to the shuffled
+# plan (same result, one exchange of the gram stream per join).
+_MODEL_BROADCAST_MAX_ROWS = int(
+    _os.environ.get("SPARK_GRAFT_MODEL_BROADCAST_MAX_ROWS", "2000000")
+)
 
 # Function words used by the quality/langid heuristics. Keep in sync
 # with the SQL oracles in queries/text.py.
@@ -208,19 +223,31 @@ def bigram_logprob_scores(
     spikes on it — the next filter a production quality stack applies.
 
     Shape at scale: one bigram explode → two aggregations (bigram
-    counts, context counts) + two shuffle joins. Both model relations
+    counts, context counts) + two model joins. Both model relations
     are bounded by the observed bigram vocabulary — relations, never
-    driver state. Documents with fewer than 2 words have no bigrams
-    and drop out (inner-join semantics, same as the unigram scorer).
+    driver state — so each is BROADCAST when its vocabulary fits the
+    ``_MODEL_BROADCAST_MAX_ROWS`` budget (one approximate sizing pass
+    decides both sides; approx_count_distinct is a map-side-combining
+    sketch, and a ±5% estimate is plenty for a size guard), keeping
+    the corpus-scale gram stream un-shuffled; an over-budget model
+    degrades that join to the shuffled plan. Documents with fewer than
+    2 words have no bigrams and drop out (inner-join semantics, same
+    as the unigram scorer).
     """
     g = docs.select(
         F.col(id_col), F.explode(ngrams(text_col, 2)).alias("gram")
     ).withColumn("w1", F.substring_index("gram", " ", 1))
     c2 = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = g.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    sizes = g.agg(
+        F.approx_count_distinct("gram").alias("n2"),
+        F.approx_count_distinct("w1").alias("n1"),
+    ).first()
+    c2j = F.broadcast(c2) if sizes["n2"] <= _MODEL_BROADCAST_MAX_ROWS else c2
+    c1j = F.broadcast(c1) if sizes["n1"] <= _MODEL_BROADCAST_MAX_ROWS else c1
     return (
-        g.join(c2, "gram")
-        .join(c1, "w1")
+        g.join(c2j, "gram")
+        .join(c1j, "w1")
         .withColumn("nlp", -F.log(F.col("c2") / F.col("c1").cast("double")))
         .groupBy(id_col)
         .agg(F.round(F.avg("nlp") + 1e-9, 4).alias("avg_neg_logprob2"))

@@ -409,3 +409,35 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
     assert ex.pushed_filters(df), ex.formatted_plan(df)
     cols = ex.scan_columns(df)
     assert cols and all(len(c) <= 2 for c in cols), cols
+
+
+def test_bigram_lm_model_joins_broadcast_under_budget(spark, sf_dir, monkeypatch):
+    """The bigram-LM model relations are vocabulary-bounded, so under
+    the ``_MODEL_BROADCAST_MAX_ROWS`` budget BOTH model joins must
+    broadcast (the corpus-scale gram stream never shuffles for a
+    join); with the budget forced to 0 both degrade to the shuffled
+    plan — same rows either way."""
+    import re
+
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators import text as tx
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    fast = tx.bigram_logprob_scores(docs)
+    sp = ex.simple_plan(fast)
+    joins = re.findall(r"(\w+Join)", sp)
+    assert joins and set(joins) == {"BroadcastHashJoin"}, (joins, sp)
+
+    monkeypatch.setattr(tx, "_MODEL_BROADCAST_MAX_ROWS", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        slow = tx.bigram_logprob_scores(docs)
+        ssp = ex.simple_plan(slow)
+        sjoins = re.findall(r"(\w+Join)", ssp)
+        assert sjoins and "BroadcastHashJoin" not in sjoins, (sjoins, ssp)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
