@@ -69,7 +69,12 @@ def main() -> int:
     from datafusion_dft_spark.operators.sampling import quality_stratified_sample
     from datafusion_dft_spark.session import get_spark
 
+    from bench import control_canary_sec
+
     spark = get_spark(app_name="rehearsal-text-ops")
+    # first invocation discarded: fresh-session JIT reads the canary high
+    control_canary_sec(spark, "/root/testdata/sf0.1")
+    canary_pre = control_canary_sec(spark, "/root/testdata/sf0.1")
     results: dict[str, dict] = {}
     for sf in (sf_small, sf_big):
         sf_dir = _gen_documents(spark, sf, f"/tmp/textops_sf{sf:g}")
@@ -118,10 +123,13 @@ def main() -> int:
         op: round(big[op]["steady_sec"] / max(small[op]["steady_sec"], 1e-9), 2)
         for op in OPS
     }
+    canary_post = control_canary_sec(spark, "/root/testdata/sf0.1")
     artifact = {
         "protocol": "sink-side (single-row aggregate; no driver collect of data)",
         "row_growth": round(growth, 2),
         "steady_growth_ratios": ratios,
+        "control_sec_pre": canary_pre,
+        "control_sec_post": canary_post,
         "results": results,
     }
     with open(out_json, "w") as f:
