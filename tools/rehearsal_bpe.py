@@ -47,10 +47,19 @@ def _gen_documents(spark, sf: float, out_dir: str) -> str:
     return path
 
 
-def _time(fn, runs: int = 3) -> dict:
+def _time(fn, runs: int = 5, spark=None) -> dict:
+    """bench.py's per-sample discipline: an explicit GC before each
+    timed run moves ContextCleaner debt (shuffle files, broadcast
+    blocks from PRIOR ops in the same session) outside the timing
+    window — without it a sporadic full GC lands inside one op's
+    steady runs and poisons its ratio (round 10's span_dedup 13.3x
+    and this tool's first bigram 8.4s readings were exactly that)."""
     cold = None
     samples = []
     for i in range(runs):
+        if spark is not None:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
@@ -61,7 +70,7 @@ def _time(fn, runs: int = 3) -> dict:
     samples.sort()
     return {
         "cold_sec": round(cold, 3),
-        "steady_sec": round(samples[len(samples) // 2] if samples else cold, 3),
+        "steady_sec": round(samples[(len(samples) - 1) // 2] if samples else cold, 3),
     }
 
 
@@ -101,7 +110,7 @@ def main() -> int:
             )
             token_total["toks"] = int(row["toks"])
 
-        timing = _time(run_encode)
+        timing = _time(run_encode, spark=spark)
         results[f"sf{sf:g}"] = {
             "rows": n,
             "total_bpe_tokens": token_total["toks"],
