@@ -824,6 +824,15 @@ def refine_centroids(
     Empty cells keep their previous centroid. Refined centroids cut
     cell imbalance (stride samples land in dense regions), which is
     what bounds worst-case probe cost at 10^9 vectors.
+
+    Engine-portable by the repo's rounding convention (round 11, so
+    one Lloyd iteration can be differentially replayed in DuckDB as
+    the 'semantic_refined' arm of ``dedup_embedding_cosine``): the
+    assignment argmax ranks the ROUNDED cosine (+1e-9, 6dp — same as
+    the SemDeDup assignment, so a cross-engine near-tie resolves to an
+    exact tie and the centroid_id ASC tie-break decides identically),
+    and the refined means are rounded the same way (a 6dp grid absorbs
+    the ~1e-13 summation-order drift of a distributed avg).
     """
     first = cents.first()
     if first is None:  # empty corpus → empty codebook: nothing to refine
@@ -834,7 +843,8 @@ def refine_centroids(
             F.broadcast(cents.select("centroid_id", "centv"))
         )
         w = W.partitionBy("cid").orderBy(
-            F.desc(cosine(F.col("cv"), F.col("centv"))), F.asc("centroid_id")
+            F.desc(F.round(cosine(F.col("cv"), F.col("centv")) + 1e-9, 6)),
+            F.asc("centroid_id"),
         )
         assigned = (
             scored.withColumn("rnk", F.row_number().over(w))
@@ -842,7 +852,9 @@ def refine_centroids(
             .select("cid", "cv", "centroid_id")
         )
         means = assigned.groupBy("centroid_id").agg(
-            F.array(*[F.avg(F.col("cv")[i]) for i in range(dim)]).alias("newv")
+            F.array(
+                *[F.round(F.avg(F.col("cv")[i]) + 1e-9, 6) for i in range(dim)]
+            ).alias("newv")
         )
         cents = (
             cents.join(means, "centroid_id", "left")

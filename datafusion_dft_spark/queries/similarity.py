@@ -209,6 +209,35 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            DESC, c.centroid_id ASC) AS rnk
                 FROM aug a CROSS JOIN sem_cents c
             ) WHERE rnk = 1
+        ),
+        -- ONE Lloyd iteration (refine_centroids): each centroid moves
+        -- to the per-element mean of its sem_asgn cell, rounded
+        -- (+1e-9, 6dp) like the Spark side; empty cells keep their
+        -- stride centroid (LEFT JOIN + coalesce)
+        sem_ref_cents AS (
+            SELECT c.centroid_id, coalesce(m.cv, c.cv) AS cv
+            FROM sem_cents c LEFT JOIN (
+                SELECT centroid_id, list(m ORDER BY i) AS cv
+                FROM (
+                    SELECT s.centroid_id, t.i,
+                           round(avg(a.v[t.i]) + 1e-9, 6) AS m
+                    FROM sem_asgn s JOIN aug a USING (vec_id)
+                    CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+                    GROUP BY 1, 2
+                ) GROUP BY centroid_id
+            ) m USING (centroid_id)
+        ),
+        sem_ref_asgn AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT a.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                           round(list_dot_product(a.v, c.cv)
+                                 / (sqrt(list_dot_product(a.v, a.v))
+                                    * sqrt(list_dot_product(c.cv, c.cv)))
+                                 + 1e-9, 6)
+                           DESC, c.centroid_id ASC) AS rnk
+                FROM aug a CROSS JOIN sem_ref_cents c
+            ) WHERE rnk = 1
         )
         SELECT 'bounded' AS method, id1, id2, cosine FROM pairs
         UNION ALL
@@ -233,10 +262,16 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND a2.centroid_id = a1.centroid_id
         WHERE substr(md5(CAST(p.id1 AS VARCHAR)), 1, 1) IN ('0', '1', '2', 'c')
            OR substr(md5(CAST(p.id2 AS VARCHAR)), 1, 1) IN ('0', '1', '2', 'c')
+        UNION ALL
+        SELECT 'semantic_refined' AS method, p.id1, p.id2, p.cosine
+        FROM pairs p
+        JOIN sem_ref_asgn a1 ON a1.vec_id = p.id1
+        JOIN sem_ref_asgn a2 ON a2.vec_id = p.id2
+                            AND a2.centroid_id = a1.centroid_id
     """,
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH candidates + "
-    "exact rerank, ALL FIVE formulations method-tagged in one query "
+    "exact rerank, ALL SIX formulations method-tagged in one query "
     "(consolidated for the driver's 50-query cap, the ann_pruned_topk "
     "pattern): 'bounded' = driver LSH bucketing over an Arrow-collected "
     "matrix + distributed two-tier verify; 'unbounded' = the fully "
@@ -259,7 +294,12 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch/corpus rows to a single vectorized verify — batch-touching "
     "pairs only). The batch stride includes the 'c' bucket so the "
     "planted near-dup sources land in the batch and BOTH incremental "
-    "arms are non-vacuous at test SF. The "
+    "arms are non-vacuous at test SF; 'semantic_refined' (round 11) = "
+    "the SemDeDup search over a ONE-Lloyd-iteration refined codebook "
+    "(refine_centroids, the production centroid knob) — the oracle "
+    "replays the refinement exactly (per-cell rounded means, rounded "
+    "argmax reassignment), upgrading Lloyd refinement from "
+    "property-tested recall to differentially-checked. The "
     "natural corpus has no qualifying pairs at test SF, which made the "
     "oracle vacuously pass on 0 == 0 rows; both engines therefore seed "
     "five deterministic near-duplicates (vec_id<5 perturbed by +0.05 on "
@@ -341,6 +381,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
         check_id_overlap=False,  # the split partitions one relation
     )
+    # 'semantic_refined' = the production centroid knob: ONE Lloyd
+    # iteration over the shared stride codebook (refine_centroids —
+    # rounded argmax + rounded means, so the oracle's sem_ref_cents /
+    # sem_ref_asgn CTEs replay it exactly), then the same SemDeDup
+    # in-cell search. The collect is <= n_centroids rows by
+    # construction (the codebook lives with the index, not the data).
+    cents_df = spark.createDataFrame(
+        cents, "centroid_id long, centv array<double>"
+    )
+    refined = sim.refine_centroids(
+        aug.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+        cents_df,
+        iters=1,
+    )
+    cents_ref = [
+        (int(r.centroid_id), [float(x) for x in r.centv])
+        for r in refined.collect()
+    ]
+    sem_ref = sim.semantic_dup_pairs(
+        aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents_ref
+    )
     return bounded.select(
         F.lit("bounded").alias("method"), "id1", "id2", "cosine"
     ).unionByName(
@@ -352,6 +413,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sem_inc.select(
             F.lit("semantic_incremental").alias("method"), "id1", "id2", "cosine"
+        )
+    ).unionByName(
+        sem_ref.select(
+            F.lit("semantic_refined").alias("method"), "id1", "id2", "cosine"
         )
     )
 
