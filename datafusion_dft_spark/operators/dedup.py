@@ -42,17 +42,66 @@ from pyspark.sql import functions as F
 NUM_PERM = 64
 BANDS = 16
 
-# Incremental dedup broadcasts the banded BATCH side. An "increment"
-# is small by definition — but a backfill-sized batch fed through the
-# same entry point would broadcast gigabytes to every executor and OOM
-# the job, so above this many batch rows the probe join degrades to a
-# plain shuffled equi-join on the band keys (same result, one extra
-# shuffle of the banded corpus). At the default 16 bands a row is
-# (id, band, bandhash) ~ 40 bytes, so 100k batch ids ~ 1.6M banded
-# rows ~ 65 MB broadcast — the sane ceiling for a 1000-executor fleet.
+# ABSOLUTE cap on broadcasting the banded BATCH side of an incremental
+# probe: above this many batch rows the probe never broadcasts,
+# whatever the corpus size — at 16 bands a row is (id, band, bandhash)
+# ~ 40 bytes, so 100k batch ids ~ 1.6M banded rows ~ 65 MB replicated
+# into every executor, the sane per-executor memory ceiling (measured:
+# 59.1 MB of exchange bytes for the 100k banded batch — see
+# BENCH_INCR_BYTES.json). Within the
+# cap the broadcast-vs-shuffle choice is NOT a flat row threshold (the
+# round-10 BENCH_INCR_PROBE receipt showed the shuffled probe at or
+# below broadcast at EVERY measured batch size against a 350k corpus —
+# a flat 100k default contradicted its own evidence); it is the ratio
+# rule in _incr_should_broadcast below, derived from the bytes model
+# that receipt and BENCH_INCR_BYTES ground.
 _INCR_BROADCAST_MAX_BATCH = int(
     os.environ.get("SPARK_GRAFT_INCR_BROADCAST_MAX_BATCH", "100000")
 )
+
+
+def _incr_should_broadcast(spark, n_batch: int, n_corpus: int) -> bool:
+    """Should the incremental probe FORCE a broadcast hint?
+
+    True means the banded batch is hint-broadcast — the plan that
+    never materializes the banded corpus through an exchange, not even
+    map-side (at 100 TB that map write alone is petabyte-scale disk).
+    False means NO hint: the join is left to Catalyst/AQE, which picks
+    broadcast-vs-shuffle from RUNTIME byte statistics against
+    ``spark.sql.autoBroadcastJoinThreshold`` — the bytes-based default.
+    (The round-10 BENCH_INCR_PROBE receipt's "shuffled" arm was in
+    truth this un-hinted plan — the session's 64 MB threshold could
+    auto-broadcast it — so its medians never compared a forced hint
+    against a guaranteed shuffle. The round-11 BENCH_INCR_BYTES
+    receipt separates all three arms: LOCAL wall-clock spread is
+    jitter-bound across them — no network, nothing to see — while the
+    byte accounting decides: at a 5k batch the un-hinted plan
+    MIS-PLANNED, paying the full ~206 MB banded-corpus exchange for a
+    3 MB-broadcastable batch (Catalyst's static estimate mis-sized
+    the exploded batch), exactly the case the forced hint exists
+    for.)
+
+    The hint is forced only when it certainly wins — the network/
+    materialization inequality: broadcast replicates the banded batch
+    into every execution unit (batch × P bytes, P = static executor
+    count when configured, else defaultParallelism locally, where the
+    same ×P shows up as the serial broadcast-build vs a P-way
+    shuffle), while any shuffle-side plan moves corpus + batch once.
+    Hint iff batch × P ≤ corpus, under the absolute
+    ``_INCR_BROADCAST_MAX_BATCH`` cap (never replicate a backfill).
+    Callers with their own fleet math (a 1e5 daily batch vs a 1e9
+    corpus on 1000 executors → hint) pin ``broadcast`` explicitly.
+    """
+    if n_batch > _INCR_BROADCAST_MAX_BATCH:
+        return False
+    try:
+        n_exec = int(spark.conf.get("spark.executor.instances"))
+    except Exception:
+        n_exec = 0
+    p = n_exec if n_exec > 0 else max(1, spark.sparkContext.defaultParallelism)
+    return n_batch * p <= n_corpus
+
+
 ROWS_PER_BAND = NUM_PERM // BANDS
 # Universal-hash permutation family over the 32-bit base hash:
 # h_i = (A_i * h + B_i) mod P with P the largest 32-bit prime. A_i < 2^31
@@ -456,9 +505,13 @@ def minhash_lsh_pairs_incremental(
     and cost scales with |batch| × collision rate. ``broadcast`` pins
     the probe strategy — ``True`` broadcasts the banded batch (one
     corpus pass, zero corpus shuffle: the daily-increment plan),
-    ``False`` shuffles the band equi-join (the backfill plan), and
-    ``None`` (default) broadcasts only while the batch is within
-    ``_INCR_BROADCAST_MAX_BATCH`` rows. Band hashes are identical to
+    ``False`` adds NO hint — Catalyst/AQE picks the join strategy from
+    runtime bytes vs ``autoBroadcastJoinThreshold`` (set that to -1 to
+    force a pure shuffled band join, as the backfill plan gates do) —
+    and ``None`` (default) applies ``_incr_should_broadcast``: hint
+    only while batch × parallelism ≤ corpus AND the batch is under the
+    ``_INCR_BROADCAST_MAX_BATCH`` cap, else defer to the bytes-based
+    AQE choice. Band hashes are identical to
     `minhash_lsh_pairs` (shared ``_band_hash_array``), so the result
     equals the full self-join's pairs restricted to those touching a
     batch doc (property-tested in tests/test_dedup.py).
@@ -529,13 +582,16 @@ def minhash_lsh_pairs_incremental(
         .unionByName(banded(sig_new))
         .select(F.col(id_col).alias("doc_b"), "band", "bandhash")
     )
-    # Broadcast the batch only while it actually is increment-sized; a
-    # backfill routed through this entry point falls back to a shuffled
-    # band join instead of OOMing every executor. The count hits the
-    # cached signatures the pair join needs next, so it is not an extra
-    # corpus pass.
+    # Broadcast only while the batch is genuinely increment-sized FOR
+    # THIS corpus (_incr_should_broadcast: batch × P ≤ corpus, under
+    # the absolute cap) — a backfill falls back to a shuffled band
+    # join instead of OOMing every executor. Both counts hit the
+    # cached signature relations the pair join needs next, so this is
+    # not an extra corpus pass.
     if broadcast is None:
-        broadcast = sig_new.count() <= _INCR_BROADCAST_MAX_BATCH
+        broadcast = _incr_should_broadcast(
+            sig_new.sparkSession, sig_new.count(), sig_corpus.count()
+        )
     probe_side = F.broadcast(probe) if broadcast else probe
     cand = (
         build.join(probe_side, ["band", "bandhash"])

@@ -439,10 +439,13 @@ def cosine_dup_pairs_incremental(
     the banded BATCH side probes one pass over the banded corpus plus
     itself on (table, bucket), so the corpus is never self-joined and
     candidate cost scales with |batch| × collision rate. ``broadcast``
-    pins the probe strategy (``True`` broadcast / ``False`` shuffled
-    equi-join); ``None`` broadcasts only while the batch is within
-    ``_INCR_BROADCAST_MAX_BATCH`` rows — an increment broadcasts, a
-    backfill shuffles. Identical planes (md5-derived, shared
+    pins the probe strategy (``True`` = forced broadcast hint,
+    ``False`` = no hint — Catalyst/AQE decides from runtime bytes;
+    threshold=-1 forces the pure shuffle); ``None`` applies the shared
+    ``_incr_should_broadcast`` rule — hint only while batch ×
+    parallelism ≤ corpus AND the batch is under the
+    ``_INCR_BROADCAST_MAX_BATCH`` cap, else defer to the bytes-based
+    AQE choice. Identical planes (md5-derived, shared
     ``signatures``) mean recall equals the unbounded self-join's for
     batch-touching pairs — property-tested in tests/test_similarity.py.
 
@@ -475,7 +478,7 @@ def cosine_dup_pairs_incremental(
         n = raw.count()
         return _right_size(raw, n), n
 
-    (raw_new, n_new), (raw_corpus, _) = prep(new_df), prep(corpus_df)
+    (raw_new, n_new), (raw_corpus, n_corpus) = prep(new_df), prep(corpus_df)
     if check_id_overlap:
         overlap = raw_new.select("vid").join(raw_corpus.select("vid"), "vid")
         if overlap.limit(1).count():
@@ -493,14 +496,15 @@ def cosine_dup_pairs_incremental(
         .unionByName(banded(raw_new))
         .select(F.col("vid").alias("id_b"), "table", "bucket")
     )
-    # Same size guard as the minhash increment: broadcast is the right
-    # plan only while the batch IS an increment; a backfill-sized batch
-    # degrades to a shuffled (table, bucket) equi-join instead of
+    # Same guard as the minhash increment: broadcast is the right plan
+    # only while batch × parallelism ≤ corpus (and under the absolute
+    # cap) — see _incr_should_broadcast's cost model; a backfill-sized
+    # batch degrades to a shuffled (table, bucket) equi-join instead of
     # shipping the banded batch to every executor.
     if broadcast is None:
-        from .dedup import _INCR_BROADCAST_MAX_BATCH
+        from .dedup import _incr_should_broadcast
 
-        broadcast = n_new <= _INCR_BROADCAST_MAX_BATCH
+        broadcast = _incr_should_broadcast(new_df.sparkSession, n_new, n_corpus)
     probe_side = F.broadcast(probe) if broadcast else probe
     cand = (
         build.join(probe_side, ["table", "bucket"])

@@ -194,11 +194,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         threshold=0.7,
         check_id_overlap=False,
-        # broadcast=True pinned: this row's batch is a ~19% stride of a
-        # corpus the driver runs at sf<=0.1 (and the rehearsal at sf10
-        # stays under _INCR_BROADCAST_MAX_BATCH) — always in budget, so
-        # skip the auto-guard's eager batch count. Unknown-size callers
-        # should leave broadcast=None and let the operator decide.
+        # broadcast=True pinned: the daily-increment plan shape, and it
+        # skips the auto rule's eager batch+corpus counts. (The auto
+        # rule would shuffle here — a ~19% stride batch fails
+        # batch × parallelism ≤ corpus at any SF — but pinning keeps
+        # this row exercising the broadcast probe the gate asserts;
+        # the shuffled path gets its own differential via
+        # test_incremental_over_budget_batch_shuffles.)
         broadcast=True,
     )
     return full.select(

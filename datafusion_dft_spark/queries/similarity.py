@@ -361,7 +361,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.95,
         dim=_DIM,
         check_id_overlap=False,  # the split partitions one relation
-        broadcast=True,  # ~19% stride batch is always in budget here
+        broadcast=True,  # pinned daily-increment plan (skips the eager
+        # auto-rule counts; the auto rule itself is gated in test_plans)
     )
     # one codebook shared by the full AND incremental semantic arms
     # (and by the oracle's sem_cents CTE) — appends never shift cells

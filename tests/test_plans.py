@@ -149,12 +149,12 @@ def _stride_split(df, id_col):
 
 def test_minhash_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
     """The increment path's candidate generation must be ONE band join
-    with the BATCH side broadcast — the corpus stream is scanned once
-    and never self-joined (the whole point of the daily-increment
-    formulation: cost ∝ batch x collision rate, never corpus²).
-    Broadcast is asserted here because the test batch is far inside
-    ``_INCR_BROADCAST_MAX_BATCH``; over-budget batches legitimately
-    shuffle instead (test_incremental_over_budget_batch_shuffles)."""
+    with the BATCH side broadcast when pinned — the corpus stream is
+    scanned once and never self-joined (the whole point of the
+    daily-increment formulation: cost ∝ batch x collision rate, never
+    corpus²). The pin stands in for a fleet where the caller's own
+    math says broadcast (batch × executors ≤ corpus); the auto rule is
+    covered by test_incr_broadcast_ratio_rule."""
     import re
 
     from datafusion_dft_spark.catalog import load_tables
@@ -163,7 +163,8 @@ def test_minhash_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     batch, corpus = _stride_split(docs, "doc_id")
     inc = dd.minhash_lsh_pairs_incremental(
-        batch, corpus, "doc_id", "text", k=5, threshold=0.7, check_id_overlap=False
+        batch, corpus, "doc_id", "text", k=5, threshold=0.7,
+        check_id_overlap=False, broadcast=True,
     )
     sp = ex.simple_plan(inc)
     band_joins = re.findall(r"(\w+Join) \[band#", sp)
@@ -173,8 +174,8 @@ def test_minhash_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
 
 def test_cosine_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
     """Same contract for the embedding increment: one (table, bucket)
-    join, batch side broadcast (in-budget batch), corpus never
-    self-joined."""
+    join, batch side broadcast (pinned daily-increment plan), corpus
+    never self-joined."""
     import re
 
     from datafusion_dft_spark.catalog import load_tables
@@ -183,12 +184,50 @@ def test_cosine_incremental_corpus_scanned_once_no_self_join(spark, sf_dir):
     emb = load_tables(spark, sf_dir)["embeddings"]
     batch, corpus = _stride_split(emb, "vec_id")
     inc = sim.cosine_dup_pairs_incremental(
-        batch, corpus, threshold=0.95, dim=64, check_id_overlap=False
+        batch, corpus, threshold=0.95, dim=64, check_id_overlap=False,
+        broadcast=True,
     )
     sp = ex.simple_plan(inc)
     table_joins = re.findall(r"(\w+Join) \[table#", sp)
     assert table_joins == ["BroadcastHashJoin"], (table_joins, sp)
     assert "CartesianProduct" not in sp, sp
+
+
+def test_incr_broadcast_ratio_rule(spark, sf_dir):
+    """The ``broadcast=None`` auto strategy follows the receipt-derived
+    ratio rule (batch × parallelism ≤ corpus, under the absolute cap) —
+    the round-10 flat 100k-row default was contradicted by its own
+    local wall-clock receipt (BENCH_INCR_PROBE: shuffled at or below
+    broadcast at EVERY measured batch size against a 350k corpus)."""
+    import re
+
+    from datafusion_dft_spark.catalog import load_tables
+    from datafusion_dft_spark.operators import dedup as dd
+
+    p = spark.sparkContext.defaultParallelism
+    # decision function directly: both regimes + the absolute cap
+    assert dd._incr_should_broadcast(spark, 10, p * 10)
+    assert not dd._incr_should_broadcast(spark, 11, p * 10)
+    assert not dd._incr_should_broadcast(
+        spark, dd._INCR_BROADCAST_MAX_BATCH + 1, 10**12
+    )
+
+    # end-to-end: a ~25% stride batch of a tiny corpus fails the ratio
+    # (batch × P > corpus) so the default plan must SHUFFLE the band join
+    docs = load_tables(spark, sf_dir)["documents"]
+    batch, corpus = _stride_split(docs, "doc_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        inc = dd.minhash_lsh_pairs_incremental(
+            batch, corpus, "doc_id", "text", k=5, threshold=0.7,
+            check_id_overlap=False,
+        )
+        sp = ex.simple_plan(inc)
+        band_joins = re.findall(r"(\w+Join) \[band#", sp)
+        assert band_joins and "BroadcastHashJoin" not in band_joins, (band_joins, sp)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_incremental_over_budget_batch_shuffles(spark, sf_dir, monkeypatch):
