@@ -842,12 +842,27 @@ def refine_centroids(
     if first is None:  # empty corpus → empty codebook: nothing to refine
         return cents
     dim = len(first.centv)
+    # Garbage hygiene (adversarial corpora): rows failing valid_vec are
+    # DROPPED from the refinement — NaN/zero-norm vectors must not vote
+    # on centroids, and under ANSI mode a zero-norm side would turn the
+    # ranking cosine into a DIVIDE_BY_ZERO error. The centroid side may
+    # still be garbage (callers can sample an unfiltered corpus), so
+    # the ranking guards its denominator: a non-finite/zero-norm
+    # centroid scores -2.0 (below every real cosine) instead of
+    # erroring, and ties fall to the centroid_id ASC tie-break.
+    corpus = corpus.filter(valid_vec("cv", dim))
+    inf = F.lit(float("inf"))
     for _ in range(iters):
         scored = corpus.select("cid", "cv").crossJoin(
             F.broadcast(cents.select("centroid_id", "centv"))
         )
+        den = norm(F.col("cv")) * norm(F.col("centv"))
+        ranked_cos = F.when(
+            ~F.isnan(den) & (den > 0) & (den < inf),
+            F.round(dot(F.col("cv"), F.col("centv")) / den + 1e-9, 6),
+        ).otherwise(F.lit(-2.0))
         w = W.partitionBy("cid").orderBy(
-            F.desc(F.round(cosine(F.col("cv"), F.col("centv")) + 1e-9, 6)),
+            F.desc(ranked_cos),
             F.asc("centroid_id"),
         )
         assigned = (
@@ -1228,9 +1243,23 @@ def quantize_int8(
     v = as_double(vec_col)
     s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     sc = F.col(scale_col)
-    q = F.when(
-        sc > 0, F.transform(v, lambda x: F.round(x / sc).cast("tinyint"))
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    # Scale validity must be explicit: a NaN component makes sc NaN and
+    # Spark treats NaN as GREATER than 0, so a bare `sc > 0` would send
+    # garbage rows into the quantize branch where the tinyint cast
+    # errors under ANSI (CAST_OVERFLOW on NaN); an inf component makes
+    # sc inf and inf/inf is NaN too. Finite positive scale → quantize;
+    # zero scale (all-zero vector) → exact all-zero q; non-finite
+    # garbage → NULL q (dropped by downstream null-safe aggregates,
+    # same posture as valid_vec elsewhere).
+    inf = F.lit(float("inf"))
+    q = (
+        F.when(
+            ~F.isnan(sc) & (sc > 0) & (sc < inf),
+            F.transform(v, lambda x: F.round(x / sc).cast("tinyint")),
+        )
+        .when(sc == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+        .otherwise(F.lit(None).cast("array<tinyint>"))
+    )
     return df.withColumn(scale_col, s).withColumn(q_col, q)
 
 

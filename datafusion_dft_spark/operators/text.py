@@ -209,6 +209,61 @@ def unigram_logprob_scores(
     return scored
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 64,
+    overlap_words: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window shape).
+
+    Splits each document's word stream into windows of ``chunk_words``
+    words advancing by ``stride = chunk_words - overlap_words``; the
+    last window holds the tail (shorter than ``chunk_words``, never
+    empty). Emits every input column plus ``chunk_idx`` (0-based),
+    ``chunk_text`` and ``n_chunk_words``. Differs from sequence
+    packing (operators/packing.py): packing concatenates ACROSS
+    documents into fixed training sequences; chunking windows WITHIN a
+    document, preserving provenance — the retrieval/embedding-indexing
+    counterpart.
+
+    Deterministic chunk count ``k = 1 + ceil(max(n - chunk_words, 0) /
+    stride)`` gives full coverage with every non-final chunk exactly
+    ``chunk_words`` long, which yields the closed-form invariant
+    ``sum(n_chunk_words) = n + overlap_words x (k - 1)`` (each overlap
+    double-counted once) — the identity the DuckDB oracle checks
+    without replaying the windows. Shape at scale: pure scan-level
+    higher-order expressions + one posexplode — zero shuffles, zero
+    Python, output ∝ input x (1 + overlap/stride). NULL texts drop
+    (posexplode of a NULL array), mirroring DuckDB's unnest.
+    """
+    if not 0 <= overlap_words < chunk_words:
+        raise ValueError(
+            f"need 0 <= overlap_words < chunk_words, got "
+            f"{overlap_words} / {chunk_words}"
+        )
+    stride = chunk_words - overlap_words
+    w = words(text_col)
+    n = F.size(w)
+    extra = F.when(
+        n > chunk_words,
+        F.ceil((n - F.lit(chunk_words)) / F.lit(float(stride))).cast("int"),
+    ).otherwise(F.lit(0))
+    chunks = F.transform(
+        F.sequence(F.lit(0), extra),
+        lambda i: F.array_join(
+            F.slice(w, i * stride + 1, chunk_words), " "
+        ),
+    )
+    return (
+        docs.withColumn("__chunks", chunks)
+        .select("*", F.posexplode("__chunks").alias("chunk_idx", "chunk_text"))
+        .drop("__chunks")
+        .withColumn("n_chunk_words", F.size(F.split("chunk_text", " ")))
+    )
+
+
 def bigram_logprob_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
