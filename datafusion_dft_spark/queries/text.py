@@ -34,6 +34,15 @@ _PACK_SEQ_LEN = 256
 _VOCAB_TOP_K = 8
 _VOCAB_MIN_COUNT = 2
 
+# Sliding-window chunking summary columns of text_token_fingerprints
+# (operators/text.py::chunk_documents — the RAG/context-window grain).
+# The Spark side counts the operator's ACTUAL exploded chunk rows and
+# sums their word counts; the oracle replays both in closed form
+# (k = 1 + ceil(max(n - CW, 0)/stride); sum(words) = n + OV*(k-1)), so
+# the hash certifies the window-count and clamped-slice arithmetic.
+_CHUNK_WORDS = 64
+_CHUNK_OVERLAP = 16
+
 _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
 
 # Fixed query for the BM25 relevance column of text_quality_langid
@@ -264,10 +273,33 @@ _PII_SEED_VALUES = ", ".join(
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
                any_value(p.n_straddles) AS n_straddles,
                any_value(p.max_chunk) AS max_chunk,
+               any_value(c.n_chunks) AS n_chunks,
+               any_value(c.total_chunk_words) AS total_chunk_words,
                any_value(vsum.vocab_top_grams) AS vocab_top_grams,
                any_value(vsum.vocab_top_total) AS vocab_top_total
         FROM docs
         CROSS JOIN vsum
+        JOIN (
+            -- sliding-window chunking in closed form: the Spark side
+            -- counts chunk_documents' actual exploded windows; here
+            -- k = 1 + ceil(max(n - CW, 0)/stride) and the clamped-slice
+            -- word total collapses to n + OV*(k-1) (each overlap
+            -- double-counted once)
+            SELECT lang AS clang, source AS csource,
+                   CAST(sum(k) AS BIGINT) AS n_chunks,
+                   CAST(sum(n + {_CHUNK_OVERLAP} * (k - 1)) AS BIGINT)
+                       AS total_chunk_words
+            FROM (
+                SELECT lang, source, n,
+                       1 + CASE WHEN n > {_CHUNK_WORDS}
+                                THEN CAST(ceil((n - {_CHUNK_WORDS})
+                                     / {_CHUNK_WORDS - _CHUNK_OVERLAP}.0)
+                                     AS BIGINT)
+                                ELSE 0 END AS k
+                FROM (SELECT lang, source,
+                             len(string_split(text, ' ')) AS n FROM docs)
+            ) GROUP BY lang, source
+        ) c ON c.clang = docs.lang AND c.csource = docs.source
         JOIN (
             SELECT lang AS plang, source AS psource,
                    CAST(sum(CASE WHEN (off + greatest(tok, 1) - 1) // {_PACK_SEQ_LEN}
@@ -284,7 +316,8 @@ _PII_SEED_VALUES = ", ".join(
         ) p ON p.plang = docs.lang AND p.psource = docs.source
         GROUP BY lang, source
     """,
-    tags=("text", "tokens", "fingerprint", "pii", "packing", "vocabulary"),
+    tags=("text", "tokens", "fingerprint", "pii", "packing", "vocabulary",
+          "chunking"),
     doc="Corpus statistics by lang/source: token counting (whitespace + "
     "lexer-regex), normalized-content md5 fingerprint distinct counts, "
     "the PII census + redaction change-detection (email/IPv4/phone regex "
@@ -298,7 +331,15 @@ _PII_SEED_VALUES = ", ".join(
     "a single-partition global window), the oracle recomputes the same "
     "offsets with a plain SQL cumulative window — integer-exact, so the "
     "distributed decomposition is verified against the single-stream "
-    "definition.",
+    "definition. Since r11 also SLIDING-WINDOW CHUNKING summary columns "
+    "(n_chunks/total_chunk_words): operators/text.py::chunk_documents — "
+    "the RAG/context-window grain, 64-word windows at 16-word overlap, "
+    "zero shuffles — counted from the operator's actual exploded "
+    "windows on the Spark side while the oracle holds the closed form "
+    "(k = 1 + ceil(max(n-64,0)/48); word total = n + 16(k-1)), so the "
+    "hash certifies the window-count and clamped-slice arithmetic; "
+    "full chunk-text differential + losslessness in "
+    "tests/test_chunking.py.",
 )
 def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].select(
@@ -369,6 +410,17 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vocab_top_grams"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("vocab_top_total"),
     )
+    # Sliding-window chunking summary at the same grain, computed from
+    # the operator's exploded output (not a closed-form reimplementation
+    # — the oracle side holds the closed form, so the differential
+    # certifies chunk_documents' window arithmetic end to end).
+    chunks = tx.chunk_documents(
+        docs, chunk_words=_CHUNK_WORDS, overlap_words=_CHUNK_OVERLAP
+    )
+    chagg = chunks.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_words").cast("long").alias("total_chunk_words"),
+    )
     # explicit broadcast: both sides are post-aggregate plans whose size
     # Catalyst can't estimate (the seed union hides the parquet stats),
     # and the summary side is provably tiny (#lang × #source rows)
@@ -377,5 +429,6 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(pk.packing_summary(packed, "lang", "source")),
             ["lang", "source"],
         )
+        .join(F.broadcast(chagg), ["lang", "source"])
         .crossJoin(F.broadcast(vsum))
     )
