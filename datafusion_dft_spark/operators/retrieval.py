@@ -118,3 +118,97 @@ def bm25_oracle_sql(
             FROM {table}
         ) s
     """
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: ``(id_col,
+    top_tfidf_term, top_tfidf_score)`` — the highest-scoring term of
+    each document under the corpus's own smoothed idf.
+
+    score(d, t) = tf(d, t) · (ln((1 + N) / (1 + df(t))) + 1) — the
+    sklearn ``smooth_idf`` convention, chosen because every factor is
+    an exact integer ratio fed to one ``ln``, so any engine recomputes
+    it bit-identically from its own counts (differentially checked in
+    ``text_quality_langid``). Keyword extraction is the standard
+    cheap topic signal a training-data pipeline attaches before domain
+    routing / mixture construction.
+
+    Shape at scale (reference has no TF-IDF; beyond-ref like BM25):
+    one word explode → per-(doc, term) count with map-side combine
+    (the only corpus-scale shuffle) → document-frequency relation
+    derived from those SAME distinct (doc, term) rows (vocabulary-
+    bounded — a relation, never driver state), broadcast under the
+    shared ``_MODEL_BROADCAST_MAX_ROWS`` budget so the corpus-scale tf
+    stream is not reshuffled → the corpus size rides ONE broadcast
+    row. The per-document argmax is an ORDER-FREE ``min(struct)``
+    aggregate (min over (−score, term) ≡ score DESC, term ASC — ties
+    broken lexicographically), never a global window sort: the final
+    groupBy(doc) map-side-combines to one row per document.
+    """
+    from .text import _MODEL_BROADCAST_MAX_ROWS, words  # shared budget
+
+    toks = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_vocab = int(
+        toks.agg(F.approx_count_distinct("term").alias("n")).first()["n"]
+    )
+    dfj = F.broadcast(dfreq) if n_vocab <= _MODEL_BROADCAST_MAX_ROWS else dfreq
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    score = F.col("_tf").cast("double") * (
+        F.log((F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col("_df").cast("double")))
+        + F.lit(1.0)
+    )
+    best = (
+        tf.join(dfj, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.struct((-score).alias("_ns"), F.col("term").alias("_t")).alias("_key"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_key").alias("_best"))
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_best._t").alias("top_tfidf_term"),
+        F.round(-F.col("_best._ns") + 1e-9, 4).alias("top_tfidf_score"),
+    )
+
+
+def tfidf_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB CTE replaying tfidf_top_terms exactly:
+    ``(id_col, top_tfidf_term, top_tfidf_score)``."""
+    return f"""
+        SELECT {id_col}, term AS top_tfidf_term,
+               round(score + 1e-9, 4) AS top_tfidf_score
+        FROM (
+            SELECT {id_col}, term,
+                   tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS score,
+                   row_number() OVER (
+                       PARTITION BY {id_col}
+                       ORDER BY tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) DESC,
+                                term ASC) AS rn
+            FROM (
+                SELECT {id_col}, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT {id_col},
+                             unnest(string_split({text_col}, ' ')) AS term
+                      FROM {table})
+                GROUP BY {id_col}, term
+            ) tf
+            JOIN (
+                SELECT term, CAST(count(DISTINCT {id_col}) AS DOUBLE) AS df
+                FROM (SELECT {id_col},
+                             unnest(string_split({text_col}, ' ')) AS term
+                      FROM {table})
+                GROUP BY term
+            ) d USING (term)
+            CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {table})
+        ) WHERE rn = 1
+    """

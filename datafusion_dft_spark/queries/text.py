@@ -103,11 +103,13 @@ _BM25_TERMS = ("hash", "join", "stream")
                        AS avg_neg_logprob2
             FROM bg JOIN bgc2 USING (gram) JOIN bgc1 USING (w1)
             GROUP BY doc_id
+        ), tfidf AS ({rt.tfidf_oracle_sql()}
         )
         SELECT f.*, uni.avg_neg_logprob, sk.sketch,
                rep.dup_word_frac, rep.dup_3gram_frac,
                round(coalesce(topg.r, 0.0) + 1e-9, 4) AS top_2gram_frac,
-               bm.bm25_score, bscore.avg_neg_logprob2
+               bm.bm25_score, bscore.avg_neg_logprob2,
+               tfidf.top_tfidf_term, tfidf.top_tfidf_score
         FROM (
         SELECT doc_id, lang, pred_lang, n_words, stop_count,
                round(nospace_len / CAST(n_words AS DOUBLE) + 1e-9, 4) AS avg_word_len,
@@ -147,6 +149,7 @@ _BM25_TERMS = ("hash", "join", "stream")
         LEFT JOIN topg USING (doc_id)
         JOIN bm USING (doc_id)
         JOIN bscore USING (doc_id)
+        JOIN tfidf USING (doc_id)
     """,
     tags=("text", "quality", "langid", "language-model", "sketch", "retrieval"),
     doc="The per-document feature relation: quality features (word count, avg "
@@ -162,10 +165,15 @@ _BM25_TERMS = ("hash", "join", "stream")
     "targeted-corpus-construction scorer), Gopher/C4-style repetition "
     "filters (dup-word fraction, dup-3-gram fraction, top-2-gram fraction "
     "— shuffle-free array folds; the top-gram mode is a max-run-length "
-    "aggregate over the sorted gram array), and the engine-portable min-k "
-    "md5 shingle sketch. One doc_id-grain query consolidating the "
-    "text-analysis surface under the driver's 50-query cap "
-    "(operators/text.py, operators/retrieval.py, operators/dedup.py).",
+    "aggregate over the sorted gram array), TF-IDF keyword extraction "
+    "(top_tfidf_term/score — sklearn smooth_idf convention, one (doc, "
+    "term) shuffle with map-side combine, vocabulary-bounded df relation "
+    "broadcast under budget, order-free min(struct) argmax instead of a "
+    "global window sort; the cheap topic signal ahead of domain routing), "
+    "and the engine-portable min-k md5 shingle sketch. One doc_id-grain "
+    "query consolidating the text-analysis surface under the driver's "
+    "50-query cap (operators/text.py, operators/retrieval.py, "
+    "operators/dedup.py).",
 )
 def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
@@ -204,11 +212,16 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signal; corpus bigram model as a relation).
     bm = rt.bm25_scores(docs, _BM25_TERMS).select("doc_id", "bm25_score")
     bg = tx.bigram_logprob_scores(docs).select("doc_id", "avg_neg_logprob2")
+    # TF-IDF keyword extraction (operators/retrieval.py::tfidf_top_terms
+    # — one (doc, term) shuffle, vocabulary-bounded df relation broadcast
+    # under budget, order-free min(struct) argmax).
+    tfv = rt.tfidf_top_terms(docs)
     return (
         feats.join(uni, "doc_id")
         .join(sketch, "doc_id")
         .join(bm, "doc_id")
         .join(bg, "doc_id")
+        .join(tfv, "doc_id")
     )
 
 
