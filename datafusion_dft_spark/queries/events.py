@@ -132,18 +132,78 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_user_funnel",
     oracle="""
-        SELECT n_signups, n_views, n_clicks, n_purchases, count(*) AS n_users FROM (
+        WITH per_user AS (
             SELECT user_id,
                    CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
                    CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
                    CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
-                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                   min(CASE WHEN event_type = 'signup'   THEN epoch_us(ts) END) AS t_signup,
+                   min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t_view,
+                   min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
             FROM events GROUP BY user_id
-        ) per_user
+        ), stages AS (
+            SELECT CAST(t_signup IS NOT NULL AS BIGINT) AS s1,
+                   CAST(t_signup IS NOT NULL AND t_view IS NOT NULL
+                        AND t_signup <= t_view AS BIGINT) AS s2,
+                   CAST(t_signup IS NOT NULL AND t_view IS NOT NULL
+                        AND t_click IS NOT NULL AND t_signup <= t_view
+                        AND t_view <= t_click AS BIGINT) AS s3,
+                   CAST(t_signup IS NOT NULL AND t_view IS NOT NULL
+                        AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+                        AND t_signup <= t_view AND t_view <= t_click
+                        AND t_click <= t_purchase AS BIGINT) AS s4
+            FROM per_user
+        ), nulls AS (
+            SELECT NULL::BIGINT AS n_signups, NULL::BIGINT AS n_views,
+                   NULL::BIGINT AS n_clicks, NULL::BIGINT AS n_purchases,
+                   NULL::DATE AS cohort_day, NULL::BIGINT AS day_offset,
+                   NULL::VARCHAR AS stage
+        )
+        SELECT 'hist' AS variant, n_signups, n_views, n_clicks, n_purchases,
+               NULL::DATE AS cohort_day, NULL::BIGINT AS day_offset,
+               NULL::VARCHAR AS stage, count(*) AS n_users
+        FROM per_user
         GROUP BY n_signups, n_views, n_clicks, n_purchases
+        UNION ALL
+        SELECT 'seq' AS variant, nulls.* EXCLUDE (stage), st.stage, st.n_users
+        FROM (
+            SELECT '1_signup' AS stage, sum(s1) AS n_users FROM stages
+            UNION ALL SELECT '2_view', sum(s2) FROM stages
+            UNION ALL SELECT '3_click', sum(s3) FROM stages
+            UNION ALL SELECT '4_purchase', sum(s4) FROM stages
+        ) st CROSS JOIN nulls
+        UNION ALL
+        SELECT 'cohort' AS variant, nulls.n_signups, nulls.n_views,
+               nulls.n_clicks, nulls.n_purchases,
+               c.cohort_day, c.day_offset, nulls.stage, c.n_users
+        FROM (
+            SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS day_offset,
+                   count(*) AS n_users
+            FROM (
+                SELECT user_id, d,
+                       min(d) OVER (PARTITION BY user_id) AS cohort_day
+                FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+            )
+            GROUP BY cohort_day, day_offset
+        ) c CROSS JOIN nulls
     """,
-    tags=("events", "funnel"),
-    doc="Per-user event-type counts re-aggregated into a funnel histogram.",
+    tags=("events", "funnel", "cohort", "retention"),
+    doc="Product-analytics suite in one tagged relation (driver 50-cap "
+    "fold). 'hist': per-user event-type counts re-aggregated into a "
+    "funnel histogram. 'seq': the ORDERED funnel — users whose FIRST "
+    "signup precedes their first view precedes their first click "
+    "precedes their first purchase, counted per prefix stage (first-"
+    "touch timestamps compared as epoch micros — integer-exact on both "
+    "engines); the per-user first-touch relation rides the SAME "
+    "groupBy(user_id) pass as the histogram, so the ordered funnel "
+    "costs zero extra shuffles. 'cohort': classic retention triangle — "
+    "first-activity-day cohorts x day offset, counted on the DISTINCT "
+    "(user, day) relation (map-side-combined aggregate far smaller than "
+    "the event stream; one user_id shuffle for the min-day window, one "
+    "tiny (cohort, offset) shuffle). At 100 TB every arm aggregates "
+    "before it joins/shuffles — no event-grain join anywhere.",
 )
 def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
@@ -151,12 +211,78 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(t: str):
         return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
 
+    def first_t(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.unix_micros("ts")))
+
     per_user = ev.groupBy("user_id").agg(
         cnt("signup").alias("n_signups"),
         cnt("view").alias("n_views"),
         cnt("click").alias("n_clicks"),
         cnt("purchase").alias("n_purchases"),
+        first_t("signup").alias("t_signup"),
+        first_t("view").alias("t_view"),
+        first_t("click").alias("t_click"),
+        first_t("purchase").alias("t_purchase"),
     )
-    return per_user.groupBy("n_signups", "n_views", "n_clicks", "n_purchases").agg(
-        F.count(F.lit(1)).alias("n_users")
+    null_cnt = [
+        F.lit(None).cast("long").alias(c)
+        for c in ("n_signups", "n_views", "n_clicks", "n_purchases")
+    ]
+    null_cohort = [
+        F.lit(None).cast("date").alias("cohort_day"),
+        F.lit(None).cast("long").alias("day_offset"),
+    ]
+    null_stage = F.lit(None).cast("string").alias("stage")
+
+    hist = (
+        per_user.groupBy("n_signups", "n_views", "n_clicks", "n_purchases")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.lit("hist").alias("variant"),
+            "n_signups", "n_views", "n_clicks", "n_purchases",
+            *null_cohort, null_stage, "n_users",
+        )
     )
+
+    # Ordered funnel: prefix conditions on first-touch times. NULL-safe
+    # via explicit isNotNull (a NULL comparison would make the CAST
+    # NULL, not false).
+    s = F.col("t_signup").isNotNull()
+    sv = s & F.col("t_view").isNotNull() & (F.col("t_signup") <= F.col("t_view"))
+    svc = sv & F.col("t_click").isNotNull() & (F.col("t_view") <= F.col("t_click"))
+    svcp = (
+        svc
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_click") <= F.col("t_purchase"))
+    )
+    totals = per_user.agg(
+        F.sum(s.cast("long")).alias("1_signup"),
+        F.sum(sv.cast("long")).alias("2_view"),
+        F.sum(svc.cast("long")).alias("3_click"),
+        F.sum(svcp.cast("long")).alias("4_purchase"),
+    )
+    seq = totals.select(
+        F.lit("seq").alias("variant"),
+        *null_cnt,
+        *null_cohort,
+        F.expr(
+            "stack(4, '1_signup', `1_signup`, '2_view', `2_view`, "
+            "'3_click', `3_click`, '4_purchase', `4_purchase`) AS (stage, n_users)"
+        ),
+    )
+
+    # Cohort retention on the distinct (user, day) relation.
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    coh = ud.withColumn(
+        "cohort_day", F.min("d").over(W.partitionBy("user_id"))
+    ).withColumn("day_offset", F.datediff("d", "cohort_day").cast("long"))
+    cohort = (
+        coh.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.lit("cohort").alias("variant"),
+            *null_cnt,
+            "cohort_day", "day_offset", null_stage, "n_users",
+        )
+    )
+    return hist.unionByName(seq).unionByName(cohort)
