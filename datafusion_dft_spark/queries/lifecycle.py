@@ -33,7 +33,8 @@ from ..sql import execute_sql
               AND l_shipdate <  TIMESTAMP '1997-04-01'
             GROUP BY l_suppkey
         )
-        SELECT v.n_suppliers, v.total, v.best, i.vals_n, i.vals_sum, u.url_rows, u.url_price
+        SELECT v.n_suppliers, v.total, v.best, i.vals_n, i.vals_sum, u.url_rows, u.url_price,
+               r.rec_months, r.rec_empty_months, r.rec_tree_nodes, r.rec_depth_sum, r.rec_max_depth
         FROM (SELECT count(*) AS n_suppliers,
                      round(sum(total_revenue), 2) AS total,
                      round(max(total_revenue), 2) AS best
@@ -42,6 +43,30 @@ from ..sql import execute_sql
                     FROM (VALUES (1, 'a', 2), (2, 'b', 4), (3, 'c', 6)) t(id, name, doubled)) i
         CROSS JOIN (SELECT count(*) AS url_rows, round(sum(l_extendedprice), 2) AS url_price
                     FROM lineitem) u
+        CROSS JOIN (
+            WITH RECURSIVE months(m) AS (
+                SELECT DATE '1992-01-01' AS m
+                UNION ALL
+                SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1998-12-01'
+            ),
+            tree(id, depth) AS (
+                SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+                UNION ALL
+                SELECT c.doc_id, t.depth + 1
+                FROM tree t
+                JOIN (SELECT doc_id FROM documents
+                      WHERE doc_id BETWEEN 1 AND 1023) c
+                  ON c.doc_id // 2 = t.id
+            )
+            SELECT (SELECT count(*) FROM months) AS rec_months,
+                   (SELECT count(*) FROM months mm WHERE NOT EXISTS (
+                        SELECT 1 FROM (SELECT DISTINCT date_trunc('month', o_orderdate) AS om
+                                       FROM orders) o
+                        WHERE mm.m = o.om)) AS rec_empty_months,
+                   (SELECT count(*) FROM tree) AS rec_tree_nodes,
+                   (SELECT CAST(sum(depth) AS BIGINT) FROM tree) AS rec_depth_sum,
+                   (SELECT max(depth) FROM tree) AS rec_max_depth
+        ) r
     """,
     tags=("view", "ddl", "values", "url-table"),
     doc="CREATE VIEW -> query -> DROP VIEW across one session (TPC-H Q15's "
@@ -49,7 +74,15 @@ from ..sql import execute_sql
     "Folds in the inline-VALUES relation (reference CREATE TABLE AS VALUES, "
     "cli_cases/basic.rs:245-262) and the URL-table scan (SELECT ... FROM "
     "'file', local.rs:101 -> Spark's parquet.`path` sugar) so all three "
-    "§2.1/§2.11 SQL-surface rows stay driver-checked under the 50-query cap.",
+    "§2.1/§2.11 SQL-surface rows stay driver-checked under the 50-query cap. "
+    "Since r11 also WITH RECURSIVE (Spark 4.1 / SPARK-24497): a "
+    "calendar-scaffold ladder (84 month rows joined anti against observed "
+    "order months — the gaps-in-time-series pattern plain GROUP BY cannot "
+    "see) and a hierarchy walk (parent = id DIV 2 tree over doc_ids 1-1023, "
+    "root-seeded; node count / depth sum / max depth), both replayed "
+    "verbatim in DuckDB's recursive CTE. Iterations are bounded (84 months, "
+    "~10 tree levels) and each recursive step is one pruned-scan join — "
+    "the per-level relation, not the corpus, is what recursion multiplies.",
 )
 def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -64,7 +97,8 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1997-04-01'
             GROUP BY l_suppkey;
-        SELECT v.n_suppliers, v.total, v.best, i.vals_n, i.vals_sum, u.url_rows, u.url_price
+        SELECT v.n_suppliers, v.total, v.best, i.vals_n, i.vals_sum, u.url_rows, u.url_price,
+               r.rec_months, r.rec_empty_months, r.rec_tree_nodes, r.rec_depth_sum, r.rec_max_depth
         FROM (SELECT count(*) AS n_suppliers,
                      round(sum(total_revenue), 2) AS total,
                      round(max(total_revenue), 2) AS best
@@ -73,6 +107,29 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM VALUES (1, 'a', 2), (2, 'b', 4), (3, 'c', 6) AS t(id, name, doubled)) i
         CROSS JOIN (SELECT count(*) AS url_rows, round(sum(l_extendedprice), 2) AS url_price
                     FROM parquet.`{lineitem_path}`) u
+        CROSS JOIN (
+            WITH RECURSIVE months(m) AS (
+                SELECT DATE '1992-01-01' AS m
+                UNION ALL
+                SELECT add_months(m, 1) FROM months WHERE m < DATE '1998-12-01'
+            ),
+            tree(id, depth) AS (
+                SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+                UNION ALL
+                SELECT c.doc_id, t.depth + 1
+                FROM tree t
+                JOIN (SELECT doc_id FROM documents
+                      WHERE doc_id BETWEEN 1 AND 1023) c
+                  ON c.doc_id DIV 2 = t.id
+            )
+            SELECT (SELECT count(*) FROM months) AS rec_months,
+                   (SELECT count(*) FROM months mm LEFT ANTI JOIN
+                        (SELECT DISTINCT trunc(o_orderdate, 'MM') AS om FROM orders) o
+                        ON mm.m = o.om) AS rec_empty_months,
+                   (SELECT count(*) FROM tree) AS rec_tree_nodes,
+                   (SELECT CAST(sum(depth) AS BIGINT) FROM tree) AS rec_depth_sum,
+                   (SELECT max(depth) FROM tree) AS rec_max_depth
+        ) r
         """,
     )
     result = dfs[-1]
