@@ -149,3 +149,98 @@ def sample_oracle_sql(key: str, fraction: float, table: str = "documents") -> st
         f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {_M} "
         f"< {int(fraction * _M)}"
     )
+
+
+def mixture_sample(
+    df: DataFrame, key: str, strata_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Target-share mixture construction: resample so the OUTPUT hits
+    explicit per-stratum shares (DoReMi-style static domain weights) —
+    the complement of :func:`inverse_frequency_sample`, which derives
+    its shares from the counts.
+
+    Given target shares ``w_s`` (the caller's mixture, summing to 1)
+    the largest achievable output is ``N = min_s(n_s / w_s)`` — the
+    scarcest stratum relative to its target caps the whole mix, and is
+    kept whole; every other stratum down-samples to ``w_s · N / n_s``.
+    Strata absent from ``weights`` DROP (explicit beats implicit for a
+    training mix); strata named in ``weights`` but absent from the data
+    RAISE — a silently-empty mixture component is a corpus bug.
+
+    Every derivation is reproducible IEEE arithmetic on exact integer
+    counts (divide / multiply / min / floor — all correctly rounded),
+    so any engine re-derives the thresholds bit-identically from its
+    own counts (mixture_oracle_sql; differentially checked in
+    ``sampling_suite``). Same scale shape as the other samplers: one
+    #strata-row count aggregate eagerly, then a single scan-level
+    content-hash predicate — zero data shuffles, membership stable
+    under repartitioning and re-runs.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    bad = {s: w for s, w in weights.items() if not w > 0}
+    if bad:
+        raise ValueError(f"weights must be > 0, got {bad}")
+    counts = {
+        r["s"]: int(r["n"])
+        for r in df.filter(F.col(strata_col).isin(*weights))
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    absent = sorted(set(weights) - set(counts))
+    if absent:
+        raise ValueError(
+            f"mixture strata absent from the data: {absent} — a "
+            "silently-empty mixture component is a corpus bug"
+        )
+    n_out = min(counts[s] / weights[s] for s in weights)
+    expr = F.when(F.lit(False), F.lit(0))
+    for s in sorted(weights):
+        # Left-assoc ((M*w)*N)/n, mirrored verbatim in the oracle SQL.
+        expr = expr.when(
+            F.col(strata_col) == s,
+            F.lit(int(_M * weights[s] * n_out / counts[s])),
+        )
+    return df.filter(hash_bucket(key) < expr.otherwise(F.lit(0)))
+
+
+def mixture_oracle_sql(
+    key: str,
+    strata_col: str,
+    weights: dict[str, float],
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`mixture_sample`: re-derives N and the
+    per-stratum thresholds from its own counts with the same left-assoc
+    IEEE arithmetic. Generated from the SAME weights dict so the two
+    sides cannot drift."""
+    in_list = ", ".join(f"'{s}'" for s in sorted(weights))
+    # CAST ... AS DOUBLE: DuckDB parses bare decimal literals as DECIMAL,
+    # which would swap the IEEE division for decimal arithmetic.
+    w_case = (
+        "CASE " + strata_col + " "
+        + " ".join(
+            f"WHEN '{s}' THEN CAST({weights[s]!r} AS DOUBLE)"
+            for s in sorted(weights)
+        )
+        + " END"
+    )
+    return f"""
+        SELECT d.* FROM {table} d
+        JOIN (
+            SELECT {strata_col},
+                   CAST(floor({_M} * {w_case}
+                        * (SELECT min(n / {w_case})
+                           FROM (SELECT {strata_col}, count(*) AS n
+                                 FROM {table}
+                                 WHERE {strata_col} IN ({in_list})
+                                 GROUP BY {strata_col}))
+                        / n) AS BIGINT) AS t
+            FROM (SELECT {strata_col}, count(*) AS n FROM {table}
+                  WHERE {strata_col} IN ({in_list})
+                  GROUP BY {strata_col})
+        ) th USING ({strata_col})
+        WHERE ('0x' || substr(md5(CAST(d.{key} AS VARCHAR)), 1, 8))::BIGINT
+              % {_M} < th.t
+    """

@@ -27,6 +27,9 @@ _STRATA = {"en": 0.5, "de": 1.0}
 # Quality-stratified ('curriculum') variant: keep documents at or above
 # this per-language quality-score quantile (top quartile).
 _QUALITY_QUANTILE = 0.75
+# Target-share mixture variant ('mixw'): explicit DoReMi-style domain
+# weights over three sources; every other source drops.
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 # DuckDB replay of operators/text.py::quality_score — keep in sync with
 # the stopword list there.
 _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
@@ -87,6 +90,9 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
             ) GROUP BY lang
         ) th USING (lang)
         WHERE d.q >= th.t
+        UNION ALL
+        SELECT 'mixw' AS variant, m.doc_id, m.lang, NULL::BIGINT AS shuffle_pos
+        FROM ({sp.mixture_oracle_sql("doc_id", "source", _MIX_WEIGHTS)}) m
     """,
     tags=("sampling", "pipeline"),
     doc="Deterministic content-hash sampling (md5(key) mod M < p*M): a flat "
@@ -110,7 +116,13 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
     "quality-score quantile (operators/sampling.py::"
     "quality_stratified_sample — one exact-percentile agg per stratum "
     "broadcast back, ties included so the subset is deterministic). "
-    "operators/sampling.py.",
+    "The sixth variant is TARGET-SHARE MIXTURE construction (mixture_"
+    "sample): explicit DoReMi-style domain weights — the largest "
+    "achievable output N = min(n_s/w_s) is capped by the scarcest "
+    "stratum relative to its target, which survives whole while every "
+    "other stratum down-samples to w_s*N/n_s; thresholds are pure IEEE "
+    "divide/multiply/min/floor on exact counts, so DuckDB re-derives "
+    "them bit-identically. operators/sampling.py.",
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
@@ -130,4 +142,13 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = sp.quality_stratified_sample(
         docs, "doc_id", "lang", tx.quality_score("text"), quantile=_QUALITY_QUANTILE
     ).select(F.lit("qual").alias("variant"), "doc_id", "lang", nopos)
-    return det.unionAll(strat).unionAll(mix).unionAll(shuf).unionAll(qual)
+    mixw = sp.mixture_sample(docs, "doc_id", "source", _MIX_WEIGHTS).select(
+        F.lit("mixw").alias("variant"), "doc_id", "lang", nopos
+    )
+    return (
+        det.unionAll(strat)
+        .unionAll(mix)
+        .unionAll(shuf)
+        .unionAll(qual)
+        .unionAll(mixw)
+    )

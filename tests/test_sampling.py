@@ -148,3 +148,48 @@ def test_skew_report_hand_computed(spark):
     assert got["p99_count"] == 5.92
     assert got["max_over_mean"] == 2.0
     assert got["suggested_salt"] == 2.0
+
+
+def test_mixture_sample_hits_target_shares(spark, sf_dir):
+    """Output mixture lands on the explicit weights; the scarcest
+    stratum (relative to its target) is kept whole."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    before = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    out = sp.mixture_sample(docs, "doc_id", "source", weights)
+    after = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # only weighted sources survive
+    assert set(after) <= set(weights)
+    n_out = min(before[s] / w for s, w in weights.items())
+    # src0 is the cap (uniform counts, largest weight): kept whole
+    assert after["src0"] == before["src0"]
+    total = sum(after.values())
+    for s, w in weights.items():
+        # md5-hash sampling is exact-threshold, not exact-count: allow
+        # binomial-ish slack around the target share.
+        target = w * n_out
+        assert abs(after.get(s, 0) - target) <= max(5, 0.35 * target), (s, after, target)
+    assert total <= sum(before.values())
+
+
+def test_mixture_sample_scan_level(spark, sf_dir):
+    from datafusion_dft_spark.plans import explain as ex
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = sp.mixture_sample(docs, "doc_id", "source", {"src0": 0.5, "src1": 0.5})
+    assert ex.exchange_count(df) == 0, ex.simple_plan(df)
+
+
+def test_mixture_sample_validation(spark):
+    docs = spark.createDataFrame([(1, "src0")], "doc_id long, source string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        sp.mixture_sample(docs, "doc_id", "source", {})
+    with _pytest.raises(ValueError, match="> 0"):
+        sp.mixture_sample(docs, "doc_id", "source", {"src0": 0.0})
+    with _pytest.raises(ValueError, match="absent"):
+        sp.mixture_sample(docs, "doc_id", "source", {"src0": 0.5, "nope": 0.5})
