@@ -183,3 +183,67 @@ def skew_report(df: DataFrame, key: str) -> DataFrame:
             )
         ).alias("metric", "val")
     )
+
+
+def fuzzy_best_match(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_text: str,
+    c_key: str,
+    c_text: str,
+    max_distance: int = 2,
+    len_band: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) entity resolution: for every query
+    string, the best-matching corpus row within ``max_distance`` edits.
+
+    Returns one row per DISTINCT query string: ``(q_text, keep_id,
+    n_copies)`` where ``keep_id`` is the matched ``c_key`` (minimum
+    distance, ties broken by smallest key — an order-free
+    ``min(struct)``, no window sort) and ``n_copies`` counts ALL corpus
+    rows within the threshold; unmatched queries survive with NULL
+    keep_id and n_copies = 0 (a silent drop would hide dirty rows).
+
+    BLOCKING is the scale lever: candidate pairs require equal first
+    characters and lengths within ``len_band`` — the standard
+    equi-key + band predicate that turns an all-pairs O(|Q|·|C|)
+    comparison into per-block work. The query side (a cleanup
+    worklist / dirty catalog — small by construction) BROADCASTS, so
+    the corpus scans exactly once with no shuffle; at 100 TB the
+    corpus side stays embarrassingly parallel. Blocking trades recall
+    for that bound (a typo in the first character escapes the block) —
+    production stacks run multiple redundant blocking keys; this
+    operator keeps one for a deterministic, oracle-checkable contract.
+
+    Distances are ``levenshtein`` on ASCII inputs only: Spark counts
+    codepoints, DuckDB counts BYTES, so non-ASCII text diverges
+    between the engines (documented engine gotcha; the differential
+    corpus is ASCII).
+    """
+    if max_distance < 0 or len_band < 0:
+        raise ValueError("max_distance and len_band must be >= 0")
+    q = queries.select(F.col(q_text).alias("_qt")).distinct()
+    c = corpus.select(F.col(c_key).alias("_ck"), F.col(c_text).alias("_ct"))
+    dist = F.levenshtein(F.col("_qt"), F.col("_ct"))
+    cond = (
+        (F.substring("_qt", 1, 1) == F.substring("_ct", 1, 1))
+        & (F.abs(F.length("_qt") - F.length("_ct")) <= F.lit(len_band))
+        & (dist <= F.lit(max_distance))
+    )
+    hits = (
+        F.broadcast(q)
+        .join(c, cond, "inner")
+        .groupBy("_qt")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.struct(dist.alias("_d"), F.col("_ck").alias("_k"))).alias("_best"),
+        )
+    )
+    return (
+        q.join(hits, "_qt", "left")
+        .select(
+            F.col("_qt").alias(q_text),
+            F.col("_best._k").alias("keep_id"),
+            F.coalesce(F.col("n_copies"), F.lit(0).cast("long")).alias("n_copies"),
+        )
+    )

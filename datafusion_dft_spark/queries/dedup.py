@@ -16,12 +16,37 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..operators import dedup as dd
+from ..operators import joins as jn
 from ..registry import query
+
+# Seeded "dirty catalog" for the fuzzy entity-resolution arm of
+# dedup_exact (operators/joins.py::fuzzy_best_match): the part names
+# are clean by construction, so — exactly like the PII seeds in
+# queries/text.py — both engines union the SAME literal typo'd rows
+# and the oracle VALUES are generated from this list. ASCII only:
+# Spark's levenshtein counts codepoints, DuckDB's counts bytes.
+# 'hot rid' matches TWO distinct names ('hot rod' d=1, 'hot ring'
+# d=2) to exercise the min(distance, key) tie-break and the
+# all-candidates count; 'knurled flange' matches nothing (NULL row).
+FUZZY_SEED_NAMES = (
+    "smal ring",
+    "red widgit",
+    "blu bolt",
+    "hot gearr",
+    "cold platte",
+    "large anvill",
+    "old rodd",
+    "hot rid",
+    "knurled flange",
+)
+_FUZZY_SEED_VALUES = ", ".join(f"('{n}')" for n in FUZZY_SEED_NAMES)
+_FUZZY_MAX_D = 2
+_FUZZY_LEN_BAND = 2
 
 
 @query(
     "dedup_exact",
-    oracle="""
+    oracle=f"""
         SELECT 'doc' AS variant, content_hash, keep_id, n_copies FROM (
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                    count(*) AS n_copies
@@ -49,6 +74,32 @@ from ..registry import query
                  LATERAL (SELECT unnest(range(1, greatest(len(words) - 18, 1))) AS i) ix
             GROUP BY 1 HAVING count(*) >= 2
         ) s
+        UNION ALL
+        SELECT 'fuzzy' AS variant, s.name AS content_hash, b.keep_id,
+               coalesce(a.n_copies, 0) AS n_copies
+        FROM (VALUES {_FUZZY_SEED_VALUES}) s(name)
+        LEFT JOIN (
+            SELECT name, count(*) AS n_copies,
+                   min(levenshtein(name, p_name)) AS best_d
+            FROM (VALUES {_FUZZY_SEED_VALUES}) q(name)
+            JOIN part ON substr(name, 1, 1) = substr(p_name, 1, 1)
+                     AND abs(length(name) - length(p_name)) <= {_FUZZY_LEN_BAND}
+                     AND levenshtein(name, p_name) <= {_FUZZY_MAX_D}
+            GROUP BY name
+        ) a ON s.name = a.name
+        LEFT JOIN (
+            SELECT name, min(p_partkey) AS keep_id
+            FROM (
+                SELECT name, p_partkey, levenshtein(name, p_name) AS d,
+                       min(levenshtein(name, p_name))
+                           OVER (PARTITION BY name) AS bd
+                FROM (VALUES {_FUZZY_SEED_VALUES}) q(name)
+                JOIN part ON substr(name, 1, 1) = substr(p_name, 1, 1)
+                         AND abs(length(name) - length(p_name)) <= {_FUZZY_LEN_BAND}
+                         AND levenshtein(name, p_name) <= {_FUZZY_MAX_D}
+            ) c WHERE d = bd
+            GROUP BY name
+        ) b ON s.name = b.name
     """,
     tags=("dedup",),
     doc="Exact dedup at THREE granularities, variant-tagged: 'doc' = one "
@@ -61,10 +112,19 @@ from ..registry import query
     "suffix-array substring dedup), emitting only corpus-duplicated "
     "spans — catches shifted copies fixed blocks miss. Each grain is one "
     "explode + one map-side-combining hash agg, one shuffle, no joins "
-    "(operators/dedup.py::paragraph_duplicates / span_duplicates).",
+    "(operators/dedup.py::paragraph_duplicates / span_duplicates). "
+    "'fuzzy' = blocked EDIT-DISTANCE entity resolution "
+    "(operators/joins.py::fuzzy_best_match): a seeded typo'd catalog "
+    "resolves against real part names — first-char + length-band "
+    "blocking bounds comparisons, the tiny dirty side broadcasts (one "
+    "corpus scan, zero shuffles), best match is an order-free "
+    "min(distance, key) struct aggregate, unmatched rows survive with "
+    "NULL keep_id; levenshtein parity holds on ASCII (Spark counts "
+    "codepoints, DuckDB bytes).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
     doc = dd.exact_duplicates(docs, "doc_id", "text").select(
         F.lit("doc").alias("variant"), "content_hash", "keep_id", "n_copies"
     )
@@ -74,7 +134,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = dd.span_duplicates(docs, "doc_id", "text", span_words=20).select(
         F.lit("span").alias("variant"), "content_hash", "keep_id", "n_copies"
     )
-    return doc.unionAll(para).unionAll(span)
+    seeds = spark.createDataFrame(
+        [(n,) for n in FUZZY_SEED_NAMES], "name string"
+    )
+    fuzzy = jn.fuzzy_best_match(
+        seeds, t["part"], "name", "p_partkey", "p_name",
+        max_distance=_FUZZY_MAX_D, len_band=_FUZZY_LEN_BAND,
+    ).select(
+        F.lit("fuzzy").alias("variant"),
+        F.col("name").alias("content_hash"),
+        "keep_id",
+        "n_copies",
+    )
+    return doc.unionAll(para).unionAll(span).unionAll(fuzzy)
 
 
 @query(
