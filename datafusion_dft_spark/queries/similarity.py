@@ -442,7 +442,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    [abs(v[i] - qv[i] * s) for i in range(1, len(v) + 1)] AS err
             FROM q
         )
-        SELECT label,
+        SELECT m.label,
                count(*) AS n_vectors,
                round(avg(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS avg_norm,
                round(min(sqrt(list_dot_product(v, v))) + 1e-9, 4) AS min_norm,
@@ -452,9 +452,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(min(CASE WHEN s > 0 THEN
                    list_dot_product(v, qv)
                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
-                   ELSE 1.0 END) + 1e-9, 4) AS q8_min_cos
+                   ELSE 1.0 END) + 1e-9, 4) AS q8_min_cos,
+               any_value(tr.cov_trace) AS cov_trace
         FROM m
-        GROUP BY label
+        JOIN (
+            -- per-label covariance trace = sum over dims of population
+            -- variance; the Spark side reports sum(eigenvalues) of the
+            -- distributed per-label covariance, equal by the trace
+            -- identity — certifying the moment pipeline's diagonal.
+            SELECT label, round(sum(m2 - m1 * m1) + 1e-9, 4) AS cov_trace
+            FROM (
+                SELECT label, i, avg(x * x) AS m2, avg(x) AS m1
+                FROM (
+                    SELECT label,
+                           unnest(CAST(embedding AS DOUBLE[])) AS x,
+                           unnest(range(1, len(embedding) + 1)) AS i
+                    FROM embeddings
+                )
+                GROUP BY label, i
+            )
+            GROUP BY label
+        ) tr ON tr.label = m.label
+        GROUP BY m.label
     """,
     tags=("similarity", "aggregate", "quantization"),
     doc="Vector-norm statistics per label (array aggregation entirely "
@@ -467,14 +486,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "original-vs-quantized cosine (the ANN-ranking-fidelity bound; the "
     "per-vector scale cancels in cosine so quantized ANN needs no "
     "dequantization join). The 100 TB story: 4x smaller embedding "
-    "storage with measured, differentially-verified quality bounds.",
+    "storage with measured, differentially-verified quality bounds. "
+    "Since r11 also DISTRIBUTED PCA (operators/pca.py): cov_trace = "
+    "sum of eigenvalues of each label's covariance from the two-stage "
+    "moment pipeline (one mapInArrow partials pass + one label-keyed "
+    "combine), equal by the trace identity to the oracle's "
+    "independently-recomputed per-dimension variance sum; "
+    "eigenvectors/projection are pytest-differentialed vs numpy.",
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pca as pc
+
     emb = load_tables(spark, sf_dir)["embeddings"]
     qdf = sim.quantize_int8(emb)
     ec = sim.quantization_error_cols()
     nrm = sim.norm(sim.as_double("embedding"))
-    return qdf.groupBy("label").agg(
+    stats = qdf.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(nrm) + 1e-9, 4).alias("avg_norm"),
         F.round(F.min(nrm) + 1e-9, 4).alias("min_norm"),
@@ -483,3 +510,18 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(ec["q8_mean_err"]) * 1000 + 1e-9, 4).alias("q8_avg_err_milli"),
         F.round(F.min(ec["q8_cos_self"]) + 1e-9, 4).alias("q8_min_cos"),
     )
+    # Distributed per-label PCA (operators/pca.py): the column is
+    # sum(eigenvalues) of each label's covariance — by the trace
+    # identity this must equal the oracle's independently-recomputed
+    # per-dimension variance sum, certifying the two-stage moment
+    # pipeline. Eager like the sampler threshold aggregates (≤ #labels
+    # driver rows); the eigvectors themselves are pytest-checked
+    # against single-node numpy (tests/test_pca.py).
+    models = pc.pca_fit(emb, "embedding", label_col="label", k=8)
+    trace_rows = [
+        (lab, round(float(m.eigvals.sum()) + 1e-9, 4)) for lab, m in models.items()
+    ]
+    traces = F.broadcast(
+        spark.createDataFrame(trace_rows, "label long, cov_trace double")
+    )
+    return stats.join(traces, "label")
