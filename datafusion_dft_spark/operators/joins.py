@@ -247,3 +247,65 @@ def fuzzy_best_match(
             F.coalesce(F.col("n_copies"), F.lit(0).cast("long")).alias("n_copies"),
         )
     )
+
+
+def banded_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    band_micros: int,
+) -> DataFrame:
+    """Range (interval) join without the cartesian trap: match every
+    point row to every interval row with ``start <= ts <= end``.
+
+    Naive ``ON ts BETWEEN start AND end`` has no equi-key, so Spark
+    plans a broadcast-nested-loop / cartesian — O(|P|·|I|) comparisons
+    that no cluster survives. The standard fix is BANDING: bucket time
+    into ``band_micros``-wide bands, give each point its single band,
+    EXPLODE each interval across the (few) bands it spans, equi-join
+    on the band, and keep the range predicate as a residual filter.
+    Cost: one shuffle keyed by band on each side, and each point meets
+    only intervals overlapping its band. A point's band is unique, so
+    no pair can match twice — no dedup pass. Choose ``band_micros``
+    near the typical interval length: each interval then spans ≤ 2
+    bands (the explode factor), the per-band population bounds the
+    residual work, and a hot band is ordinary key skew that AQE
+    handles.
+
+    Inputs must be pre-aliased to collision-free column names; the
+    output carries all columns of both sides. Intervals with
+    ``end < start`` RAISE (one eager count on the interval side —
+    ``F.sequence`` would silently generate a DESCENDING band list for
+    them, turning a data bug into wrong join results).
+    """
+    if band_micros <= 0:
+        raise ValueError(f"band_micros must be > 0, got {band_micros}")
+
+    def floor_div(col, n):
+        # Exact floor division on longs: col - pmod(col, n) is the
+        # floor multiple (pmod is non-negative), and the quotient is
+        # exact in double for |col| < 2^53 — epoch micros until year
+        # 2255. Truncating `DIV` would mis-band pre-epoch timestamps.
+        return ((col - F.pmod(col, F.lit(n))) / F.lit(n)).cast("long")
+
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+    n_bad = intervals.filter(e_us < s_us).count()
+    if n_bad:
+        raise ValueError(f"{n_bad} interval rows have end < start")
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    p = points.withColumn("_pband", floor_div(p_us, band_micros))
+    iv = intervals.withColumn(
+        "_iband",
+        F.explode(
+            F.sequence(floor_div(s_us, band_micros), floor_div(e_us, band_micros))
+        ),
+    )
+    joined = p.join(
+        iv,
+        (F.col("_pband") == F.col("_iband")) & (p_us >= s_us) & (p_us <= e_us),
+        "inner",
+    )
+    return joined.drop("_pband", "_iband")

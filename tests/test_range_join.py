@@ -1,0 +1,95 @@
+"""Banded range join (operators/joins.py::banded_range_join).
+
+The sf0.001 differential rides the 'range' arm of
+asof_join_purchase_view (DuckDB native IEJoin as oracle); these pin
+boundary inclusivity, multi-band intervals, overlap multiplicity,
+pre-epoch banding, the invalid-interval guard, and the no-cartesian
+plan contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_dft_spark.operators.joins import banded_range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _t(seconds: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+BAND = 60 * 1_000_000  # 1-minute bands
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    points = spark.createDataFrame(
+        [(1, _t(0)), (2, _t(30)), (3, _t(60)), (4, _t(150)), (5, _t(181))],
+        "pid long, e_ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, _t(0), _t(60)),     # spans bands 0..1 (inclusive ends)
+            (11, _t(30), _t(180)),   # spans bands 0..3
+            (12, _t(500), _t(500)),  # zero-length, matches nothing here
+        ],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    return points, intervals
+
+
+def test_matches_and_boundaries(frames):
+    points, intervals = frames
+    got = {
+        (r["pid"], r["wid"])
+        for r in banded_range_join(
+            points, intervals, "e_ts", "w_start", "w_end", BAND
+        ).collect()
+    }
+    # start and end are INCLUSIVE; p4 (150s) sits inside interval 11 only;
+    # p3 (60s) closes interval 10 and sits in 11; p5 (181s) just misses 11.
+    assert got == {(1, 10), (2, 10), (3, 10), (2, 11), (3, 11), (4, 11)}
+
+
+def test_each_pair_appears_once(frames):
+    points, intervals = frames
+    df = banded_range_join(points, intervals, "e_ts", "w_start", "w_end", BAND)
+    n = df.count()
+    assert n == df.select("pid", "wid").distinct().count() == 6
+
+
+def test_pre_epoch_banding(spark):
+    # floor (not truncate-toward-zero) banding: a point 30 s BEFORE the
+    # epoch lands in band -1 with its enclosing interval, not band 0.
+    points = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 59, 30))], "pid long, e_ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(10, dt.datetime(1969, 12, 31, 23, 59, 0), dt.datetime(1969, 12, 31, 23, 59, 45))],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    rows = banded_range_join(points, intervals, "e_ts", "w_start", "w_end", BAND).collect()
+    assert [(r["pid"], r["wid"]) for r in rows] == [(1, 10)]
+
+
+def test_invalid_interval_raises(frames):
+    points, _ = frames
+    bad = points.sparkSession.createDataFrame(
+        [(1, _t(100), _t(50))], "wid long, w_start timestamp, w_end timestamp"
+    )
+    with pytest.raises(ValueError, match="end < start"):
+        banded_range_join(points, bad, "e_ts", "w_start", "w_end", BAND)
+    with pytest.raises(ValueError, match="band_micros"):
+        banded_range_join(points, bad, "e_ts", "w_start", "w_end", 0)
+
+
+def test_plan_has_no_cartesian(frames):
+    points, intervals = frames
+    df = banded_range_join(points, intervals, "e_ts", "w_start", "w_end", BAND)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
