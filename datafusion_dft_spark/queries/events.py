@@ -169,10 +169,12 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'seq' AS variant, nulls.* EXCLUDE (stage), st.stage, st.n_users
         FROM (
-            SELECT '1_signup' AS stage, sum(s1) AS n_users FROM stages
-            UNION ALL SELECT '2_view', sum(s2) FROM stages
-            UNION ALL SELECT '3_click', sum(s3) FROM stages
-            UNION ALL SELECT '4_purchase', sum(s4) FROM stages
+            -- CAST: DuckDB sum(BIGINT) is HUGEINT, which would poison
+            -- the whole union's n_users to int128 vs Spark's long.
+            SELECT '1_signup' AS stage, CAST(sum(s1) AS BIGINT) AS n_users FROM stages
+            UNION ALL SELECT '2_view', CAST(sum(s2) AS BIGINT) FROM stages
+            UNION ALL SELECT '3_click', CAST(sum(s3) AS BIGINT) FROM stages
+            UNION ALL SELECT '4_purchase', CAST(sum(s4) AS BIGINT) FROM stages
         ) st CROSS JOIN nulls
         UNION ALL
         SELECT 'cohort' AS variant, nulls.n_signups, nulls.n_views,
