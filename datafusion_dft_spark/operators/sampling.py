@@ -244,3 +244,74 @@ def mixture_oracle_sql(
         WHERE ('0x' || substr(md5(CAST(d.{key} AS VARCHAR)), 1, 8))::BIGINT
               % {_M} < th.t
     """
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight, n: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement — the
+    Efraimidis–Spirakis scheme on content hashes: row i gets the
+    exponential-race key ``e_i = -ln(u_i) / w_i`` with ``u_i`` a
+    deterministic uniform in (0, 1] from ``md5(key#seed)``, and the n
+    SMALLEST race keys win. P(row first) = w_i / Σw, so the sample
+    tilts toward heavy rows (importance sampling by quality, length,
+    citation count, ...) while staying auditable: membership is a pure
+    function of (key, seed, weight), stable under repartitioning and
+    re-runs, and replayable in any engine (weighted_oracle_sql).
+
+    Scale shape: one scan computing the race key + a distributed
+    top-n (``orderBy().limit()`` plans as TakeOrderedAndProject —
+    per-partition heaps, never a global sort materialization). Race
+    keys are ROUNDED to 12 dp before ordering with the row key as
+    tie-break, so the 1-ulp libm differences in ``ln`` across engines
+    cannot flip the cut (same acceptance class as the LM-score
+    orderings). Non-positive or NULL weights RAISE — they have no
+    sampling-probability meaning; the guard rides the race expression
+    itself (``raise_error`` branch) so it costs no extra corpus scan.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    salted = F.concat(F.col(key).cast("string"), F.lit(f"#{seed}"))
+    u = (
+        F.pmod(
+            F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long"),
+            F.lit(_M),
+        )
+        + 1
+    ) / F.lit(float(_M))
+    race = F.when(
+        w.isNotNull() & (w > 0), F.round(-F.log(u) / w.cast("double"), 12)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: NULL or non-positive weight at key="),
+                F.col(key).cast("string"),
+            )
+        ).cast("double")
+    )
+    return (
+        df.withColumn("_race", race)
+        .orderBy(F.col("_race").asc(), F.col(key).asc())
+        .limit(n)
+        .drop("_race")
+    )
+
+
+def weighted_oracle_sql(
+    key: str, weight_sql: str, n: int, seed: int = 0, table: str = "documents"
+) -> str:
+    """DuckDB replay of :func:`weighted_sample` (same race-key formula,
+    12-dp rounding, and tie-break)."""
+    u = (
+        f"((('0x' || substr(md5(CAST({key} AS VARCHAR) || '#{seed}'), 1, 8))::BIGINT"
+        f" % {_M} + 1) / CAST({_M} AS DOUBLE))"
+    )
+    return f"""
+        SELECT * EXCLUDE (_race) FROM (
+            SELECT *, round(-ln({u}) / CAST(({weight_sql}) AS DOUBLE), 12) AS _race
+            FROM {table}
+            ORDER BY _race ASC, {key} ASC
+            LIMIT {n}
+        )
+    """

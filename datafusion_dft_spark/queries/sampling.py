@@ -30,6 +30,10 @@ _QUALITY_QUANTILE = 0.75
 # Target-share mixture variant ('mixw'): explicit DoReMi-style domain
 # weights over three sources; every other source drops.
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+# Weighted-sample variant ('wsamp'): Efraimidis–Spirakis race keyed on
+# n_chars (longer documents more likely), fixed draw size and seed.
+_WSAMP_N = 100
+_WSAMP_SEED = 3
 # DuckDB replay of operators/text.py::quality_score — keep in sync with
 # the stopword list there.
 _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
@@ -93,6 +97,9 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
         UNION ALL
         SELECT 'mixw' AS variant, m.doc_id, m.lang, NULL::BIGINT AS shuffle_pos
         FROM ({sp.mixture_oracle_sql("doc_id", "source", _MIX_WEIGHTS)}) m
+        UNION ALL
+        SELECT 'wsamp' AS variant, w.doc_id, w.lang, NULL::BIGINT AS shuffle_pos
+        FROM ({sp.weighted_oracle_sql("doc_id", "n_chars", _WSAMP_N, _WSAMP_SEED)}) w
     """,
     tags=("sampling", "pipeline"),
     doc="Deterministic content-hash sampling (md5(key) mod M < p*M): a flat "
@@ -122,7 +129,12 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
     "stratum relative to its target, which survives whole while every "
     "other stratum down-samples to w_s*N/n_s; thresholds are pure IEEE "
     "divide/multiply/min/floor on exact counts, so DuckDB re-derives "
-    "them bit-identically. operators/sampling.py.",
+    "them bit-identically. The seventh variant is WEIGHTED sampling "
+    "without replacement (weighted_sample — Efraimidis–Spirakis on "
+    "content hashes: race key -ln(u)/w with u a deterministic md5 "
+    "uniform, n smallest win via TakeOrderedAndProject, 12-dp-rounded "
+    "race keys + key tie-break so libm ulp differences cannot flip the "
+    "cut). operators/sampling.py.",
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
@@ -145,10 +157,14 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixw = sp.mixture_sample(docs, "doc_id", "source", _MIX_WEIGHTS).select(
         F.lit("mixw").alias("variant"), "doc_id", "lang", nopos
     )
+    wsamp = sp.weighted_sample(docs, "doc_id", "n_chars", _WSAMP_N, _WSAMP_SEED).select(
+        F.lit("wsamp").alias("variant"), "doc_id", "lang", nopos
+    )
     return (
         det.unionAll(strat)
         .unionAll(mix)
         .unionAll(shuf)
         .unionAll(qual)
         .unionAll(mixw)
+        .unionAll(wsamp)
     )

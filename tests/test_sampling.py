@@ -193,3 +193,58 @@ def test_mixture_sample_validation(spark):
         sp.mixture_sample(docs, "doc_id", "source", {"src0": 0.0})
     with _pytest.raises(ValueError, match="absent"):
         sp.mixture_sample(docs, "doc_id", "source", {"src0": 0.5, "nope": 0.5})
+
+
+def test_weighted_sample_tilts_to_heavy_rows(spark):
+    rows = [(i, 1000 if i < 10 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in sp.weighted_sample(df, "doc_id", "w", 10, seed=1).collect()}
+    heavy = sum(1 for i in got if i < 10)
+    # heavy rows are 1000x more likely; with 10 draws from 10 heavy +
+    # 90 light the draw is dominated by heavy rows.
+    assert heavy >= 7, got
+    assert len(got) == 10
+
+
+def test_weighted_sample_stable_under_repartition(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = {r["doc_id"] for r in sp.weighted_sample(docs, "doc_id", "n_chars", 50, 3).collect()}
+    b = {
+        r["doc_id"]
+        for r in sp.weighted_sample(docs.repartition(7), "doc_id", "n_chars", 50, 3).collect()
+    }
+    assert a == b
+    assert len(a) == 50
+
+
+def test_weighted_sample_matches_duckdb(spark, sf_dir, duckcon):
+    docs = load_tables(spark, sf_dir)["documents"]
+    got = {r["doc_id"] for r in sp.weighted_sample(docs, "doc_id", "n_chars", 80, 5).collect()}
+    exp = {
+        r[0]
+        for r in duckcon.sql(
+            "SELECT doc_id FROM ("
+            + sp.weighted_oracle_sql("doc_id", "n_chars", 80, 5)
+            + ")"
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_weighted_sample_plan_is_topk(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = sp.weighted_sample(docs, "doc_id", "n_chars", 10, 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_validation(spark):
+    df = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        sp.weighted_sample(df, "doc_id", "w", 0)
+    # the weight guard is IN-PLAN (raise_error branch — no extra eager
+    # scan), so it surfaces at execution time as a Spark job failure.
+    with _pytest.raises(Exception, match="non-positive weight"):
+        sp.weighted_sample(df, "doc_id", "w", 1).collect()
