@@ -241,7 +241,12 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold pairs via inverted-index join.
 
-    (doc1, doc2, jaccard) with doc1 < doc2; jaccard rounded to 4.
+    (doc1, doc2, jaccard, containment1, containment2) with doc1 < doc2;
+    all rounded to 4. The CONTAINMENT pair (|A∩B|/|A|, |A∩B|/|B|) is
+    the asymmetric signal Jaccard hides: a short document quoted whole
+    inside a long one has low Jaccard but containment ≈ 1 on the short
+    side — the quote/subset-detection grain (Broder's containment
+    measure), free here since both set sizes are already joined in.
     """
     from ..session import track_cache
 
@@ -267,7 +272,9 @@ def jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
+        .withColumn("containment1", F.round(F.col("n_inter") / F.col("n1") + 1e-9, 4))
+        .withColumn("containment2", F.round(F.col("n_inter") / F.col("n2") + 1e-9, 4))
+        .select("doc1", "doc2", "jaccard", "containment1", "containment2")
     )
 
 
@@ -318,7 +325,13 @@ def jaccard_verify_candidates(
         .join(s2, "doc2")
         .withColumn("jaccard", F.round(inter / union.cast("double") + 1e-9, 4))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
+        .withColumn(
+            "containment1", F.round(inter / F.size("sh1").cast("double") + 1e-9, 4)
+        )
+        .withColumn(
+            "containment2", F.round(inter / F.size("sh2").cast("double") + 1e-9, 4)
+        )
+        .select("doc1", "doc2", "jaccard", "containment1", "containment2")
     )
 
 

@@ -165,15 +165,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc1, doc2,
-               round(n_inter / CAST(c1.n_sh + c2.n_sh - n_inter AS DOUBLE) + 1e-9, 4) AS jaccard
+               round(n_inter / CAST(c1.n_sh + c2.n_sh - n_inter AS DOUBLE) + 1e-9, 4) AS jaccard,
+               round(n_inter / CAST(c1.n_sh AS DOUBLE) + 1e-9, 4) AS containment1,
+               round(n_inter / CAST(c2.n_sh AS DOUBLE) + 1e-9, 4) AS containment2
         FROM inter
         JOIN cnt c1 ON doc1 = c1.doc_id
         JOIN cnt c2 ON doc2 = c2.doc_id
         WHERE n_inter / CAST(c1.n_sh + c2.n_sh - n_inter AS DOUBLE) + 1e-9 >= 0.8
     """,
-    tags=("dedup", "jaccard"),
+    tags=("dedup", "jaccard", "containment"),
     doc="Exact 5-word-shingle Jaccard >= 0.8 near-duplicate pairs via "
-    "inverted-index join (ground truth for the sketch methods).",
+    "inverted-index join (ground truth for the sketch methods), plus "
+    "Broder's asymmetric CONTAINMENT pair (|A∩B|/|A|, |A∩B|/|B|) — the "
+    "quote/subset-detection signal Jaccard hides; free once both set "
+    "sizes are joined in.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]

@@ -330,3 +330,18 @@ def test_span_duplicates_sliding_alignment(spark):
     assert got == {(1, 2), (4, 2)}
     n_rows = span_duplicates(df, "doc_id", "text", span_words=3).count()
     assert n_rows == 3
+
+
+def test_containment_detects_subset(spark):
+    """A short document quoted whole inside a long one: low Jaccard,
+    containment ~ 1 on the short side (Broder's asymmetric measure)."""
+    from datafusion_dft_spark.operators import dedup as dd
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    rows = dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.0).collect()
+    [r] = [x for x in rows if (x["doc1"], x["doc2"]) == (1, 2)]
+    assert r["containment1"] == 1.0          # every shingle of the short doc
+    assert r["containment2"] < 0.1           # tiny share of the long doc
+    assert r["jaccard"] < 0.1                # which Jaccard alone misses
