@@ -240,15 +240,51 @@ def pivot_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cross_join_regions",
     oracle="""
-        SELECT a.r_name AS from_region, b.r_name AS to_region
+        SELECT 'cross' AS variant, a.r_name AS from_region,
+               b.r_name AS to_region, NULL::BIGINT AS nation_key
         FROM region a, region b
         WHERE a.r_regionkey <> b.r_regionkey
+        UNION ALL
+        SELECT 'lateral' AS variant, r.r_name AS from_region,
+               t.n_name AS to_region, t.nk AS nation_key
+        FROM region r, LATERAL (
+            SELECT n_name, n_nationkey AS nk FROM nation n
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey LIMIT 2
+        ) t
     """,
-    tags=("join", "cross"),
-    doc="Cartesian product of a small dim with itself (CrossJoinExec shape).",
+    tags=("join", "cross", "lateral"),
+    doc="Small-dim join suite, variant-tagged: 'cross' = cartesian product "
+    "of a dim with itself (CrossJoinExec shape); 'lateral' = correlated "
+    "LATERAL subquery with per-row ORDER BY ... LIMIT (top-2 nations per "
+    "region) — the §2.2 lateral-join surface, written as SQL on BOTH "
+    "engines (Spark 4 LateralJoin / DuckDB LATERAL). Deterministic: the "
+    "inner ordering is on the unique nation key.",
 )
 def cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = load_tables(spark, sf_dir)["region"]
+    t = register_views(spark, sf_dir)
+    r = t["region"]
     a = r.select(F.col("r_regionkey").alias("ak"), F.col("r_name").alias("from_region"))
     b = r.select(F.col("r_regionkey").alias("bk"), F.col("r_name").alias("to_region"))
-    return a.crossJoin(b).filter(F.col("ak") != F.col("bk")).select("from_region", "to_region")
+    cross = (
+        a.crossJoin(b)
+        .filter(F.col("ak") != F.col("bk"))
+        .select(
+            F.lit("cross").alias("variant"),
+            "from_region",
+            "to_region",
+            F.lit(None).cast("long").alias("nation_key"),
+        )
+    )
+    lateral = spark.sql(
+        """
+        SELECT 'lateral' AS variant, r.r_name AS from_region,
+               t.n_name AS to_region, t.nk AS nation_key
+        FROM region r, LATERAL (
+            SELECT n_name, n_nationkey AS nk FROM nation n
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey LIMIT 2
+        ) t
+        """
+    )
+    return cross.unionByName(lateral)
