@@ -279,9 +279,24 @@ def banded_range_join(
     ``end < start`` RAISE (one eager count on the interval side —
     ``F.sequence`` would silently generate a DESCENDING band list for
     them, turning a data bug into wrong join results).
+
+    The range axis generalizes beyond time: timestamp columns band on
+    epoch micros; integral columns (IP ranges, byte offsets, genomic
+    coordinates) band on their own values with ``band_micros`` read as
+    plain band width. The two sides must agree on the axis type.
     """
     if band_micros <= 0:
         raise ValueError(f"band_micros must be > 0, got {band_micros}")
+
+    def axis(df: DataFrame, name: str):
+        dt = df.schema[name].dataType.simpleString()
+        if "timestamp" in dt:
+            return F.unix_micros(F.col(name).cast("timestamp"))
+        if dt in ("tinyint", "smallint", "int", "bigint", "long", "date"):
+            return F.col(name).cast("long")
+        raise ValueError(
+            f"range column {name!r} must be a timestamp or integral type, got {dt}"
+        )
 
     def floor_div(col, n):
         # Exact floor division on longs: col - pmod(col, n) is the
@@ -290,12 +305,12 @@ def banded_range_join(
         # 2255. Truncating `DIV` would mis-band pre-epoch timestamps.
         return ((col - F.pmod(col, F.lit(n))) / F.lit(n)).cast("long")
 
-    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
-    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+    s_us = axis(intervals, start_ts)
+    e_us = axis(intervals, end_ts)
     n_bad = intervals.filter(e_us < s_us).count()
     if n_bad:
         raise ValueError(f"{n_bad} interval rows have end < start")
-    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    p_us = axis(points, point_ts)
     p = points.withColumn("_pband", floor_div(p_us, band_micros))
     iv = intervals.withColumn(
         "_iband",

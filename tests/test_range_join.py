@@ -93,3 +93,31 @@ def test_plan_has_no_cartesian(frames):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_numeric_axis_ip_ranges(spark):
+    """The range axis generalizes to integral columns: classic
+    IP-to-network lookup as a banded join on the numeric axis."""
+    ips = spark.createDataFrame(
+        [(1, 167772161), (2, 167772415), (3, 167772416), (4, 3232235777)],
+        "pid long, ip long",
+    )  # 10.0.0.1, 10.0.0.255, 10.0.1.0, 192.168.1.1
+    nets = spark.createDataFrame(
+        [(10, 167772160, 167772415),        # 10.0.0.0/24
+         (20, 3232235776, 3232236031)],     # 192.168.1.0/24
+        "netid long, lo long, hi long",
+    )
+    got = {
+        (r["pid"], r["netid"])
+        for r in banded_range_join(ips, nets, "ip", "lo", "hi", 256).collect()
+    }
+    assert got == {(1, 10), (2, 10), (4, 20)}
+
+
+def test_axis_type_validation(spark):
+    pts = spark.createDataFrame([(1, "x")], "pid long, ip string")
+    nets = spark.createDataFrame([(1, 0, 1)], "netid long, lo long, hi long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral"):
+        banded_range_join(pts, nets, "ip", "lo", "hi", 10)
