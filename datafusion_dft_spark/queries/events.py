@@ -177,6 +177,12 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL SELECT '4_purchase', CAST(sum(s4) AS BIGINT) FROM stages
         ) st CROSS JOIN nulls
         UNION ALL
+        SELECT 'hh' AS variant, nulls.* EXCLUDE (stage),
+               hh.event_type AS stage, hh.n AS n_users
+        FROM (SELECT event_type, count(*) AS n FROM events
+              GROUP BY event_type) hh
+        CROSS JOIN nulls
+        UNION ALL
         SELECT 'cohort' AS variant, nulls.n_signups, nulls.n_views,
                nulls.n_clicks, nulls.n_purchases,
                c.cohort_day, c.day_offset, nulls.stage, c.n_users
@@ -200,7 +206,13 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touch timestamps compared as epoch micros — integer-exact on both "
     "engines); the per-user first-touch relation rides the SAME "
     "groupBy(user_id) pass as the histogram, so the ordered funnel "
-    "costs zero extra shuffles. 'cohort': classic retention triangle — "
+    "costs zero extra shuffles. 'hh': the Misra-Gries heavy-hitters "
+    "operator (operators/frequent.py) run in its EXACT regime — k=64 "
+    "above the column's distinct count means counters never decrement, "
+    "so the one-pass mapInArrow sketch + item-keyed merge must equal a "
+    "plain GROUP BY by theorem, making the sketch plumbing itself "
+    "driver-hash-checked (the approximate regime is property-tested). "
+    "'cohort': classic retention triangle — "
     "first-activity-day cohorts x day offset, counted on the DISTINCT "
     "(user, day) relation (map-side-combined aggregate far smaller than "
     "the event stream; one user_id shuffle for the min-day window, one "
@@ -273,6 +285,22 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # Heavy-hitter arm: with k (64) above the column's distinct count
+    # the Misra-Gries counters never decrement, so the sketch is EXACT
+    # and deterministic by theorem — which makes the mapInArrow +
+    # item-keyed-merge plumbing itself driver-hash-checkable against a
+    # plain GROUP BY (the approximate regime stays property-tested in
+    # tests/test_frequent.py).
+    from ..operators.frequent import frequent_items
+
+    hh = frequent_items(ev, "event_type", k=64, top=64).select(
+        F.lit("hh").alias("variant"),
+        *null_cnt,
+        *null_cohort,
+        F.col("item").alias("stage"),
+        F.col("est_count").alias("n_users"),
+    )
+
     # Cohort retention on the distinct (user, day) relation.
     ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     coh = ud.withColumn(
@@ -287,4 +315,4 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_day", "day_offset", null_stage, "n_users",
         )
     )
-    return hist.unionByName(seq).unionByName(cohort)
+    return hist.unionByName(seq).unionByName(hh).unionByName(cohort)
