@@ -43,6 +43,18 @@ _FUZZY_SEED_VALUES = ", ".join(f"('{n}')" for n in FUZZY_SEED_NAMES)
 _FUZZY_MAX_D = 2
 _FUZZY_LEN_BAND = 2
 
+# Snapshot-diff arm (operators/snapshot.py): snapshot B is DERIVED from
+# documents identically on both engines — drop doc_id % 11 == 0
+# (removed), append ' edited' where doc_id % 7 == 0 (changed), and
+# union these literal new rows (added; negative ids outside every
+# generator domain, distinct from the -9000001.. PII block).
+DIFF_SEED_ROWS = [
+    (-7000001, "brand new doc alpha"),
+    (-7000002, "brand new doc beta"),
+    (-7000003, "brand new doc gamma"),
+]
+_DIFF_SEED_VALUES = ", ".join(f"({i}, '{t}')" for i, t in DIFF_SEED_ROWS)
+
 
 @query(
     "dedup_exact",
@@ -100,6 +112,29 @@ _FUZZY_LEN_BAND = 2
             ) c WHERE d = bd
             GROUP BY name
         ) b ON s.name = b.name
+        UNION ALL
+        SELECT 'diff_' || status AS variant,
+               coalesce(new_fp, old_fp) AS content_hash,
+               doc_id AS keep_id,
+               CAST(CASE WHEN status = 'changed' THEN 2 ELSE 1 END AS BIGINT)
+                   AS n_copies
+        FROM (
+            SELECT doc_id, a.old_fp, b.new_fp,
+                   CASE WHEN a.old_fp IS NULL THEN 'added'
+                        WHEN b.new_fp IS NULL THEN 'removed'
+                        WHEN a.old_fp <> b.new_fp THEN 'changed' END AS status
+            FROM (SELECT doc_id, md5(text) AS old_fp FROM documents) a
+            FULL OUTER JOIN (
+                SELECT doc_id, md5(text) AS new_fp FROM (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+                                ELSE text END AS text
+                    FROM documents WHERE doc_id % 11 <> 0
+                    UNION ALL
+                    SELECT * FROM (VALUES {_DIFF_SEED_VALUES}) v(doc_id, text)
+                )
+            ) b USING (doc_id)
+        ) d WHERE status IS NOT NULL
     """,
     tags=("dedup",),
     doc="Exact dedup at THREE granularities, variant-tagged: 'doc' = one "
@@ -120,7 +155,13 @@ _FUZZY_LEN_BAND = 2
     "corpus scan, zero shuffles), best match is an order-free "
     "min(distance, key) struct aggregate, unmatched rows survive with "
     "NULL keep_id; levenshtein parity holds on ASCII (Spark counts "
-    "codepoints, DuckDB bytes).",
+    "codepoints, DuckDB bytes). 'diff_added/removed/changed' = SNAPSHOT "
+    "DIFF (operators/snapshot.py): the incremental-corpus-update audit "
+    "— both snapshots project to (key, md5 fingerprint), one "
+    "co-partitioned full-outer join classifies every key, unchanged "
+    "rows drop so output is churn-bounded; snapshot B is derived from "
+    "documents identically on both engines (drop %11, edit %7, union "
+    "literal adds).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -146,7 +187,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_id",
         "n_copies",
     )
-    return doc.unionAll(para).unionAll(span).unionAll(fuzzy)
+    from ..operators.snapshot import snapshot_diff
+
+    a = docs.select("doc_id", "text")
+    new_rows = spark.createDataFrame(DIFF_SEED_ROWS, "doc_id long, text string")
+    b = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(new_rows)
+    )
+    diff = snapshot_diff(a, b, "doc_id", "text").select(
+        F.concat(F.lit("diff_"), F.col("status")).alias("variant"),
+        F.coalesce(F.col("new_fp"), F.col("old_fp")).alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.when(F.col("status") == "changed", 2).otherwise(1).cast("long").alias("n_copies"),
+    )
+    return doc.unionAll(para).unionAll(span).unionAll(fuzzy).unionAll(diff)
 
 
 @query(
