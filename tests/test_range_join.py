@@ -121,3 +121,36 @@ def test_axis_type_validation(spark):
 
     with _pytest.raises(ValueError, match="integral"):
         banded_range_join(pts, nets, "ip", "lo", "hi", 10)
+
+
+def test_randomized_equivalence_vs_naive(spark):
+    """Banded plan == naive cross-join filter on randomized inputs,
+    across band widths smaller than, equal to, and larger than the
+    interval lengths (derandomized: fixed seed)."""
+    import random
+
+    rng = random.Random(20260816)
+    pts = [(i, _t(rng.uniform(0, 3600))) for i in range(150)]
+    ivs = []
+    for j in range(40):
+        s = rng.uniform(0, 3600)
+        ivs.append((j, _t(s), _t(s + rng.uniform(0, 900))))
+    points = spark.createDataFrame(pts, "pid long, e_ts timestamp")
+    intervals = spark.createDataFrame(ivs, "wid long, w_start timestamp, w_end timestamp")
+
+    from pyspark.sql import functions as F
+
+    naive = {
+        (r["pid"], r["wid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("e_ts") >= F.col("w_start")) & (F.col("e_ts") <= F.col("w_end")))
+        .collect()
+    }
+    for band_s in (7, 60, 900, 7200):
+        got = {
+            (r["pid"], r["wid"])
+            for r in banded_range_join(
+                points, intervals, "e_ts", "w_start", "w_end", band_s * 1_000_000
+            ).collect()
+        }
+        assert got == naive, f"band={band_s}s: {got ^ naive}"
