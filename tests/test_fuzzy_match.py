@@ -84,3 +84,40 @@ def test_levenshtein_parity_on_seed_matrix(spark, sf_dir):
     for (a, b), d in spark_d.items():
         [(dd_d,)] = duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchall()
         assert d == dd_d, (a, b, d, dd_d)
+
+
+def test_randomized_equivalence_vs_bruteforce(spark):
+    """fuzzy_best_match == a brute-force within-block evaluation on
+    randomized corpora (derandomized: fixed seed)."""
+    import random
+
+    rng = random.Random(116)
+    vocab = ["ring", "rind", "ringo", "bolt", "bolts", "colt", "gear", "bear", "pear"]
+    corpus = [(i, rng.choice(vocab)) for i in range(200)]
+    queries = [(w,) for w in ["ring", "rnig", "bolt", "bolr", "gear", "zzzz"]]
+    cdf = spark.createDataFrame(corpus, "p_partkey long, p_name string")
+    qdf = spark.createDataFrame(queries, "name string")
+    got = {
+        r["name"]: (r["keep_id"], r["n_copies"])
+        for r in fuzzy_best_match(qdf, cdf, "name", "p_partkey", "p_name").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    for (q,) in queries:
+        cands = [
+            (k, nm)
+            for k, nm in corpus
+            if nm[0] == q[0] and abs(len(nm) - len(q)) <= 2 and lev(q, nm) <= 2
+        ]
+        if not cands:
+            assert got[q] == (None, 0), q
+        else:
+            best = min((lev(q, nm), k) for k, nm in cands)
+            assert got[q] == (best[1], len(cands)), (q, got[q], best, len(cands))
