@@ -110,12 +110,22 @@ def pca_fit(
     vec_col: str = "embedding",
     label_col: str | None = None,
     k: int = 8,
+    dim: int | None = None,
 ) -> dict[int, PCAModel]:
     """Fit one PCA per label (or one global model when ``label_col``
     is None; its models key is 0). Eager: runs the two-stage moment
-    job and returns driver-side models (≤ ``_MAX_LABELS`` rows)."""
+    job and returns driver-side models (≤ ``_MAX_LABELS`` rows).
+    Rows failing ``valid_vec`` (NULL / ragged / non-finite / zero-norm
+    — real-corpus garbage) are DROPPED with the same semantics as the
+    ANN operators, so the numpy stages never see ragged input; an
+    all-invalid corpus returns {} rather than crashing."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from .similarity import _dim_of, valid_vec
+
+    dim = dim if dim is not None else _dim_of(df, vec_col)
+    if dim == 0:
+        return {}
     if label_col:
         n_labs = df.agg(F.approx_count_distinct(label_col).alias("n")).first()["n"]
         if n_labs > _MAX_LABELS:
@@ -126,7 +136,11 @@ def pca_fit(
     cols = [F.col(vec_col).cast("array<double>").alias(vec_col)]
     if label_col:
         cols.append(F.col(label_col).cast("long").alias(label_col))
-    src = df.select(*cols).where(F.col(vec_col).isNotNull())
+    src = df.select(*cols).where(
+        valid_vec(F.col(vec_col), dim) & (
+            F.col(label_col).isNotNull() if label_col else F.lit(True)
+        )
+    )
     part_schema = "_lab long, n long, s array<double>, ss array<double>"
     parts = src.mapInArrow(_partials_fn(vec_col, label_col), schema=part_schema)
     combined = parts.groupBy("_lab").applyInPandas(_combine, schema=part_schema)

@@ -152,7 +152,11 @@ def sample_oracle_sql(key: str, fraction: float, table: str = "documents") -> st
 
 
 def mixture_sample(
-    df: DataFrame, key: str, strata_col: str, weights: dict[str, float]
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    weights: dict[str, float],
+    absent: str = "raise",
 ) -> DataFrame:
     """Target-share mixture construction: resample so the OUTPUT hits
     explicit per-stratum shares (DoReMi-style static domain weights) —
@@ -165,7 +169,11 @@ def mixture_sample(
     kept whole; every other stratum down-samples to ``w_s · N / n_s``.
     Strata absent from ``weights`` DROP (explicit beats implicit for a
     training mix); strata named in ``weights`` but absent from the data
-    RAISE — a silently-empty mixture component is a corpus bug.
+    RAISE by default — a silently-empty mixture component is a corpus
+    bug — or, with ``absent="drop"``, fall out of the mix (N is then
+    the min over PRESENT strata; the registry query uses this mode so
+    partition-pruned/adversarial corpora degrade to an empty or
+    partial mix instead of failing the whole suite).
 
     Every derivation is reproducible IEEE arithmetic on exact integer
     counts (divide / multiply / min / floor — all correctly rounded),
@@ -188,19 +196,24 @@ def mixture_sample(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    absent = sorted(set(weights) - set(counts))
-    if absent:
+    if absent not in ("raise", "drop"):
+        raise ValueError(f"absent must be 'raise' or 'drop', got {absent!r}")
+    missing = sorted(set(weights) - set(counts))
+    if missing and absent == "raise":
         raise ValueError(
-            f"mixture strata absent from the data: {absent} — a "
+            f"mixture strata absent from the data: {missing} — a "
             "silently-empty mixture component is a corpus bug"
         )
-    n_out = min(counts[s] / weights[s] for s in weights)
+    present = {s: w for s, w in weights.items() if s in counts}
+    if not present:
+        return df.filter(F.lit(False))
+    n_out = min(counts[s] / present[s] for s in present)
     expr = F.when(F.lit(False), F.lit(0))
-    for s in sorted(weights):
+    for s in sorted(present):
         # Left-assoc ((M*w)*N)/n, mirrored verbatim in the oracle SQL.
         expr = expr.when(
             F.col(strata_col) == s,
-            F.lit(int(_M * weights[s] * n_out / counts[s])),
+            F.lit(int(_M * present[s] * n_out / counts[s])),
         )
     return df.filter(hash_bucket(key) < expr.otherwise(F.lit(0)))
 

@@ -99,7 +99,11 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
         FROM ({sp.mixture_oracle_sql("doc_id", "source", _MIX_WEIGHTS)}) m
         UNION ALL
         SELECT 'wsamp' AS variant, w.doc_id, w.lang, NULL::BIGINT AS shuffle_pos
-        FROM ({sp.weighted_oracle_sql("doc_id", "n_chars", _WSAMP_N, _WSAMP_SEED)}) w
+        FROM ({sp.weighted_oracle_sql(
+            "doc_id", "n_chars", _WSAMP_N, _WSAMP_SEED,
+            table="(SELECT * FROM documents WHERE doc_id IS NOT NULL"
+            " AND n_chars IS NOT NULL AND n_chars > 0)",
+        )}) w
     """,
     tags=("sampling", "pipeline"),
     doc="Deterministic content-hash sampling (md5(key) mod M < p*M): a flat "
@@ -154,10 +158,22 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = sp.quality_stratified_sample(
         docs, "doc_id", "lang", tx.quality_score("text"), quantile=_QUALITY_QUANTILE
     ).select(F.lit("qual").alias("variant"), "doc_id", "lang", nopos)
-    mixw = sp.mixture_sample(docs, "doc_id", "source", _MIX_WEIGHTS).select(
-        F.lit("mixw").alias("variant"), "doc_id", "lang", nopos
+    # absent='drop': a partition-pruned / adversarial corpus missing a
+    # weighted source degrades to a partial mix (oracle-identical — its
+    # count join simply has no rows for that source), never a failure.
+    mixw = sp.mixture_sample(
+        docs, "doc_id", "source", _MIX_WEIGHTS, absent="drop"
+    ).select(F.lit("mixw").alias("variant"), "doc_id", "lang", nopos)
+    # Weight/key hygiene applied identically in the oracle: NULL keys
+    # would tie-break differently across engines (Spark sorts NULLs
+    # first, DuckDB last) and non-positive weights have no sampling
+    # meaning (the bare operator raises on them — loud by default).
+    wdocs = docs.filter(
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
     )
-    wsamp = sp.weighted_sample(docs, "doc_id", "n_chars", _WSAMP_N, _WSAMP_SEED).select(
+    wsamp = sp.weighted_sample(wdocs, "doc_id", "n_chars", _WSAMP_N, _WSAMP_SEED).select(
         F.lit("wsamp").alias("variant"), "doc_id", "lang", nopos
     )
     return (
