@@ -480,3 +480,22 @@ def test_bigram_lm_model_joins_broadcast_under_budget(spark, sf_dir, monkeypatch
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_r11_suite_plan_shapes(spark, sf_dir):
+    """Plan contracts for the round-11 arms, asserted on the FULL
+    registry queries (the operator-level gates live beside each
+    operator's tests): no cartesian anywhere in the time-join suite,
+    a full-outer merge join for the snapshot diff, and exactly one
+    Arrow sketch pass in the funnel suite."""
+    from datafusion_dft_spark.registry import all_queries
+
+    q = all_queries()
+    asof = ex.simple_plan(q["asof_join_purchase_view"].build(spark, sf_dir))
+    assert "CartesianProduct" not in asof and "BroadcastNestedLoopJoin" not in asof
+
+    dexact = ex.simple_plan(q["dedup_exact"].build(spark, sf_dir))
+    assert "FullOuter" in dexact, dexact
+
+    funnel = ex.simple_plan(q["events_user_funnel"].build(spark, sf_dir))
+    assert funnel.count("MapInArrow") == 1, funnel
