@@ -203,3 +203,19 @@ def explained_variance_ratio(model: PCAModel) -> np.ndarray:
     total = float(model.eigvals.sum())
     k = model.components.shape[0]
     return model.eigvals[:k] / total if total > 0 else np.zeros(k)
+
+
+def truncation_quality(vec_col: str | Column, k: int) -> Column:
+    """cos(v, zero-padded v[:k]) = ||v[:k]|| / ||v|| — the MATRYOSHKA
+    truncation audit (Kusupati et al. 2022): how much of each vector's
+    norm the first k dimensions carry, i.e. the cosine fidelity of the
+    cheapest possible dimensionality reduction (keep a prefix, no
+    transform). The per-label min/avg of this ratio is the bound a
+    serving stack checks before truncating stored embeddings; PCA
+    (above) is the transform to reach for when the prefix bound is
+    poor. Pure JVM array folds — no shuffle, no Python."""
+    from .similarity import as_double, dot
+
+    v = as_double(vec_col)
+    p = F.slice(v, 1, k)
+    return F.sqrt(dot(p, p)) / F.sqrt(dot(v, v))

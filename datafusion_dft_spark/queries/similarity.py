@@ -453,7 +453,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_dot_product(v, qv)
                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
                    ELSE 1.0 END) + 1e-9, 4) AS q8_min_cos,
-               any_value(tr.cov_trace) AS cov_trace
+               any_value(tr.cov_trace) AS cov_trace,
+               round(min(sqrt(list_dot_product(v[1:32], v[1:32]))
+                         / sqrt(list_dot_product(v, v))) + 1e-9, 4) AS trunc32_min_cos,
+               round(avg(sqrt(list_dot_product(v[1:32], v[1:32]))
+                         / sqrt(list_dot_product(v, v))) + 1e-9, 4) AS trunc32_avg_cos
         FROM m
         JOIN (
             -- per-label covariance trace = sum over dims of population
@@ -492,7 +496,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moment pipeline (one mapInArrow partials pass + one label-keyed "
     "combine), equal by the trace identity to the oracle's "
     "independently-recomputed per-dimension variance sum; "
-    "eigenvectors/projection are pytest-differentialed vs numpy.",
+    "eigenvectors/projection are pytest-differentialed vs numpy. Also "
+    "the MATRYOSHKA truncation audit (trunc32_min/avg_cos — cosine "
+    "fidelity of keeping only the first 32 dims, pure JVM folds): the "
+    "prefix bound a serving stack checks before truncating stored "
+    "embeddings, next to the PCA transform it falls back to.",
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pca as pc
@@ -509,6 +517,15 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(ec["q8_max_err"]) + 1e-9, 6).alias("q8_max_err"),
         F.round(F.avg(ec["q8_mean_err"]) * 1000 + 1e-9, 4).alias("q8_avg_err_milli"),
         F.round(F.min(ec["q8_cos_self"]) + 1e-9, 4).alias("q8_min_cos"),
+        # Matryoshka-truncation audit (operators/pca.py): cosine
+        # fidelity of keeping only the first 32 dims — the bound a
+        # serving stack checks before truncating stored embeddings.
+        F.round(F.min(pc.truncation_quality("embedding", 32)) + 1e-9, 4).alias(
+            "trunc32_min_cos"
+        ),
+        F.round(F.avg(pc.truncation_quality("embedding", 32)) + 1e-9, 4).alias(
+            "trunc32_avg_cos"
+        ),
     )
     # Distributed per-label PCA (operators/pca.py): the column is
     # sum(eigenvalues) of each label's covariance — by the trace
