@@ -155,3 +155,57 @@ def test_session_windows_run(spark, sf_dir):
     rows = spark.sql("SELECT * FROM stream_sessions").collect()
     assert rows, "session windows produced no rows"
     assert all(r.session_end >= r.session_start and r.n_events > 0 for r in rows)
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir):
+    """Streaming twin of the batch ordered funnel: per-user final stage
+    from managed first-touch state must equal the batch 'seq' prefix
+    rule — min-timestamps make the operator arrival-order insensitive."""
+    from datafusion_dft_spark.streaming.stateful import funnel_stages
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        funnel_stages(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_funnel")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: r.stage
+        for r in spark.sql(
+            """
+            SELECT user_id, stage FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n_seen DESC) AS rn
+              FROM stream_funnel) WHERE rn = 1
+            """
+        ).collect()
+    }
+    ev = load_tables(spark, sf_dir)["events"]
+    first = ev.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == t, F.unix_micros("ts"))
+            ).alias(f"t_{t}")
+            for t in ("signup", "view", "click", "purchase")
+        ]
+    )
+    want = {}
+    for r in first.collect():
+        stage = 0
+        if r.t_signup is not None:
+            stage = 1
+            if r.t_view is not None and r.t_signup <= r.t_view:
+                stage = 2
+                if r.t_click is not None and r.t_view <= r.t_click:
+                    stage = 3
+                    if r.t_purchase is not None and r.t_click <= r.t_purchase:
+                        stage = 4
+        want[r.user_id] = stage
+    assert got == want
+    assert set(got.values()) != {0}  # non-vacuous: someone advanced
