@@ -299,3 +299,40 @@ def percentile_col(value_col: str, p: float) -> Column:
     when the domain scales with the data.
     """
     return F.expr(f"percentile({value_col}, {p})")
+
+
+def group_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    score: Column,
+    deciles: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Per-group DISTRIBUTION-DRIFT report: ``(group..., drift)`` where
+    drift = max_i |Q_g(p_i) − Q(p_i)| — the discrete Kolmogorov–
+    Smirnov-style distance between each group's score quantiles and the
+    corpus-global ones, evaluated at the decile grid.
+
+    The pipeline-monitoring primitive: a source whose quality
+    distribution walks away from the corpus (crawler regression,
+    boilerplate flood, spam injection) shows a rising drift long before
+    aggregate means move. Exact percentiles on 4-dp-rounded scores keep
+    the interpolation engine-exact (the quality_stratified_sample
+    contract), so the whole report replays in DuckDB
+    (oracle-checked in ``text_token_fingerprints``).
+
+    Shape at scale: one groupBy percentile aggregate (#groups rows),
+    one global percentile row broadcast in via crossJoin — two passes
+    over the score projection, zero data shuffles beyond the group agg.
+    """
+    levels = ", ".join(repr(p) for p in deciles)
+    scored = df.select(*group_cols, score.alias("_q"))
+    g = scored.groupBy(*group_cols).agg(
+        F.expr(f"percentile(_q, array({levels}))").alias("_gq")
+    )
+    glob = scored.agg(F.expr(f"percentile(_q, array({levels}))").alias("_bq"))
+    diff = F.array_max(
+        F.zip_with(F.col("_gq"), F.col("_bq"), lambda a, b: F.abs(a - b))
+    )
+    return g.crossJoin(F.broadcast(glob)).select(
+        *group_cols, F.round(diff + 1e-9, 4).alias("drift")
+    )

@@ -268,6 +268,26 @@ _PII_SEED_VALUES = ", ".join(
             FROM (SELECT gram, cnt,
                          row_number() OVER (ORDER BY cnt DESC, gram) AS rnk
                   FROM vocab) r
+        ), qscores AS (
+            SELECT lang, source,
+                   round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                         + len(list_filter(string_split(text, ' '),
+                               w -> list_contains({_STOPLIST_SQL}, w)))
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+                         + 1e-9, 4) AS q
+            FROM docs
+        ), grp_q AS (
+            SELECT lang, source,
+                   quantile_cont(q, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS gq
+            FROM qscores GROUP BY lang, source
+        ), glob_q AS (
+            SELECT quantile_cont(q, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bq
+            FROM qscores
+        ), drift AS (
+            SELECT lang AS dlang, source AS dsource,
+                   round(list_max([abs(gq[i] - bq[i]) for i in range(1, 10)])
+                         + 1e-9, 4) AS quality_drift
+            FROM grp_q CROSS JOIN glob_q
         )
         SELECT lang, source,
                count(*) AS n_docs,
@@ -289,9 +309,11 @@ _PII_SEED_VALUES = ", ".join(
                any_value(c.n_chunks) AS n_chunks,
                any_value(c.total_chunk_words) AS total_chunk_words,
                any_value(vsum.vocab_top_grams) AS vocab_top_grams,
-               any_value(vsum.vocab_top_total) AS vocab_top_total
+               any_value(vsum.vocab_top_total) AS vocab_top_total,
+               any_value(drift.quality_drift) AS quality_drift
         FROM docs
         CROSS JOIN vsum
+        JOIN drift ON drift.dlang = docs.lang AND drift.dsource = docs.source
         JOIN (
             -- sliding-window chunking in closed form: the Spark side
             -- counts chunk_documents' actual exploded windows; here
@@ -434,6 +456,16 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_chunk_words").cast("long").alias("total_chunk_words"),
     )
+    # Quality-distribution drift per (lang, source): discrete-KS
+    # distance between the group's quality-score deciles and the
+    # corpus-global ones (operators/percentiles.py::group_drift — the
+    # pipeline-monitoring primitive; exact percentiles on 4-dp scores
+    # keep the interpolation engine-exact).
+    from ..operators.percentiles import group_drift
+
+    drift = group_drift(docs, ["lang", "source"], tx.quality_score("text")).select(
+        "lang", "source", F.col("drift").alias("quality_drift")
+    )
     # explicit broadcast: both sides are post-aggregate plans whose size
     # Catalyst can't estimate (the seed union hides the parquet stats),
     # and the summary side is provably tiny (#lang × #source rows)
@@ -443,5 +475,6 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["lang", "source"],
         )
         .join(F.broadcast(chagg), ["lang", "source"])
+        .join(F.broadcast(drift), ["lang", "source"])
         .crossJoin(F.broadcast(vsum))
     )

@@ -255,3 +255,33 @@ def test_fuzz_refine_vs_builtin(spark, p, n_groups, domain, rows, accuracy, near
         ).collect()
     }
     assert got == want
+
+
+def test_group_drift_separates_shifted_group(spark):
+    """group_drift: a group drawn from the same distribution as the
+    corpus shows near-zero drift; a shifted group shows ~the shift."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dft_spark.operators.percentiles import group_drift
+
+    # dominant clean source + a small shifted source: the global
+    # distribution ~= the dominant one, so 'same' reads near zero and
+    # 'shifted' carries ~the injected +0.5 shift.
+    rows = [("same", (i % 180) / 180.0) for i in range(180)]
+    rows += [("shifted", 0.5 + i / 20.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "src string, q double")
+    got = {r["src"]: r["drift"] for r in group_drift(df, ["src"], F.col("q")).collect()}
+    assert got["shifted"] > got["same"] + 0.2, got
+    assert got["same"] < 0.15, got
+    assert got["shifted"] >= 0.4, got
+
+
+def test_group_drift_zero_when_identical(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_dft_spark.operators.percentiles import group_drift
+
+    rows = [(s, i / 50.0) for s in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "src string, q double")
+    got = {r["src"]: r["drift"] for r in group_drift(df, ["src"], F.col("q")).collect()}
+    assert all(v <= 1e-6 for v in got.values()), got
