@@ -213,9 +213,11 @@ def truncation_quality(vec_col: str | Column, k: int) -> Column:
     transform). The per-label min/avg of this ratio is the bound a
     serving stack checks before truncating stored embeddings; PCA
     (above) is the transform to reach for when the prefix bound is
-    poor. Pure JVM array folds — no shuffle, no Python."""
+    poor. Pure JVM array folds — no shuffle, no Python. Zero-norm /
+    NULL vectors yield NULL (try_divide — ANSI-safe), so they drop out
+    of min/avg aggregates instead of erroring or poisoning them."""
     from .similarity import as_double, dot
 
     v = as_double(vec_col)
     p = F.slice(v, 1, k)
-    return F.sqrt(dot(p, p)) / F.sqrt(dot(v, v))
+    return F.try_divide(F.sqrt(dot(p, p)), F.sqrt(dot(v, v)))
