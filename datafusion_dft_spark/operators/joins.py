@@ -210,19 +210,41 @@ def fuzzy_best_match(
     comparison into per-block work. The query side (a cleanup
     worklist / dirty catalog — small by construction) BROADCASTS, so
     the corpus scans exactly once with no shuffle; at 100 TB the
-    corpus side stays embarrassingly parallel. Blocking trades recall
-    for that bound (a typo in the first character escapes the block) —
-    production stacks run multiple redundant blocking keys; this
-    operator keeps one for a deterministic, oracle-checkable contract.
+    corpus side stays embarrassingly parallel. The broadcast rides the
+    repo's shared model budget (``_MODEL_BROADCAST_MAX_ROWS``, one
+    count on the distinct query relation): a query side above budget
+    RAISES instead of silently risking executor memory — the only
+    non-broadcast fallback is a shuffle on the first-character block
+    key (≤ |alphabet| distinct values, pathological skew), which a
+    caller must opt into deliberately by splitting the worklist or
+    choosing a finer blocking key, not get by accident. Blocking
+    trades recall for the comparison bound (a typo in the first
+    character escapes the block) — production stacks run multiple
+    redundant blocking keys; this operator keeps one for a
+    deterministic, oracle-checkable contract.
 
     Distances are ``levenshtein`` on ASCII inputs only: Spark counts
     codepoints, DuckDB counts BYTES, so non-ASCII text diverges
     between the engines (documented engine gotcha; the differential
     corpus is ASCII).
     """
+    from .text import _MODEL_BROADCAST_MAX_ROWS  # shared model budget
+
     if max_distance < 0 or len_band < 0:
         raise ValueError("max_distance and len_band must be >= 0")
     q = queries.select(F.col(q_text).alias("_qt")).distinct()
+    n_q = q.count()
+    if n_q > _MODEL_BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"fuzzy_best_match: {n_q} distinct query strings exceed the "
+            f"{_MODEL_BROADCAST_MAX_ROWS}-row broadcast budget "
+            "(SPARK_GRAFT_MODEL_BROADCAST_MAX_ROWS). The non-broadcast "
+            "fallback would shuffle both sides on the first-character "
+            "block key (<= |alphabet| distinct values — pathological "
+            "skew), so it is not applied silently: split the query "
+            "worklist into budget-sized batches, or block on a finer "
+            "key before matching."
+        )
     c = corpus.select(F.col(c_key).alias("_ck"), F.col(c_text).alias("_ct"))
     dist = F.levenshtein(F.col("_qt"), F.col("_ct"))
     cond = (
@@ -256,6 +278,7 @@ def banded_range_join(
     start_ts: str,
     end_ts: str,
     band_micros: int,
+    validate: bool = False,
 ) -> DataFrame:
     """Range (interval) join without the cartesian trap: match every
     point row to every interval row with ``start <= ts <= end``.
@@ -276,14 +299,26 @@ def banded_range_join(
 
     Inputs must be pre-aliased to collision-free column names; the
     output carries all columns of both sides. Intervals with
-    ``end < start`` RAISE (one eager count on the interval side —
-    ``F.sequence`` would silently generate a DESCENDING band list for
-    them, turning a data bug into wrong join results).
+    ``end < start`` always FAIL LOUDLY — ``F.sequence`` would silently
+    generate a DESCENDING band list for them, turning a data bug into
+    wrong join results. By default the check is a raising expression
+    (``assert_true``) folded into the band computation, so the
+    interval side is scanned exactly ONCE and a malformed row aborts
+    the job at execution time; ``validate=True`` additionally runs an
+    eager pre-flight count that raises ``ValueError`` BEFORE the join
+    executes (one extra pass over the interval side — a debugging
+    convenience, never the at-scale default). NULL start/end rows
+    drop in both modes (an unbounded interval is not representable;
+    callers coalesce to sentinels if they mean ±infinity).
 
     The range axis generalizes beyond time: timestamp columns band on
-    epoch micros; integral columns (IP ranges, byte offsets, genomic
-    coordinates) band on their own values with ``band_micros`` read as
-    plain band width. The two sides must agree on the axis type.
+    epoch micros; DATE columns band on epoch DAY numbers
+    (``unix_date`` — Spark 4 disallows a direct DATE→BIGINT cast), so
+    ``band_micros`` is read in days on a date axis; integral columns
+    (IP ranges, byte offsets, genomic coordinates) band on their own
+    values with ``band_micros`` read as plain band width. The two
+    sides must agree on the axis type (a date side and a timestamp
+    side would band on incomparable scales).
     """
     if band_micros <= 0:
         raise ValueError(f"band_micros must be > 0, got {band_micros}")
@@ -292,10 +327,16 @@ def banded_range_join(
         dt = df.schema[name].dataType.simpleString()
         if "timestamp" in dt:
             return F.unix_micros(F.col(name).cast("timestamp"))
-        if dt in ("tinyint", "smallint", "int", "bigint", "long", "date"):
+        if dt == "date":
+            # Spark 4 rejects DATE→BIGINT casts (DATATYPE_MISMATCH);
+            # band on epoch-day numbers instead — band_micros is a
+            # band width in DAYS on a date axis.
+            return F.unix_date(F.col(name))
+        if dt in ("tinyint", "smallint", "int", "bigint", "long"):
             return F.col(name).cast("long")
         raise ValueError(
-            f"range column {name!r} must be a timestamp or integral type, got {dt}"
+            f"range column {name!r} must be a timestamp, date, or integral "
+            f"type, got {dt}"
         )
 
     def floor_div(col, n):
@@ -307,16 +348,36 @@ def banded_range_join(
 
     s_us = axis(intervals, start_ts)
     e_us = axis(intervals, end_ts)
-    n_bad = intervals.filter(e_us < s_us).count()
-    if n_bad:
-        raise ValueError(f"{n_bad} interval rows have end < start")
+    if validate:
+        # Eager pre-flight: one EXTRA pass over the interval side, so a
+        # data bug raises ValueError before any join work. Debug mode.
+        n_bad = intervals.filter(e_us < s_us).count()
+        if n_bad:
+            raise ValueError(f"{n_bad} interval rows have end < start")
     p_us = axis(points, point_ts)
     p = points.withColumn("_pband", floor_div(p_us, band_micros))
+    # Zero-extra-pass guard, fused into the single interval scan:
+    # assert_true yields NULL when the row is well-formed (or has NULL
+    # bounds — those drop via the NULL sequence, matching equi-join
+    # NULL semantics) and aborts the job otherwise. Adding the
+    # always-NULL guard into the band start keeps it un-prunable by
+    # the optimizer without changing the band arithmetic.
+    well_formed = s_us.isNull() | e_us.isNull() | (e_us >= s_us)
+    guard = F.assert_true(
+        well_formed,
+        F.format_string(
+            f"banded_range_join: interval end < start ({end_ts}=%s < "
+            f"{start_ts}=%s)",
+            e_us.cast("string"),
+            s_us.cast("string"),
+        ),
+    )
+    band_lo = floor_div(s_us, band_micros) + F.coalesce(
+        guard.cast("long"), F.lit(0)
+    )
     iv = intervals.withColumn(
         "_iband",
-        F.explode(
-            F.sequence(floor_div(s_us, band_micros), floor_div(e_us, band_micros))
-        ),
+        F.explode(F.sequence(band_lo, floor_div(e_us, band_micros))),
     )
     joined = p.join(
         iv,

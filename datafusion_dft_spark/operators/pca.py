@@ -121,6 +121,18 @@ def pca_fit(
     all-invalid corpus returns {} rather than crashing."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if label_col:
+        lab_dt = df.schema[label_col].dataType.simpleString()
+        if lab_dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+            # cast('long') on e.g. a string label silently NULLs every
+            # row — the caller would get {} back, indistinguishable
+            # from an all-invalid corpus (r11 ADVICE). Raise instead;
+            # hash/dense-rank string labels to ints before fitting.
+            raise ValueError(
+                f"pca_fit: label column {label_col!r} must be an integral "
+                f"type, got {lab_dt} — map string/other labels to ints "
+                "first (e.g. F.hash / dense_rank)"
+            )
     from .similarity import _dim_of, valid_vec
 
     dim = dim if dim is not None else _dim_of(df, vec_col)

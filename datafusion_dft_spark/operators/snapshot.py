@@ -36,14 +36,29 @@ def snapshot_diff(
 ) -> DataFrame:
     """``(key, status, old_fp, new_fp)`` for every key whose content
     changed between snapshots; ``status`` ∈ added/removed/changed.
-    Unchanged keys are filtered out (churn-bounded output)."""
-    a = old.select(F.col(key), F.md5(F.col(content).cast("string")).alias("old_fp"))
-    b = new.select(F.col(key), F.md5(F.col(content).cast("string")).alias("new_fp"))
+    Unchanged keys are filtered out (churn-bounded output).
+
+    Presence is carried as explicit flags from each side, NOT inferred
+    from fingerprint NULL-ness: ``md5(NULL content)`` is itself NULL,
+    so a NULL-content row present in both snapshots must classify by
+    the flags (null-safe fingerprint comparison — NULL↔NULL content is
+    unchanged, NULL↔text is changed) rather than masquerade as an
+    add/remove (r11 ADVICE)."""
+    a = old.select(
+        F.col(key),
+        F.lit(True).alias("_in_old"),
+        F.md5(F.col(content).cast("string")).alias("old_fp"),
+    )
+    b = new.select(
+        F.col(key),
+        F.lit(True).alias("_in_new"),
+        F.md5(F.col(content).cast("string")).alias("new_fp"),
+    )
     joined = a.join(b, key, "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
     )
     return (
         joined.withColumn("status", status)

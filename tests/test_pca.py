@@ -114,3 +114,15 @@ def test_validation(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(P, "_MAX_LABELS", 100)
     with pytest.raises(ValueError, match="budget"):
         P.pca_fit(emb, "embedding", label_col="vec_id")
+
+
+def test_non_integral_label_raises(spark):
+    """A string label column would silently cast-to-NULL every row and
+    return {} (indistinguishable from an all-invalid corpus) — it must
+    raise up front instead (r11 ADVICE)."""
+    df = spark.createDataFrame(
+        [("en", [1.0, 2.0]), ("fr", [3.0, 4.0])],
+        "lang string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        P.pca_fit(df, "embedding", label_col="lang")
