@@ -103,6 +103,44 @@ def make_materializer(name: str, df):
         return df.collect
 
 
+# The r10-pinned quiet band for the frozen canary on this container
+# (BASELINE.md bench governance; measured round 10, sf0.1 local[32]).
+# DO NOT retune this to make a round look quiet — re-pin only from a
+# demonstrably quiet window and record the re-pin in BASELINE.md.
+QUIET_BAND = (0.024, 0.030)
+
+
+def classify_band(pre: float, post: float) -> dict:
+    """Machine-adjudicated host-noise classification (BASELINE.md
+    governance, codified round 12 per the r11 verdict). Returns fields
+    to merge into every bench/receipt JSON line:
+
+    - ``contended``    — pre/post canaries disagree >1.3×: contention
+      arrived mid-run; per-query medians unreliable toward the later
+      reading.
+    - ``in-band``      — both canaries inside the pinned quiet band
+      (≤1.3× its top, ≥0.7× its bottom): cross-round ABSOLUTE
+      comparisons are valid; quiet re-records allowed.
+    - ``shifted-band`` — canaries agree with each other but sit
+      outside the quiet band (the r11 observation: host infrastructure
+      itself shifted): same-session RATIOS remain valid, cross-round
+      absolutes carry the band-to-band factor.
+    """
+    lo, hi = QUIET_BAND
+    ratio = max(pre, post) / max(min(pre, post), 1e-9)
+    if ratio > 1.3:
+        band = "contended"
+    elif lo * 0.7 <= pre <= hi * 1.3 and lo * 0.7 <= post <= hi * 1.3:
+        band = "in-band"
+    else:
+        band = "shifted-band"
+    return {
+        "band": band,
+        "band_quiet_ref": [lo, hi],
+        "band_pre_post_ratio": round(ratio, 3),
+    }
+
+
 def control_canary_sec(spark, sf_dir: str, runs: int = 5) -> float:
     """Median wall time of the FROZEN host-noise control workload.
 
@@ -270,6 +308,7 @@ def main() -> int:
         "queries_cold_build": cold_build,
         "control_sec_pre": control_pre,
         "control_sec_post": control_post,
+        **classify_band(control_pre, control_post),
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
@@ -289,6 +328,7 @@ def main() -> int:
         "cold_total_sec": total_cold,
         "control_sec_pre": control_pre,
         "control_sec_post": control_post,
+        **classify_band(control_pre, control_post),
     }
     if cold_build:
         # tiny (index-backed queries only) — safe for the compact line

@@ -75,6 +75,64 @@ def test_validation(corpus):
         frequent_items(df, "term", k=0)
 
 
+def test_batch_summary_dominates_scalar_mg():
+    """The vectorized residual summary (exact counts offset by the
+    (k+1)-th largest) is the error-optimal MG summary: on randomized
+    batches every scalar-MG survivor survives with an estimate at
+    least as tight, all estimates stay within [f - n/k, f], and ≤ k
+    items are emitted (derandomized: fixed seed)."""
+    import random
+    from collections import Counter
+
+    import numpy as np
+
+    from datafusion_dft_spark.operators.frequent import _batch_summary
+
+    rng = random.Random(1202)
+    for trial in range(20):
+        n_items = rng.randint(1, 40)
+        items = [f"i{rng.randint(0, n_items)}" for _ in range(rng.randint(1, 600))]
+        k = rng.randint(1, 12)
+        exact = Counter(items)
+        vals = list(exact)
+        counts = np.array([exact[v] for v in vals], dtype=np.int64)
+        mask, t = _batch_summary(counts, k)
+        est = {v: int(c - t) for v, c, m in zip(vals, counts, mask) if m}
+        n = len(items)
+        assert len(est) <= k, (trial, est)
+        for v, e in est.items():
+            assert 0 < e <= exact[v], (trial, v, e, exact[v])
+            assert e >= exact[v] - n / k - 1e-9, (trial, v, e)
+        # uniform error is ≤ n/(k+1) — a strictly tighter contract than
+        # the streaming loop's n/k — so every item above n/(k+1) survives
+        assert t <= n / (k + 1) + 1e-9, (trial, t, n, k)
+        for v, f in exact.items():
+            if f > t:
+                assert v in est, (trial, v, f, t)
+        # the scalar loop is a valid MG summary of the same batch: its
+        # survivors obey the same bound family (cross-check the reference)
+        scalar = _mg_batch(items, k)
+        for v, lb in scalar.items():
+            assert 0 < lb <= exact[v] and lb >= exact[v] - n / k, (trial, v, lb)
+        if len(exact) <= k:
+            assert t == 0 and est == dict(exact), trial  # exact regime
+
+
+def test_sketch_emits_at_most_k_rows_per_batch(spark):
+    """The mapInArrow stage's output is bounded by k per batch — the
+    property that keeps the only shuffle sketch-sized."""
+    from datafusion_dft_spark.operators.frequent import _sketch_fn
+
+    import pyarrow as pa
+
+    batch = pa.record_batch(
+        {"term": pa.array([f"t{i % 37}" for i in range(1000)] + [None] * 5)}
+    )
+    out = list(_sketch_fn("term", 5)([batch]))
+    assert sum(b.num_rows for b in out) <= 5
+    assert all(b.schema.names == ["item", "lb"] for b in out)
+
+
 def test_mg_batch_textbook():
     # k=2 over aabbbc: 'c' kills one of each survivor; b survives with
     # lb 2, a decrements to 1.

@@ -153,3 +153,29 @@ def test_supplier_spread_follows_spec_at_scale(spark):
             (p0 + i * (n_supp // 4 + p0 // n_supp)) % n_supp + 1 for i in range(4)
         }
         assert r.ps_suppkey in expect, (r.ps_partkey, r.ps_suppkey)
+
+
+def test_classify_band_rules():
+    """bench.classify_band codifies the BASELINE.md governance rule
+    (r11 verdict task #5): contended = pre/post disagree >1.3x;
+    in-band = both inside the pinned quiet band (cross-round absolutes
+    valid); shifted-band = stable but off the quiet band (the r11
+    host-infrastructure shift — same-session ratios only)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import QUIET_BAND, classify_band
+
+    lo, hi = QUIET_BAND
+    assert classify_band(lo, hi)["band"] == "in-band"
+    assert classify_band(hi * 1.29, hi * 1.2)["band"] == "in-band"
+    # stable-but-shifted (the whole r11 session): ~2x the band
+    assert classify_band(hi * 2.0, hi * 2.2)["band"] == "shifted-band"
+    # faster-than-pinned is also a shift, not license to re-record
+    assert classify_band(lo * 0.5, lo * 0.5)["band"] == "shifted-band"
+    # pre/post disagreement dominates every other classification
+    assert classify_band(lo, lo * 3)["band"] == "contended"
+    out = classify_band(lo, hi)
+    assert out["band_quiet_ref"] == [lo, hi]
+    assert out["band_pre_post_ratio"] >= 1.0

@@ -137,6 +137,9 @@ def main() -> int:
         print(f"{name}: spark={s_med:.4f} duckdb={'-' if d_med is None else f'{d_med:.4f}'}")
 
     control_post = control_canary_sec(spark, sf_dir)
+    from bench import classify_band
+
+    band_info = classify_band(control_pre, control_post)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = m.group(1).rstrip(".") if m else "?"
@@ -151,8 +154,12 @@ def main() -> int:
         " after performance work.",
         "",
         f"Host-noise canary (BASELINE.md governance): pre={control_pre:.4f}s"
-        f" post={control_post:.4f}s — compare against the committed"
-        " BENCH_DETAIL.json control band before trusting any ratio here.",
+        f" post={control_post:.4f}s — classification **{band_info['band']}**"
+        f" (quiet ref {band_info['band_quiet_ref'][0]}-"
+        f"{band_info['band_quiet_ref'][1]}s, pre/post ratio"
+        f" {band_info['band_pre_post_ratio']}x; bench.classify_band)."
+        " in-band: absolutes comparable cross-round; shifted-band:"
+        " same-session ratios only; contended: medians unreliable.",
         "",
         "`gt` marks oracles that are exhaustive ground-truth reformulations"
         " of sketch/index operators (not equivalent plans): the proxy there"

@@ -79,7 +79,7 @@ def main() -> int:
     sf_big = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
     out_json = sys.argv[3] if len(sys.argv) > 3 else "BENCH_BPE_SCALE.json"
 
-    from bench import control_canary_sec
+    from bench import classify_band, control_canary_sec
     from datafusion_dft_spark.operators.bpe import apply_bpe, learn_bpe
     from datafusion_dft_spark.session import get_spark
 
@@ -138,6 +138,7 @@ def main() -> int:
         ),
         "control_sec_pre": canary_pre,
         "control_sec_post": canary_post,
+        **classify_band(canary_pre, canary_post),
         "results": results,
     }
     with open(out_json, "w") as f:

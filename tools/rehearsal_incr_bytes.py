@@ -72,7 +72,7 @@ def main() -> int:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_INCR_BYTES.json"
 
-    from bench import control_canary_sec
+    from bench import classify_band, control_canary_sec
     from datafusion_dft_spark.operators.dedup import (
         BANDS,
         ROWS_PER_BAND,
@@ -215,6 +215,7 @@ def main() -> int:
         ),
         "control_sec_pre": canary_pre,
         "control_sec_post": canary_post,
+        **classify_band(canary_pre, canary_post),
         "results": results,
     }
     with open(out_json, "w") as f:

@@ -81,7 +81,7 @@ def main() -> int:
     from datafusion_dft_spark.queries.dedup import FUZZY_SEED_NAMES
     from datafusion_dft_spark.session import get_spark
 
-    from bench import control_canary_sec
+    from bench import classify_band, control_canary_sec
 
     spark = get_spark(app_name="rehearsal-r11-ops")
     control_canary_sec(spark, "/root/testdata/sf0.1")  # JIT warmup, discarded
@@ -174,6 +174,7 @@ def main() -> int:
         "steady_growth_ratios": ratios,
         "control_sec_pre": canary_pre,
         "control_sec_post": canary_post,
+        **classify_band(canary_pre, canary_post),
         "results": results,
     }
     with open(out_json, "w") as f:

@@ -78,7 +78,7 @@ def main() -> int:
     from datafusion_dft_spark.operators.sampling import quality_stratified_sample
     from datafusion_dft_spark.session import get_spark
 
-    from bench import control_canary_sec
+    from bench import classify_band, control_canary_sec
 
     spark = get_spark(app_name="rehearsal-text-ops")
     # first invocation discarded: fresh-session JIT reads the canary high
@@ -139,6 +139,7 @@ def main() -> int:
         "steady_growth_ratios": ratios,
         "control_sec_pre": canary_pre,
         "control_sec_post": canary_post,
+        **classify_band(canary_pre, canary_post),
         "results": results,
     }
     with open(out_json, "w") as f:
