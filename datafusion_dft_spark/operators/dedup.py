@@ -704,13 +704,40 @@ def cluster_representatives(pairs: DataFrame, a_col: str = "doc1", b_col: str = 
 def simhash(df: DataFrame, id_col: str, text_col: str, method: str = "md5") -> DataFrame:
     """(id_col, simhash: long) 64-bit SimHash over word-frequency weights.
 
-    Word hashing and the (doc, word) count stay JVM-side; the 64
-    weighted bit-sums per document run as one numpy broadcast in a
-    vectorized pandas UDF — evaluating them as 64 aggregate
-    expressions costs 64 codegen buffers x every word row (measured
-    ~5s at sf0.1 vs <1s vectorized). Bit b of the arithmetic-shifted
-    signed hash equals bit b of the unsigned value, so results are
-    identical to the pure-expression formulation.
+    ZERO-SHUFFLE since round 12: SimHash's frequency-weighted bit sum
+    ``Σ_distinct cnt·(2·bit−1)`` equals the per-OCCURRENCE sum
+    ``Σ_occurrences (2·bit−1)`` (integer arithmetic, term-by-term), so
+    the (doc, word) count relation — previously an explode + a
+    (doc, word) hash aggregate + a collect_list re-gather, two full
+    shuffles of the word stream — is unnecessary. Word hashing runs
+    scan-level inside ``transform`` over the per-row split array
+    (JVM-side, md5 evaluated once per word via a nested transform),
+    and the 64 bit-sums per document run as one numpy broadcast in a
+    vectorized pandas UDF over that row-local array — evaluating them
+    as 64 aggregate expressions costs 64 codegen buffers x every word
+    row (measured ~5s at sf0.1 vs <1s vectorized). The fingerprint
+    stage is now embarrassingly parallel: it survives any scale the
+    scan survives, and the only shuffle left in ``simhash_pairs`` is
+    the banding groupBy. Bit b of the arithmetic-shifted signed hash
+    equals bit b of the unsigned value, so results are identical to
+    the pure-expression formulation.
+
+    NULL-text rows drop (the prior explode-based formulation dropped
+    them structurally; the filter preserves that contract).
+
+    NARROW-SCAN GUARD: when the input has fewer partitions than the
+    session's parallelism (locally: the one-row-group test parquet —
+    Spark cannot split inside a row group), the rows are repartitioned
+    to the core count BEFORE the per-word work, trading one tiny
+    exchange of raw (id, text) for full-width execution of the
+    hashing stage. Without it the whole fingerprint runs as ONE task,
+    and round-12 diagnosis showed single-task Python stages take this
+    container's periodic per-vCPU degradation at full blast-radius
+    (same kernel, same data: 0.1 s vs sporadic 8-17 s; parallel
+    control probes stay flat, no steal/pressure/quota visible in-VM —
+    see SCALE.md round 12 and BENCH_SIMHASH_ADJUDICATION.json). At
+    100 TB a scan has thousands of splits, the guard never fires, and
+    the zero-shuffle property holds.
 
     - ``md5`` (default): the word's 64 hash bits are the first 16 hex
       chars of md5(word) (hi 32 | lo 32 assembled bitwise — no
@@ -720,46 +747,60 @@ def simhash(df: DataFrame, id_col: str, text_col: str, method: str = "md5") -> D
       minhash pattern applied to SimHash.
     - ``xxhash64``: Spark's native hash; recall-tested only.
     """
-    wc = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    words = F.split(F.col(text_col), " ")
     if method == "md5":
-        # md5 projected once; hi|lo assembled bitwise (shiftleft, not
-        # multiply — no overflow semantics under ANSI mode).
-        wc = wc.withColumn("m", F.md5(F.col("word")))
-        hi = F.conv(F.substring("m", 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring("m", 9, 8), 16, 10).cast("long")
-        wc = wc.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo)).drop("m")
+        # nested transform: md5 materialized once per word, then hi|lo
+        # assembled bitwise (shiftleft, not multiply — no overflow
+        # semantics under ANSI mode).
+        ms = F.transform(words, lambda w: F.md5(w))
+        hs = F.transform(
+            ms,
+            lambda m: F.shiftleft(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long"), 32
+            ).bitwiseOR(F.conv(F.substring(m, 9, 8), 16, 10).cast("long")),
+        )
     elif method == "xxhash64":
-        wc = wc.withColumn("h", F.xxhash64("word"))
+        hs = F.transform(words, lambda w: F.xxhash64(w))
     else:
         raise ValueError(f"unknown simhash method {method!r}")
-    lists = wc.groupBy(id_col).agg(
-        F.collect_list("h").alias("hs"), F.collect_list("cnt").alias("cs")
-    )
-    bitw = np.arange(SIMHASH_BITS, dtype=np.uint64)
-
     @F.pandas_udf("long")
-    def sim_udf(hs: "pd.Series", cs: "pd.Series") -> "pd.Series":
+    def sim_udf(hs: "pd.Series") -> "pd.Series":
         # One flattened numpy pass per Arrow batch: a per-document loop
         # re-enters Python len(batch) times and measured 7.3 s on a 50k
         # corpus; flatten + segment-reduceat does the identical math at
-        # memory bandwidth (~10x).
+        # memory bandwidth (~10x). The bit matrix is UNPACKED BYTES
+        # (unpackbits on the big-endian word view, 64 B/word) with the
+        # segment sum accumulating straight to int64 via reduceat's
+        # dtype — the r11 formulation broadcast an int64 ±1 matrix
+        # (512 B/word, ~340 MB per 5k-doc batch) whose allocation
+        # churn under concurrent workers was exactly the bench's
+        # pathological fresh-mode samples (measured 1.08 s warm /
+        # 12.6 s churned vs 0.42 s flat for this kernel — see
+        # BENCH_SIMHASH_ADJUDICATION.json / SCALE.md round 12).
+        # Majority test: Σ(2·bit−1) > 0  ⇔  2·ones > n_words.
         if len(hs) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
         lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
         h_flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs]).astype(np.uint64)
-        c_flat = np.concatenate([np.asarray(c, dtype=np.int64) for c in cs])
-        contrib = (((h_flat[:, None] >> bitw) & np.uint64(1)).astype(np.int64) * 2 - 1) * c_flat[:, None]
         offsets = np.zeros(len(hs), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        sums = np.add.reduceat(contrib, offsets, axis=0)  # docs x 64
-        fps = ((sums > 0).astype(np.uint64) << bitw).sum(axis=1, dtype=np.uint64)
+        # big-endian view => unpackbits yields bit63..bit0 per word
+        bits = np.unpackbits(h_flat.astype(">u8").view(np.uint8)).reshape(-1, SIMHASH_BITS)
+        ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)  # docs x 64
+        maj = (2 * ones) > lens[:, None]
+        w = np.uint64(1) << np.arange(SIMHASH_BITS - 1, -1, -1, dtype=np.uint64)
+        fps = (maj.astype(np.uint64) * w).sum(axis=1, dtype=np.uint64)
         return pd.Series(fps.astype(np.int64))
 
-    return lists.select(F.col(id_col), sim_udf("hs", "cs").alias("simhash"))
+    src = df.filter(F.col(text_col).isNotNull())
+    try:
+        from ..session import default_parallelism
+
+        if src.rdd.getNumPartitions() < default_parallelism():
+            src = src.repartition(default_parallelism())
+    except Exception:
+        pass  # partition probe is best-effort; the plan stays valid without it
+    return src.select(F.col(id_col), sim_udf(hs).alias("simhash"))
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
