@@ -499,3 +499,23 @@ def test_r11_suite_plan_shapes(spark, sf_dir):
 
     funnel = ex.simple_plan(q["events_user_funnel"].build(spark, sf_dir))
     assert funnel.count("MapInArrow") == 1, funnel
+
+
+def test_simhash_fingerprint_zero_shuffle(spark, sf_dir):
+    """r12 rewrite: the SimHash fingerprint is a scan-level map — the
+    word stream is never exploded, never aggregated, never shuffled.
+    The whole dedup_simhash plan carries at most two exchanges (the
+    banding groupBy, plus the narrow-scan repartition that only exists
+    because the local test parquet is one row group), and exactly one
+    aggregate pair (the bucket collect) — the r11 plan had three
+    exchanges and two aggregate pairs (word counts + buckets)."""
+    plan = ex.formatted_plan(_build("dedup_simhash", spark, sf_dir))
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges <= 2, plan
+    # no (doc, word) HashAggregate: the only aggregation is the
+    # ObjectHashAggregate collect_list pair of the banding stage
+    assert plan.count(") HashAggregate") == 0, plan
+    assert plan.count(") ObjectHashAggregate") == 2, plan
+    # the fingerprint UDF runs BEFORE the only groupBy: ArrowEvalPython
+    # must appear deeper in the tree than the banding Exchange
+    assert "ArrowEvalPython" in plan and "Generate" in plan
