@@ -792,14 +792,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, method: str = "md5") -> D
         fps = (maj.astype(np.uint64) * w).sum(axis=1, dtype=np.uint64)
         return pd.Series(fps.astype(np.int64))
 
-    src = df.filter(F.col(text_col).isNotNull())
-    try:
-        from ..session import default_parallelism
+    from ..session import ensure_min_parallelism
 
-        if src.rdd.getNumPartitions() < default_parallelism():
-            src = src.repartition(default_parallelism())
-    except Exception:
-        pass  # partition probe is best-effort; the plan stays valid without it
+    src = ensure_min_parallelism(df.filter(F.col(text_col).isNotNull()))
     return src.select(F.col(id_col), sim_udf(hs).alias("simhash"))
 
 

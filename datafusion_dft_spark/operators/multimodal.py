@@ -31,7 +31,18 @@ def to_binary_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     With real media this is `spark.read.format("binaryFile")` plus a
     metadata join; the downstream plumbing is identical.
+
+    The narrow-scan guard (`session.ensure_min_parallelism`, round 12)
+    widens the one-row-group local scan so every downstream
+    ``mapInArrow`` decode stage runs at full task width instead of as
+    a single Python task (the full-blast-radius shape under this
+    host's periodic per-vCPU degradation — SCALE.md r12); a real
+    multi-split binaryFile read is already wide and the guard is a
+    no-op.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col),
         F.encode(F.col(text_col), "utf-8").alias("content"),

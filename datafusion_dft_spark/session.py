@@ -82,6 +82,30 @@ def get_spark(
     return spark
 
 
+def ensure_min_parallelism(df, min_parts: int | None = None):
+    """Repartition ONLY when the plan has fewer partitions than the
+    session's parallelism — the narrow-scan guard for heavy Python
+    stages (round 12).
+
+    Locally the test parquet is one row group per table, so every scan
+    stage is a SINGLE task; round-12 diagnosis (SCALE.md, dedup_simhash
+    adjudication) showed single-task Python stages take this host's
+    periodic per-vCPU degradation at full blast radius (identical
+    kernels 25-80× slower sporadically), while 32-way stages cap the
+    hit at one task's slice. On a real multi-split scan the probe
+    reads >= parallelism and the guard adds NOTHING — the declared
+    plan keeps its shuffle count at 100 TB. Best-effort: if the
+    partition probe itself fails, the original plan is returned.
+    """
+    target = min_parts or default_parallelism()
+    try:
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
+
+
 def tune_runtime_conf(spark: SparkSession, sf_dir: str) -> SparkSession:
     """Size shuffle/scan parallelism from the actual input bytes.
 
