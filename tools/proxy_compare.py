@@ -67,7 +67,7 @@ NOTES = {
     "multimodal_features": "r7: mapInArrow (pandas conversion skipped both ways); measured boundary floor: an IDENTITY mapInArrow stage over just doc_id == the full byte-feature query, so the Python-stage launch round trip IS the entire cost. r9: the img_* columns are a REAL header decode (planted spec-valid PNG/JPEG parsed back from magic bytes in the same Arrow stage); measured split at sf0.1/50k docs, single-stage count() medians: identity boundary 0.519s, +byte features 0.458s, +features+decode 0.526s — the decode adds <=0.07s per 50k images (<=1.4us/image, vectorized PNG path + header-bounded JPEG walk), within run noise of the boundary floor, which remains the dominant cost. r10: the same single stage also carries the WAV/FLAC audio header decode (vectorized fixed-offset gathers) and the MP4 box walk (O(#boxes) per row) — linear in-stage work, no new Python boundary",
     "events_sessionization": "one user_id shuffle + two same-sort windows + agg; DuckDB pays the same sorts and the ratio oscillates around 1-2x with page-cache state — plan is minimal for gap sessionization",
     "dedup_embedding_cosine": "since r11 runs SIX formulations method-tagged in one query (bounded, unbounded 100 TB path, batch-vs-corpus incremental, SemDeDup semantic, cogrouped incremental SemDeDup, Lloyd-refined semantic) for differential coverage — the spark time is six full dedup passes vs one oracle join pair-set",
-    "window_rank_suite": "code untouched since r9 (git-verified) and the plan is one hash-partitioned window sort; the r11 reading tracks the session's 2x-out-of-band host canary and a controlled empty-session re-measure under the same external load (loadavg ~3.3) still reads 0.165-0.22s vs the r10 quiet 0.0595s — sort-heavy stages take the external-load penalty harder than the scan-shaped canary shows; re-adjudicate on a quiet host",
+    "window_rank_suite": "code untouched since r9 (git-verified); plan is one hash-partitioned window sort. r12 re-adjudication (BENCH_SIMHASH_ADJUDICATION.json): Spark 0.101s vs DuckDB 0.042s measured in the SAME MINUTE under shared load = 2.4x — the r11 5.0x flag compared load-inflated Spark samples against a quiet DuckDB oracle recorded at a different time. At the r10 quiet band the row read 0.060 vs 0.032 (1.9x, under the bar); the residual ~2x is the per-job floor on a 125-row output, not the plan",
 }
 
 
