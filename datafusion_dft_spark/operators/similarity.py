@@ -216,16 +216,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
     Single-row-group parquet files (the test corpus) scan as ONE task,
     which serializes every downstream Arrow batch through one pandas
-    UDF worker. A corpus at real scale arrives in thousands of
-    row groups and skips this; the guard only pays the exchange when
-    the input genuinely has fewer splits than cores.
+    UDF worker — and (round-12 diagnosis, SCALE.md) exposes the whole
+    stage to this host's periodic per-vCPU degradation at full blast
+    radius. A corpus at real scale arrives in thousands of row groups
+    and skips this. Since r12 this delegates to the shared
+    ``session.ensure_min_parallelism`` (one implementation of the
+    narrow-scan guard repo-wide; the trigger widened from cpus/2 to
+    cpus — identical behavior on the 1-partition local scans).
     """
-    from ..session import default_parallelism
+    from ..session import ensure_min_parallelism
 
-    cpus = default_parallelism()
-    if df.rdd.getNumPartitions() < cpus // 2:
-        return df.repartition(cpus)
-    return df
+    return ensure_min_parallelism(df)
 
 
 def _right_size(df: DataFrame, nrows: int, rows_per_part: int = 4000) -> DataFrame:
