@@ -20,6 +20,17 @@ from pyspark.sql import SparkSession
 _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE's coalescing floor. With parallelismFirst (default true) the
+    # floor only bites on SMALL intermediate relations — the stock 1 MB
+    # floor coalesces a ~2 MB exchange into 1-2 tasks, serializing the
+    # downstream stage (the simhash verify ran as ONE python task and
+    # took this host's per-vCPU degradation at full blast radius —
+    # measured 2.9 s vs 0.38 s with the floor at 64k, same code, same
+    # minute; SCALE.md round 12). At 100 TB every real exchange is GBs
+    # and the floor is irrelevant; on any cluster a tiny relation
+    # fanning back out to task width is the right call before a heavy
+    # per-partition stage.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -38,6 +49,7 @@ _DEFAULT_CONF: dict[str, str] = {
 _RUNTIME_CONF: tuple[str, ...] = (
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize",
     "spark.sql.adaptive.skewJoin.enabled",
     "spark.sql.session.timeZone",
     "spark.sql.execution.arrow.pyspark.enabled",
