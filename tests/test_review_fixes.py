@@ -271,3 +271,21 @@ def test_routed_intermediate_copy_fully_drains(spark, sf_dir, tmp_path):
         )
     finally:
         server.shutdown()
+
+
+def test_ensure_min_parallelism_guard(spark):
+    """Narrow-scan guard (r12): under-split inputs repartition to the
+    session parallelism; already-wide inputs pass through UNCHANGED
+    (at scale the guard must add nothing to the plan)."""
+    from datafusion_dft_spark.session import (
+        default_parallelism,
+        ensure_min_parallelism,
+    )
+
+    cpus = default_parallelism()
+    narrow = spark.range(1000).coalesce(1)
+    widened = ensure_min_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == cpus
+    wide = spark.range(1000).repartition(cpus + 4)
+    same = ensure_min_parallelism(wide)
+    assert same is wide  # identity — no plan change on wide inputs
