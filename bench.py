@@ -141,6 +141,38 @@ def classify_band(pre: float, post: float) -> dict:
     }
 
 
+# Band quality ordering for the BENCH_DETAIL overwrite guard: lower is
+# better. in-band records are the cross-round currency; a shifted-band
+# or contended run must not clobber one (r12: the driver's bench run
+# overwrote the builder's committed best-stamped record in the working
+# tree — the governance rule now lives in the file writer itself).
+_BAND_RANK = {"in-band": 0, "shifted-band": 1, "contended": 2}
+
+
+def should_replace_detail(existing, new, force: bool = False) -> bool:
+    """Stamp-aware overwrite decision for ``BENCH_DETAIL.json``.
+
+    Returns True when the new record may replace the existing one:
+    always under ``force``; when no (parseable, band-stamped) record
+    exists; or when the new run's band class is at least as good as
+    the existing record's. Refuses (False) only when the committed
+    record carries a strictly BETTER stamp — replacing an in-band
+    record with a shifted-band or contended one destroys the only
+    cross-round absolute reference (BASELINE.md bench governance).
+    Equal stamps replace: latest-wins keeps the record tracking the
+    current code.
+    """
+    if force or not isinstance(existing, dict):
+        return True
+    old = _BAND_RANK.get(existing.get("band"))
+    new_rank = _BAND_RANK.get(new.get("band"))
+    if old is None:
+        return True  # unstamped legacy record — anything beats it
+    if new_rank is None:
+        return False  # stamped record never yields to an unstamped run
+    return new_rank <= old
+
+
 def control_canary_sec(spark, sf_dir: str, runs: int = 5) -> float:
     """Median wall time of the FROZEN host-noise control workload.
 
@@ -310,8 +342,32 @@ def main() -> int:
         "control_sec_post": control_post,
         **classify_band(control_pre, control_post),
     }
+    # Stamp-aware write (r12 verdict #2): a worse-stamped run must not
+    # clobber the committed best-stamped record. Refused runs land in a
+    # sidecar so the measurement is never lost, just not promoted.
+    # Override with --force or SPARK_GRAFT_BENCH_FORCE=1.
+    force = "--force" in sys.argv[1:] or os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        existing = None
+        if os.path.exists(detail_path):
+            try:
+                with open(detail_path) as f:
+                    existing = json.load(f)
+            except (OSError, ValueError):
+                existing = None  # unreadable record — replace it
+        target = detail_path
+        if not should_replace_detail(existing, detail, force=force):
+            target = os.path.join(repo_dir, "BENCH_DETAIL_LAST_RUN.json")
+            print(
+                f"bench: refusing to overwrite {existing.get('band')} "
+                f"BENCH_DETAIL.json with a {detail['band']} run; detail "
+                f"written to {os.path.basename(target)} (use --force or "
+                "SPARK_GRAFT_BENCH_FORCE=1 to override)",
+                file=sys.stderr,
+            )
+        with open(target, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"bench: BENCH_DETAIL.json not written: {e}", file=sys.stderr)

@@ -212,7 +212,8 @@ def fuzzy_best_match(
     the corpus scans exactly once with no shuffle; at 100 TB the
     corpus side stays embarrassingly parallel. The broadcast rides the
     repo's shared model budget (``_MODEL_BROADCAST_MAX_ROWS``, one
-    count on the distinct query relation): a query side above budget
+    budget-bounded ``limit(budget+1).count()`` probe on the distinct
+    query relation — round 13): a query side above budget
     RAISES instead of silently risking executor memory — the only
     non-broadcast fallback is a shuffle on the first-character block
     key (≤ |alphabet| distinct values, pathological skew), which a
@@ -233,11 +234,16 @@ def fuzzy_best_match(
     if max_distance < 0 or len_band < 0:
         raise ValueError("max_distance and len_band must be >= 0")
     q = queries.select(F.col(q_text).alias("_qt")).distinct()
-    n_q = q.count()
-    if n_q > _MODEL_BROADCAST_MAX_ROWS:
+    # Bounded budget probe: LIMIT budget+1 short-circuits the count as
+    # soon as the budget is provably exceeded, so the guard costs one
+    # budget-bounded job instead of a full evaluation of the (possibly
+    # derived) query relation — the same extra-pass shape removed from
+    # banded_range_join in round 12.
+    n_probe = q.limit(_MODEL_BROADCAST_MAX_ROWS + 1).count()
+    if n_probe > _MODEL_BROADCAST_MAX_ROWS:
         raise ValueError(
-            f"fuzzy_best_match: {n_q} distinct query strings exceed the "
-            f"{_MODEL_BROADCAST_MAX_ROWS}-row broadcast budget "
+            f"fuzzy_best_match: more than {_MODEL_BROADCAST_MAX_ROWS} "
+            "distinct query strings exceed the broadcast budget "
             "(SPARK_GRAFT_MODEL_BROADCAST_MAX_ROWS). The non-broadcast "
             "fallback would shuffle both sides on the first-character "
             "block key (<= |alphabet| distinct values — pathological "
@@ -316,24 +322,35 @@ def banded_range_join(
     (``unix_date`` — Spark 4 disallows a direct DATE→BIGINT cast), so
     ``band_micros`` is read in days on a date axis; integral columns
     (IP ranges, byte offsets, genomic coordinates) band on their own
-    values with ``band_micros`` read as plain band width. The two
-    sides must agree on the axis type (a date side and a timestamp
-    side would band on incomparable scales).
+    values with ``band_micros`` read as plain band width. All three
+    range columns must share one axis kind — a date side banding on
+    days against a timestamp side banding on micros joins incomparable
+    scales, so a kind mismatch raises ``ValueError`` at plan time
+    (round 13; previously only each column's type was checked
+    independently).
     """
     if band_micros <= 0:
         raise ValueError(f"band_micros must be > 0, got {band_micros}")
 
     def axis(df: DataFrame, name: str):
+        """Map a range column to (numeric axis expression, axis KIND).
+
+        The kind — 'micros' (timestamps), 'days' (dates), 'raw'
+        (integrals) — travels with the expression so the point side and
+        the interval side can be checked for agreement: a DATE point
+        against TIMESTAMP intervals would band days against micros and
+        silently return wrong (likely empty) results.
+        """
         dt = df.schema[name].dataType.simpleString()
         if "timestamp" in dt:
-            return F.unix_micros(F.col(name).cast("timestamp"))
+            return F.unix_micros(F.col(name).cast("timestamp")), "micros"
         if dt == "date":
             # Spark 4 rejects DATE→BIGINT casts (DATATYPE_MISMATCH);
             # band on epoch-day numbers instead — band_micros is a
             # band width in DAYS on a date axis.
-            return F.unix_date(F.col(name))
+            return F.unix_date(F.col(name)), "days"
         if dt in ("tinyint", "smallint", "int", "bigint", "long"):
-            return F.col(name).cast("long")
+            return F.col(name).cast("long"), "raw"
         raise ValueError(
             f"range column {name!r} must be a timestamp, date, or integral "
             f"type, got {dt}"
@@ -346,15 +363,24 @@ def banded_range_join(
         # 2255. Truncating `DIV` would mis-band pre-epoch timestamps.
         return ((col - F.pmod(col, F.lit(n))) / F.lit(n)).cast("long")
 
-    s_us = axis(intervals, start_ts)
-    e_us = axis(intervals, end_ts)
+    s_us, s_kind = axis(intervals, start_ts)
+    e_us, e_kind = axis(intervals, end_ts)
+    p_probe, p_kind = axis(points, point_ts)
+    if not (s_kind == e_kind == p_kind):
+        raise ValueError(
+            "banded_range_join: range columns must share one axis kind; "
+            f"got point {point_ts!r}={p_kind}, start {start_ts!r}={s_kind}, "
+            f"end {end_ts!r}={e_kind}. A date axis bands on epoch DAYS and "
+            "a timestamp axis on epoch MICROS — mixing them joins "
+            "incomparable scales. Cast both sides to one type first."
+        )
     if validate:
         # Eager pre-flight: one EXTRA pass over the interval side, so a
         # data bug raises ValueError before any join work. Debug mode.
         n_bad = intervals.filter(e_us < s_us).count()
         if n_bad:
             raise ValueError(f"{n_bad} interval rows have end < start")
-    p_us = axis(points, point_ts)
+    p_us = p_probe
     p = points.withColumn("_pband", floor_div(p_us, band_micros))
     # Zero-extra-pass guard, fused into the single interval scan:
     # assert_true yields NULL when the row is well-formed (or has NULL

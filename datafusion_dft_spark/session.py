@@ -8,10 +8,14 @@ handling, Arrow transfer) plus an arbitrary ``conf`` dict passthrough.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Mapping
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
+_WARNED_NO_RDD_PROBE = False
 
 # Defaults chosen for local[N] testing but written for cluster scale:
 # AQE re-plans shuffles at runtime (coalesces small partitions, splits
@@ -106,15 +110,43 @@ def ensure_min_parallelism(df, min_parts: int | None = None):
     kernels 25-80× slower sporadically), while 32-way stages cap the
     hit at one task's slice. On a real multi-split scan the probe
     reads >= parallelism and the guard adds NOTHING — the declared
-    plan keeps its shuffle count at 100 TB. Best-effort: if the
-    partition probe itself fails, the original plan is returned.
+    plan keeps its shuffle count at 100 TB.
+
+    Probe semantics (round 13, Connect-safe):
+
+    - Classic sessions probe ``df.rdd.getNumPartitions()`` (the exact
+      physical partition count; forces physical planning — cheap, and
+      Catalyst caches the result for the subsequent action).
+    - **Spark Connect sessions have no RDD handle** — there the guard
+      deliberately SKIPS (returns ``df`` unchanged) and logs a
+      one-time warning. That is the right call, not a gap: Connect
+      fronts a real multi-executor cluster where scans split by
+      ``maxPartitionBytes`` and the single-vCPU host pathology this
+      guard mitigates does not exist; an unconditional repartition
+      there would ADD a shuffle to every heavy stage.
+    - Any other probe failure is a genuine analysis error in ``df``
+      (missing column, bad plan): it PROPAGATES so the stack points at
+      the caller instead of deferring to a later action.
     """
     target = min_parts or default_parallelism()
     try:
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
-    except Exception:
-        pass
+        n = df.rdd.getNumPartitions()
+    except (AttributeError, NotImplementedError) as e:
+        # Connect sessions raise before any plan analysis happens
+        # (no .rdd attribute / unsupported API) — skip loudly, once.
+        global _WARNED_NO_RDD_PROBE
+        if not _WARNED_NO_RDD_PROBE:
+            _WARNED_NO_RDD_PROBE = True
+            _LOG.warning(
+                "ensure_min_parallelism: session exposes no RDD handle "
+                "(Spark Connect?); narrow-scan guard skipped (%s). This "
+                "guard is a local-mode mitigation — on a cluster the "
+                "declared plan is already correct.",
+                e,
+            )
+        return df
+    if n < target:
+        return df.repartition(target)
     return df
 
 

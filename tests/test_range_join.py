@@ -224,3 +224,31 @@ def test_randomized_equivalence_vs_naive(spark):
             ).collect()
         }
         assert got == naive, f"band={band_s}s: {got ^ naive}"
+
+
+def test_axis_kind_mismatch_raises(spark):
+    """A DATE point axis against TIMESTAMP interval columns would band
+    epoch DAYS against epoch MICROS and silently return wrong (likely
+    empty) results — the operator must raise at plan time instead
+    (r12 ADVICE). Mixed interval bounds (date start, timestamp end)
+    raise too."""
+    import pytest as _pytest
+
+    pts_date = spark.createDataFrame([("1995-06-15",)], "d string").selectExpr(
+        "cast(d as date) as ts", "1 as pid"
+    )
+    iv_ts = spark.createDataFrame([("1995-06-01 00:00:00", "1995-06-30 00:00:00")],
+                                  "s string, e string").selectExpr(
+        "cast(s as timestamp) as lo", "cast(e as timestamp) as hi", "1 as ivid"
+    )
+    with _pytest.raises(ValueError, match="axis kind"):
+        banded_range_join(pts_date, iv_ts, "ts", "lo", "hi", 86_400_000_000)
+    # mixed bounds within the interval side
+    iv_mixed = iv_ts.selectExpr("cast(lo as date) as lo", "hi", "ivid")
+    pts_ts = pts_date.selectExpr("cast(ts as timestamp) as ts", "pid")
+    with _pytest.raises(ValueError, match="axis kind"):
+        banded_range_join(pts_ts, iv_mixed, "ts", "lo", "hi", 86_400_000_000)
+    # integral points against timestamp intervals
+    pts_int = spark.createDataFrame([(42, 1)], "ts long, pid long")
+    with _pytest.raises(ValueError, match="axis kind"):
+        banded_range_join(pts_int, iv_ts, "ts", "lo", "hi", 1000)

@@ -179,3 +179,37 @@ def test_classify_band_rules():
     out = classify_band(lo, hi)
     assert out["band_quiet_ref"] == [lo, hi]
     assert out["band_pre_post_ratio"] >= 1.0
+
+
+def test_should_replace_detail_stamp_guard():
+    """bench.should_replace_detail (r12 verdict 'what's wrong' #2): a
+    worse-stamped run must NOT clobber the committed best-stamped
+    BENCH_DETAIL record; equal-or-better stamps replace (latest wins);
+    --force and unstamped/unparseable records always replace."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import should_replace_detail
+
+    inb = {"band": "in-band"}
+    shf = {"band": "shifted-band"}
+    con = {"band": "contended"}
+    # strictly-better committed record: refuse
+    assert not should_replace_detail(inb, shf)
+    assert not should_replace_detail(inb, con)
+    assert not should_replace_detail(shf, con)
+    # equal or better incoming: replace (latest wins tracks the code)
+    assert should_replace_detail(inb, inb)
+    assert should_replace_detail(shf, shf)
+    assert should_replace_detail(shf, inb)
+    assert should_replace_detail(con, inb)
+    assert should_replace_detail(con, shf)
+    # force overrides the refusal
+    assert should_replace_detail(inb, con, force=True)
+    # missing / unstamped / unparseable existing record: replace
+    assert should_replace_detail(None, con)
+    assert should_replace_detail({}, con)
+    assert should_replace_detail({"band": "???"}, con)
+    # an UNSTAMPED incoming record never displaces a stamped one
+    assert not should_replace_detail(inb, {})

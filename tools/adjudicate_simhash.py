@@ -74,12 +74,21 @@ def sample_query(spark, build, runs: int, fresh_each: bool):
     from bench import make_materializer
 
     df = build()
-    run = make_materializer("adj", df)  # cold
+    run = make_materializer("adj", df)  # cold; also decides arrow-vs-collect
+    # Record WHICH delivery path the cold probe chose so fresh mode can
+    # rebind the SAME method on each rebuilt plan (r12 ADVICE: always
+    # rebinding toArrow would time a different materialization path for
+    # any query whose materializer is collect, skewing the
+    # reuse-vs-fresh comparison). Calling make_materializer per rebuild
+    # would be wrong the other way: its probe EXECUTES the fresh plan
+    # once, and the timed run would then reuse the probe's shuffle
+    # files — structurally re-creating reuse mode inside fresh mode.
+    method = "collect" if run == df.collect else "toArrow"
     samples, stages = [], []
     for _ in range(runs):
         if fresh_each:
             df = build()
-            run = df.toArrow
+            run = getattr(df, method)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         j0 = next_job_id(spark)
