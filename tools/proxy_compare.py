@@ -20,11 +20,15 @@ Interpretation guardrails baked into the report:
   and DuckDB usually loses by orders of magnitude.
 - A 20 ms floor suppresses scheduler-noise ratios on sub-50 ms queries.
 
-Usage: python tools/proxy_compare.py [sf_dir] [runs]
+Usage: python tools/proxy_compare.py [sf_dir] [runs] [query_name ...]
+(naming queries measures just that CHUNK and merges it into
+PROXY_DETAIL.json; PROXY.md re-renders from the merged state — run
+chunks in fresh processes to bound DuckDB-buffer/JVM-heap growth)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import statistics
@@ -71,6 +75,12 @@ NOTES = {
 }
 
 
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "PROXY_DETAIL.json",
+)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -78,6 +88,16 @@ def main() -> int:
     # `runs` = number of TIMED steady-state samples per side (a warm-up
     # execution precedes them and is never timed).
     runs = max(1, int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    # Optional query names after sf_dir/runs restrict this invocation to
+    # a CHUNK; rows merge into PROXY_DETAIL.json and PROXY.md re-renders
+    # from the merged state. Chunking exists because a 50-query × 2-side
+    # measurement in ONE process accumulates tens of GB of DuckDB buffer
+    # pool + JVM heap and ends in GC thrash that reads like a host storm
+    # (r12 logged every full-run attempt as stormed; r13 reproduced the
+    # stall and watched loadavg collapse the moment the process died).
+    # Per-chunk fresh processes bound the blast radius, and every chunk
+    # carries its own canary stamp.
+    only = set(sys.argv[3:])
 
     from datafusion_dft_spark.registry import all_queries
     from datafusion_dft_spark.session import get_spark, tune_runtime_conf
@@ -92,6 +112,12 @@ def main() -> int:
             con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
+    if only:
+        unknown = only - set(specs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        specs = {n: s for n, s in specs.items() if n in only}
     # Warm Spark codegen + Python workers once (bench.py protocol).
     next(iter(specs.values())).build(spark, sf_dir).collect()
 
@@ -123,16 +149,34 @@ def main() -> int:
 
         d_med = None
         if spec.oracle:
+            # Watchdog (r13): the exhaustive ground-truth oracles are
+            # quadratic by design, and dedup_simhash's currently storms
+            # this host (15 CPU-min of SYSTEM time inside a 4-min wall
+            # window, reproduced with a faulthandler dump pinned at the
+            # DuckDB warm-up fetchall — the r12 "every proxy attempt
+            # stormed" blocker). GT rows are a correctness bound, not a
+            # race; a capped oracle records as '-' with the cap noted
+            # rather than stalling the whole chunk.
+            budget = float(os.environ.get("PROXY_ORACLE_TIMEOUT", "120"))
+            deadline = time.monotonic() + budget
+            import threading
+
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
             try:
                 con.sql(spec.oracle).fetchall()
                 d_samples = []
                 for _ in range(runs):
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"oracle budget {budget}s exhausted")
                     t0 = time.perf_counter()
                     con.sql(spec.oracle).fetchall()
                     d_samples.append(time.perf_counter() - t0)
                 d_med = statistics.median(d_samples)
-            except Exception as e:  # oracle dialect issue — report, don't die
+            except Exception as e:  # dialect issue / cap — report, don't die
                 print(f"{name}: duckdb FAILED: {e}", file=sys.stderr)
+            finally:
+                timer.cancel()
         rows.append((name, s_med, d_med))
         print(f"{name}: spark={s_med:.4f} duckdb={'-' if d_med is None else f'{d_med:.4f}'}")
 
@@ -141,9 +185,42 @@ def main() -> int:
 
     band_info = classify_band(control_pre, control_post)
 
+    # Merge this chunk into PROXY_DETAIL.json; PROXY.md renders from the
+    # merged state so chunked runs assemble one report. Every row carries
+    # the band stamp of the SESSION that measured it (self-describing per
+    # BASELINE.md governance).
+    detail: dict = {"sf_dir": sf_dir, "runs": runs, "rows": {}, "sessions": []}
+    if os.path.exists(DETAIL_PATH):
+        try:
+            with open(DETAIL_PATH) as f:
+                detail = json.load(f)
+        except (OSError, ValueError):
+            pass
+    session = {
+        "ran": sorted(n for n, _, _ in rows),
+        "control_sec_pre": control_pre,
+        "control_sec_post": control_post,
+        **band_info,
+    }
+    detail["sessions"].append(session)
+    for name, s_med, d_med in rows:
+        detail["rows"][name] = {
+            "spark_sec": round(s_med, 4),
+            "duckdb_sec": None if d_med is None else round(d_med, 4),
+            "band": band_info["band"],
+        }
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = m.group(1).rstrip(".") if m else "?"
     flagged = []
+    canary_lines = [
+        f"- chunk {i}: pre={s['control_sec_pre']:.4f}s"
+        f" post={s['control_sec_post']:.4f}s — **{s['band']}**"
+        f" (ratio {s['band_pre_post_ratio']}x; {len(s['ran'])} queries)"
+        for i, s in enumerate(detail["sessions"], 1)
+    ]
     lines = [
         "# PROXY — per-query Spark steady-state vs DuckDB oracle",
         "",
@@ -151,28 +228,41 @@ def main() -> int:
         " (Spark: re-collect of a once-built plan with clearCache+GC between"
         " runs; DuckDB: same statement on views over the same parquet,"
         " one warm-up). Generated by tools/proxy_compare.py — re-run it"
-        " after performance work.",
+        " after performance work. Since r13 the run is CHUNKED (query names"
+        " as extra args merge into PROXY_DETAIL.json and this file"
+        " re-renders from the merged state): one 50×2-side process"
+        " accumulates enough DuckDB buffer pool + JVM heap to end in GC"
+        " thrash. Each row's `band` column is the canary stamp of the"
+        " chunk that measured it (bench.classify_band; in-band: absolutes"
+        " comparable cross-round; shifted-band: same-session ratios only;"
+        " contended: medians unreliable).",
         "",
-        f"Host-noise canary (BASELINE.md governance): pre={control_pre:.4f}s"
-        f" post={control_post:.4f}s — classification **{band_info['band']}**"
-        f" (quiet ref {band_info['band_quiet_ref'][0]}-"
-        f"{band_info['band_quiet_ref'][1]}s, pre/post ratio"
-        f" {band_info['band_pre_post_ratio']}x; bench.classify_band)."
-        " in-band: absolutes comparable cross-round; shifted-band:"
-        " same-session ratios only; contended: medians unreliable.",
+        "Host-noise canaries (BASELINE.md governance), per chunk:",
+        "",
+        *canary_lines,
         "",
         "`gt` marks oracles that are exhaustive ground-truth reformulations"
         " of sketch/index operators (not equivalent plans): the proxy there"
         " is a correctness bound, not a race. Ratios below the 20 ms floor"
         " are scheduler noise, reported but not flagged.",
         "",
-        "| query | spark s | duckdb s | ratio | note |",
-        "|---|---|---|---|---|",
+        "| query | spark s | duckdb s | ratio | band | note |",
+        "|---|---|---|---|---|---|",
     ]
     floor_flags = []
-    for name, s_med, d_med in rows:
+    for name in sorted(detail["rows"]):
+        r = detail["rows"][name]
+        s_med, d_med, row_band = r["spark_sec"], r["duckdb_sec"], r["band"]
         if d_med is None:
-            lines.append(f"| {name} | {s_med:.4f} | - | - | no oracle run |")
+            why = (
+                "gt; oracle exceeded the per-chunk cap (PROXY_ORACLE_TIMEOUT) —"
+                " the exhaustive reformulation is the bound, Spark side stands"
+                if name in GROUND_TRUTH_ORACLES
+                else "no oracle run"
+            )
+            lines.append(
+                f"| {name} | {s_med:.4f} | - | - | {row_band} | {why} |"
+            )
             continue
         ratio = s_med / d_med if d_med > 0 else float("inf")
         parts = []
@@ -188,7 +278,8 @@ def main() -> int:
         if name in NOTES:
             parts.append(NOTES[name])
         lines.append(
-            f"| {name} | {s_med:.4f} | {d_med:.4f} | {ratio:.2f} | {'; '.join(parts)} |"
+            f"| {name} | {s_med:.4f} | {d_med:.4f} | {ratio:.2f} |"
+            f" {row_band} | {'; '.join(parts)} |"
         )
     lines.append("")
     if flagged:
