@@ -180,14 +180,21 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         aug AS (SELECT * FROM e UNION ALL SELECT * FROM pert),
         pairs AS (
+            -- threshold on the ROUNDED cosine — the engine-wide
+            -- cross-engine convention (_sieve_pairs /
+            -- _exact_cosine_rerank filter on round(cos+1e-9, 4), so
+            -- pairs in [thr-5e-5, thr) round up and qualify). An
+            -- unrounded WHERE here diverged at sf1 on the adversarial
+            -- corpus: 518 pairs with raw cosine just under 0.95
+            -- rounded to 0.9500 on the Spark side (r13 sweep).
             SELECT a.vec_id AS id1, b.vec_id AS id2,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                          + 1e-9, 4) AS cosine
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.v, b.v)
-                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                  + 1e-9 >= 0.95
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                        + 1e-9, 4) >= 0.95
         ),
         sem_cents AS (
             SELECT vec_id AS centroid_id, v AS cv

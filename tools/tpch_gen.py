@@ -136,7 +136,14 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "ts": _ts(ev_ts, "2024-01-01"),
         "user_id": pa.array(rng.integers(0, max(int(15_000 * sf), 10), n_ev), pa.int64()),
         "event_type": pa.array(np.array(EVENT_TYPES)[rng.choice(5, n_ev, p=[0.4, 0.3, 0.1, 0.1, 0.1])]),
-        "value": np.round(rng.uniform(0, 100, n_ev), 3),
+        # 2 decimals like the driver corpus (money-grained). 3 decimals
+        # here put round(sum(value), 2) on exact half-cent MIDPOINTS in
+        # ~5% of hourly buckets, where Spark's and DuckDB's different
+        # double-summation orders legitimately round to different
+        # pennies (measured r13: 163/3600 tumbling buckets flipped at
+        # sf1). On a 2-decimal grid aggregate sums sit ON the grid —
+        # accumulated fp error (~1e-10) cannot cross a 0.01 boundary.
+        "value": np.round(rng.uniform(0, 100, n_ev), 2),
         "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
     }))
     # documents: bag-of-WORDS texts, ~2% exact duplicates + ~1% near-dups
