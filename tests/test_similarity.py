@@ -560,3 +560,48 @@ def test_semantic_incremental_overlap_guard(spark, emb):
     batch = corpus.limit(5)  # ids also present in the corpus
     with pytest.raises(ValueError, match="share ids"):
         sim.semantic_dup_pairs_incremental(batch, corpus, dim=64)
+
+
+def test_threshold_applies_to_rounded_cosine(spark):
+    """The engine-wide numeric convention (also replayed by the DuckDB
+    oracles since r13): the >= threshold test runs on the ROUNDED
+    cosine round(cos+1e-9, 4), so a pair whose raw cosine sits in
+    [thr-5e-5, thr) rounds up and QUALIFIES, while one below the
+    rounding window does not. The r13 sf1 sweep caught the oracle
+    filtering unrounded — 518 boundary pairs diverged on the
+    adversarial corpus; this pins the convention at unit scale."""
+    import math
+
+    import numpy as np
+
+    dim = 64
+
+    def pair_with_cosine(c: float, base_id: int):
+        v1 = np.zeros(dim); v1[0] = 1.0
+        v2 = np.zeros(dim); v2[0] = c; v2[1] = math.sqrt(1.0 - c * c)
+        return [
+            (base_id, [float(x) for x in v1]),
+            (base_id + 1, [float(x) for x in v2]),
+        ]
+
+    rows = (
+        pair_with_cosine(0.94997, 0)      # in-window: rounds to 0.9500
+        + pair_with_cosine(0.94990, 100)  # below window: rounds to 0.9499
+        + pair_with_cosine(0.99, 200)     # comfortably above
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.cosine_dup_pairs(df, threshold=0.95, dim=dim).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 0.95, got
+    assert (100, 101) not in got, got
+    assert (200, 201) in got, got
+    # the unbounded (100 TB) formulation applies the same convention
+    got_u = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.cosine_dup_pairs(
+            df, threshold=0.95, dim=dim, strategy="unbounded"
+        ).collect()
+    }
+    assert got_u == got
