@@ -369,19 +369,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM wc CROSS JOIN range(64) r(b)
             GROUP BY doc_id, b
         ), chunks AS (
-            SELECT doc_id, b // 8 AS chunk, sum(bit << (b % 8)) AS chunkval
+            SELECT doc_id, b // 8 AS chunk, sum(bit << (b % 8))::BIGINT AS chunkval
             FROM bits GROUP BY doc_id, b // 8
+        ), fp AS (
+            -- fingerprint packed as two 32-bit halves (a single
+            -- 64-bit pack overflows signed BIGINT at chunk 7): the
+            -- Hamming verify is then two xor/bit_count lookups per
+            -- candidate instead of an 8-row-per-pair chunk join.
+            SELECT doc_id,
+                   sum(CASE WHEN chunk < 4 THEN chunkval << (8 * chunk)
+                            ELSE 0 END)::BIGINT AS lo,
+                   sum(CASE WHEN chunk >= 4 THEN chunkval << (8 * (chunk - 4))
+                            ELSE 0 END)::BIGINT AS hi
+            FROM chunks GROUP BY doc_id
+        ), bands AS (
+            -- 28 chunk-PAIR bands (16-bit keys), mirroring the Spark
+            -- side's Manku r=2 banding: <=6 differing bits touch at
+            -- most 6 of 8 chunks, so >=2 whole chunks agree and the
+            -- pair shares at least one band. Candidate-linear where
+            -- the old single-8-bit-chunk bands (256 values) flooded
+            -- quadratically on large corpora (sf1: >2400s vs ~13s).
+            SELECT x.doc_id, x.chunk AS c1, y.chunk AS c2,
+                   x.chunkval AS v1, y.chunkval AS v2
+            FROM chunks x JOIN chunks y
+              ON x.doc_id = y.doc_id AND x.chunk < y.chunk
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-            FROM chunks a JOIN chunks b USING (chunk, chunkval)
+            FROM bands a JOIN bands b USING (c1, c2, v1, v2)
             WHERE a.doc_id < b.doc_id
         ), ham AS (
             SELECT c.doc1, c.doc2,
-                   CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+                   CAST(bit_count(xor(f1.lo, f2.lo))
+                        + bit_count(xor(f1.hi, f2.hi)) AS BIGINT) AS hamming
             FROM cand c
-            JOIN bits x ON x.doc_id = c.doc1
-            JOIN bits y ON y.doc_id = c.doc2 AND y.b = x.b
-            GROUP BY c.doc1, c.doc2
+            JOIN fp f1 ON f1.doc_id = c.doc1
+            JOIN fp f2 ON f2.doc_id = c.doc2
         )
         SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 6
     """,
@@ -389,8 +411,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="64-bit SimHash fingerprints; Hamming<=6 pairs via chunk-PAIR "
     "pigeonhole bands (28 bands x 16-bit keys, Manku WWW'07 — exact: <=6 "
     "differing bits leave >=2 of 8 chunks agreeing; single 8-bit chunks "
-    "flood at >10k docs). The oracle's wider single-chunk candidate set "
-    "converges to the same Hamming<=6 result. Word-hash bits come from md5 "
+    "flood at >10k docs). Since round 14 the oracle replays the SAME "
+    "chunk-pair banding (previously single 8-bit chunks — quadratic at "
+    "sf1) and verifies Hamming via bit_count(xor) on 8-bit chunk values, "
+    "so both sides are candidate-linear. Word-hash bits come from md5 "
     "hex, so the full sketch is differentially verified against DuckDB "
     "per-bit — the doc_min_k_sketch pattern applied to SimHash.",
 )

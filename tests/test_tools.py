@@ -213,3 +213,76 @@ def test_should_replace_detail_stamp_guard():
     assert should_replace_detail({"band": "???"}, con)
     # an UNSTAMPED incoming record never displaces a stamped one
     assert not should_replace_detail(inb, {})
+
+
+def test_sweep_artifact_shape_guard(tmp_path):
+    """tools/sweep_sf1.load_artifact (r13 ADVICE): a parseable file
+    missing the merge keys falls back to the default shape instead of
+    KeyError-ing away the just-measured chunk; a well-formed file loads
+    as-is; a missing/corrupt file yields the default."""
+    import importlib.util
+    import json
+    import sys
+    from pathlib import Path
+
+    tools_dir = Path(__file__).resolve().parents[1] / "tools"
+    sys.path.insert(0, str(tools_dir))  # sweep imports its sibling verify_driver
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "sweep_sf1", tools_dir / "sweep_sf1.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(str(tools_dir))
+
+    fresh = mod.load_artifact(str(tmp_path / "absent.json"))
+    assert fresh == {"queries": {}, "sessions": []}
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"queries": {"q": {}}}))  # no 'sessions'
+    assert mod.load_artifact(str(bad)) == {"queries": {}, "sessions": []}
+    bad.write_text("[1, 2]")  # not a dict
+    assert mod.load_artifact(str(bad)) == {"queries": {}, "sessions": []}
+    bad.write_text("{corrupt")
+    assert mod.load_artifact(str(bad)) == {"queries": {}, "sessions": []}
+
+    good = tmp_path / "good.json"
+    payload = {"sf_dir": "/tmp/sf1", "queries": {"q": {"err": None}}, "sessions": [{}]}
+    good.write_text(json.dumps(payload))
+    assert mod.load_artifact(str(good)) == payload
+
+
+def test_proxy_detail_protocol_guard(tmp_path):
+    """tools/proxy_compare.load_detail (r13 ADVICE): rows measured
+    under a different sf_dir or runs count refuse to merge (raise
+    ProtocolMismatch) instead of silently mixing protocols under one
+    PROXY.md header; malformed files reset to fresh state."""
+    import importlib.util
+    import json
+    import pytest
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "proxy_compare",
+        Path(__file__).resolve().parents[1] / "tools" / "proxy_compare.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fresh = mod.load_detail(str(tmp_path / "absent.json"), "/d", 4)
+    assert fresh == {"sf_dir": "/d", "runs": 4, "rows": {}, "sessions": []}
+
+    p = tmp_path / "detail.json"
+    committed = {"sf_dir": "/d", "runs": 4, "rows": {"q": {}}, "sessions": [{}]}
+    p.write_text(json.dumps(committed))
+    assert mod.load_detail(str(p), "/d", 4) == committed
+    with pytest.raises(mod.ProtocolMismatch):
+        mod.load_detail(str(p), "/other", 4)
+    with pytest.raises(mod.ProtocolMismatch):
+        mod.load_detail(str(p), "/d", 8)
+
+    p.write_text(json.dumps({"sf_dir": "/d", "runs": 4}))  # missing keys
+    assert mod.load_detail(str(p), "/d", 4)["rows"] == {}
+    p.write_text("{corrupt")
+    assert mod.load_detail(str(p), "/d", 4)["rows"] == {}

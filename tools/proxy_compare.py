@@ -81,6 +81,41 @@ DETAIL_PATH = os.path.join(
 )
 
 
+class ProtocolMismatch(Exception):
+    """Existing PROXY_DETAIL.json was measured under a different protocol."""
+
+
+def load_detail(path: str, sf_dir: str, runs: int) -> dict:
+    """Load the chunk-merge state, guarding shape and protocol.
+
+    r13 ADVICE: (a) a parseable file missing the merge keys resets to
+    fresh state instead of KeyError-ing away the just-measured chunk;
+    (b) rows measured at a different sf_dir or runs count must NOT
+    merge silently — PROXY.md's header claims one protocol for all
+    rows — so a mismatch raises ProtocolMismatch for the caller to
+    surface.
+    """
+    fresh: dict = {"sf_dir": sf_dir, "runs": runs, "rows": {}, "sessions": []}
+    if not os.path.exists(path):
+        return fresh
+    try:
+        with open(path) as f:
+            loaded = json.load(f)
+    except (OSError, ValueError):
+        return fresh
+    if not (isinstance(loaded, dict) and isinstance(loaded.get("rows"), dict)
+            and isinstance(loaded.get("sessions"), list)):
+        return fresh
+    if loaded.get("sf_dir") != sf_dir or loaded.get("runs") != runs:
+        raise ProtocolMismatch(
+            f"{path} was measured at sf_dir={loaded.get('sf_dir')!r} "
+            f"runs={loaded.get('runs')!r}; this run is sf_dir={sf_dir!r} "
+            f"runs={runs!r}. Delete the file (or match the recorded "
+            "protocol) first."
+        )
+    return loaded
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -98,6 +133,15 @@ def main() -> int:
     # Per-chunk fresh processes bound the blast radius, and every chunk
     # carries its own canary stamp.
     only = set(sys.argv[3:])
+
+    # Validate the merge target BEFORE spending minutes measuring — a
+    # protocol mismatch must refuse up front, not discard a measured
+    # chunk at write time.
+    try:
+        detail = load_detail(DETAIL_PATH, sf_dir, runs)
+    except ProtocolMismatch as e:
+        print(f"REFUSING merge: {e}", file=sys.stderr)
+        return 2
 
     from datafusion_dft_spark.registry import all_queries
     from datafusion_dft_spark.session import get_spark, tune_runtime_conf
@@ -148,6 +192,7 @@ def main() -> int:
         s_med = statistics.median(s_samples)
 
         d_med = None
+        d_fail = None  # 'timeout' | 'error: ...' when the oracle side dies
         if spec.oracle:
             # Watchdog (r13): the exhaustive ground-truth oracles are
             # quadratic by design, and dedup_simhash's currently storms
@@ -161,7 +206,18 @@ def main() -> int:
             deadline = time.monotonic() + budget
             import threading
 
-            timer = threading.Timer(budget, con.interrupt)
+            # Gate the interrupt on `running`: a Timer firing between
+            # fetchall returning and timer.cancel() would leave a
+            # pending interrupt that aborts the NEXT query's oracle at
+            # ~0s and mislabel it (r13 ADVICE).
+            running = threading.Event()
+            running.set()
+
+            def _interrupt() -> None:
+                if running.is_set():
+                    con.interrupt()
+
+            timer = threading.Timer(budget, _interrupt)
             timer.start()
             try:
                 con.sql(spec.oracle).fetchall()
@@ -174,10 +230,19 @@ def main() -> int:
                     d_samples.append(time.perf_counter() - t0)
                 d_med = statistics.median(d_samples)
             except Exception as e:  # dialect issue / cap — report, don't die
-                print(f"{name}: duckdb FAILED: {e}", file=sys.stderr)
+                # Distinguish the cap from a genuine oracle error so
+                # PROXY.md renders the true reason (r13 ADVICE): an
+                # interrupt-family exception or our own TimeoutError is
+                # the watchdog; anything else is a dialect/runtime bug.
+                if isinstance(e, TimeoutError) or "interrupt" in type(e).__name__.lower():
+                    d_fail = "timeout"
+                else:
+                    d_fail = f"error: {type(e).__name__}: {e}"[:200]
+                print(f"{name}: duckdb FAILED ({d_fail}): {e}", file=sys.stderr)
             finally:
+                running.clear()
                 timer.cancel()
-        rows.append((name, s_med, d_med))
+        rows.append((name, s_med, d_med, d_fail))
         print(f"{name}: spark={s_med:.4f} duckdb={'-' if d_med is None else f'{d_med:.4f}'}")
 
     control_post = control_canary_sec(spark, sf_dir)
@@ -189,25 +254,24 @@ def main() -> int:
     # merged state so chunked runs assemble one report. Every row carries
     # the band stamp of the SESSION that measured it (self-describing per
     # BASELINE.md governance).
-    detail: dict = {"sf_dir": sf_dir, "runs": runs, "rows": {}, "sessions": []}
-    if os.path.exists(DETAIL_PATH):
-        try:
-            with open(DETAIL_PATH) as f:
-                detail = json.load(f)
-        except (OSError, ValueError):
-            pass
+    # Re-load for the merge: another chunk may have finished while this
+    # one measured (the protocol was already validated up front; a file
+    # that changed protocol mid-run raises here — measured rows are in
+    # the console log).
+    detail = load_detail(DETAIL_PATH, sf_dir, runs)
     session = {
-        "ran": sorted(n for n, _, _ in rows),
+        "ran": sorted(r[0] for r in rows),
         "control_sec_pre": control_pre,
         "control_sec_post": control_post,
         **band_info,
     }
     detail["sessions"].append(session)
-    for name, s_med, d_med in rows:
+    for name, s_med, d_med, d_fail in rows:
         detail["rows"][name] = {
             "spark_sec": round(s_med, 4),
             "duckdb_sec": None if d_med is None else round(d_med, 4),
             "band": band_info["band"],
+            **({"oracle_fail": d_fail} if d_fail else {}),
         }
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -254,12 +318,21 @@ def main() -> int:
         r = detail["rows"][name]
         s_med, d_med, row_band = r["spark_sec"], r["duckdb_sec"], r["band"]
         if d_med is None:
-            why = (
-                "gt; oracle exceeded the per-chunk cap (PROXY_ORACLE_TIMEOUT) —"
-                " the exhaustive reformulation is the bound, Spark side stands"
-                if name in GROUND_TRUTH_ORACLES
-                else "no oracle run"
-            )
+            # Render the recorded failure reason, not an inference from
+            # GT membership (r13 ADVICE): a dialect/runtime oracle error
+            # must not be dressed up as a documented timeout.
+            fail = r.get("oracle_fail")
+            if fail == "timeout":
+                why = (
+                    ("gt; " if name in GROUND_TRUTH_ORACLES else "")
+                    + "oracle exceeded the per-chunk cap (PROXY_ORACLE_TIMEOUT)"
+                    + (" — the exhaustive reformulation is the bound, Spark"
+                       " side stands" if name in GROUND_TRUTH_ORACLES else "")
+                )
+            elif fail:
+                why = f"ORACLE FAILED ({fail}) — investigate, not a timeout"
+            else:
+                why = "no oracle run"
             lines.append(
                 f"| {name} | {s_med:.4f} | - | - | {row_band} | {why} |"
             )

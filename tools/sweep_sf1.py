@@ -47,6 +47,26 @@ ARTIFACT = os.path.join(
 ORACLE_TIMEOUT = float(os.environ.get("SWEEP_ORACLE_TIMEOUT", "540"))
 
 
+def load_artifact(path: str) -> dict:
+    """Load the merge artifact, falling back to the default shape.
+
+    Shape guard (r13 ADVICE): a parseable but hand-edited / older-format
+    file missing the merge keys would KeyError at the update/append
+    below and lose the just-measured chunk.
+    """
+    art: dict = {"queries": {}, "sessions": []}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                loaded = json.load(f)
+        except (OSError, ValueError):
+            return art
+        if isinstance(loaded, dict) and isinstance(loaded.get("queries"), dict) \
+                and isinstance(loaded.get("sessions"), list):
+            return loaded
+    return art
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf = args.pop(0) if args and os.path.isdir(args[0]) else "/tmp/sf1"
@@ -95,7 +115,18 @@ def main() -> int:
             print(f"  {name}: rows-only, {len(srows)} rows ({row['spark_sec']}s)")
             continue
         t0 = time.perf_counter()
-        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+        # Gate the interrupt on `running`: a Timer that fires in the
+        # gap between fetchall returning and timer.cancel() would
+        # otherwise leave a pending interrupt on the shared connection
+        # that aborts the NEXT oracle at ~0s (r13 ADVICE).
+        running = threading.Event()
+        running.set()
+
+        def _interrupt() -> None:
+            if running.is_set():
+                con.interrupt()
+
+        timer = threading.Timer(ORACLE_TIMEOUT, _interrupt)
         timer.start()
         try:
             ores = con.sql(oracles[name])
@@ -113,6 +144,7 @@ def main() -> int:
                   f"(spark side: {len(srows)} rows, {row['spark_sec']}s)")
             continue
         finally:
+            running.clear()
             timer.cancel()
         row["oracle_sec"] = round(time.perf_counter() - t0, 2)
         row["oracle_rows"] = len(orows)
@@ -132,13 +164,8 @@ def main() -> int:
               f"spark {row['spark_sec']}s, oracle {row['oracle_sec']}s)")
     canary_post = control_canary_sec(spark, "/root/testdata/sf0.1")
 
-    art: dict = {"sf_dir": sf, "queries": {}, "sessions": []}
-    if os.path.exists(ARTIFACT):
-        try:
-            with open(ARTIFACT) as f:
-                art = json.load(f)
-        except (OSError, ValueError):
-            pass
+    art = load_artifact(ARTIFACT)
+    art.setdefault("sf_dir", sf)
     art["queries"].update(results)
     session = {
         "ran": sorted(results),
