@@ -34,7 +34,9 @@ from ..sql import execute_sql
             GROUP BY l_suppkey
         )
         SELECT v.n_suppliers, v.total, v.best, i.vals_n, i.vals_sum, u.url_rows, u.url_price,
-               r.rec_months, r.rec_empty_months, r.rec_tree_nodes, r.rec_depth_sum, r.rec_max_depth
+               r.rec_months, r.rec_empty_months, r.rec_tree_nodes, r.rec_depth_sum, r.rec_max_depth,
+               rt.rt_csv_rows, rt.rt_csv_suppkey_sum, rt.rt_csv_total,
+               rt.rt_json_rows, rt.rt_json_suppkey_sum, rt.rt_json_total
         FROM (SELECT count(*) AS n_suppliers,
                      round(sum(total_revenue), 2) AS total,
                      round(max(total_revenue), 2) AS best
@@ -43,6 +45,21 @@ from ..sql import execute_sql
                     FROM (VALUES (1, 'a', 2), (2, 'b', 4), (3, 'c', 6)) t(id, name, doubled)) i
         CROSS JOIN (SELECT count(*) AS url_rows, round(sum(l_extendedprice), 2) AS url_price
                     FROM lineitem) u
+        CROSS JOIN (
+            -- The Spark side computes these THROUGH a COPY-to-CSV /
+            -- COPY-to-NDJSON round trip (write revenue0, read it back,
+            -- aggregate the read-back rows); the oracle states what
+            -- any lossless round trip must return. A corrupted header,
+            -- delimiter, type inference, or dropped row on either
+            -- write/read path diverges the value hash.
+            SELECT count(*) AS rt_csv_rows,
+                   CAST(sum(supplier_no) AS BIGINT) AS rt_csv_suppkey_sum,
+                   round(sum(total_revenue), 2) AS rt_csv_total,
+                   count(*) AS rt_json_rows,
+                   CAST(sum(supplier_no) AS BIGINT) AS rt_json_suppkey_sum,
+                   round(sum(total_revenue), 2) AS rt_json_total
+            FROM revenue0
+        ) rt
         CROSS JOIN (
             WITH RECURSIVE months(m) AS (
                 SELECT DATE '1992-01-01' AS m
@@ -68,7 +85,7 @@ from ..sql import execute_sql
                    (SELECT max(depth) FROM tree) AS rec_max_depth
         ) r
     """,
-    tags=("view", "ddl", "values", "url-table"),
+    tags=("view", "ddl", "values", "url-table", "copy", "csv", "ndjson"),
     doc="CREATE VIEW -> query -> DROP VIEW across one session (TPC-H Q15's "
     "view lifecycle, tpch.rs:429-462), via the multi-statement SQL layer. "
     "Folds in the inline-VALUES relation (reference CREATE TABLE AS VALUES, "
@@ -82,7 +99,14 @@ from ..sql import execute_sql
     "root-seeded; node count / depth sum / max depth), both replayed "
     "verbatim in DuckDB's recursive CTE. Iterations are bounded (84 months, "
     "~10 tree levels) and each recursive step is one pruned-scan join — "
-    "the per-level relation, not the corpus, is what recursion multiplies.",
+    "the per-level relation, not the corpus, is what recursion multiplies. "
+    "Since r14 also folds a COPY round trip: revenue0 is exported via the "
+    "reference's COPY statement to CSV (bare-table form + OPTIONS "
+    "has_header) and NDJSON (parenthesized-query form, src/db.rs:40-41, "
+    "cli_cases/basic.rs:350-365), read back through the format-sniffing "
+    "reader, and the rt_csv_*/rt_json_* columns aggregate the READ-BACK "
+    "rows — the oracle computes them from its revenue0 CTE, so the write "
+    "and read paths of both text formats are value-hash-checked.",
 )
 def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -134,6 +158,48 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = dfs[-1]
     rows = result.collect()  # materialize before the view disappears
+
+    # COPY round trip (r13 verdict task #2): export revenue0 through the
+    # reference's COPY statement to CSV (bare-table form + OPTIONS
+    # grammar) and NDJSON (parenthesized-query form), read both back
+    # through the engine's format-sniffing reader, and aggregate the
+    # READ-BACK rows. The oracle computes the same aggregates straight
+    # from its revenue0 CTE, so a corrupted header/delimiter/type
+    # inference/dropped row on either the write or the read path
+    # hash-mismatches the driver row — upgrading the CSV-scan,
+    # NDJSON-scan and COPY-sink §2.1 rows (src/db.rs:40-41,
+    # tests/cli_cases/basic.rs:350-365) from pytest-only to
+    # CORRECTNESS-checked without growing the 50-query window.
+    import shutil
+    import tempfile
+
+    from ..sources.io import read_any
+
+    rt_dir = tempfile.mkdtemp(prefix="dft_copy_rt_")
+    try:
+        csv_path = f"{rt_dir}/revenue0.csv"
+        json_path = f"{rt_dir}/revenue0.ndjson"
+        execute_sql(
+            spark,
+            f"COPY revenue0 TO '{csv_path}' STORED AS CSV"
+            " OPTIONS ('format.has_header' 'true')",
+        )
+        execute_sql(
+            spark,
+            f"COPY (SELECT supplier_no, total_revenue FROM revenue0)"
+            f" TO '{json_path}' STORED AS NDJSON",
+        )
+        rt_vals: list = []
+        for back_path in (csv_path, json_path):
+            back = read_any(spark, back_path)  # format sniffed from suffix
+            agg = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("supplier_no").cast("long").alias("s"),
+                F.round(F.sum("total_revenue"), 2).alias("t"),
+            ).collect()[0]
+            rt_vals.extend([agg["n"], agg["s"], agg["t"]])
+    finally:
+        shutil.rmtree(rt_dir, ignore_errors=True)
     spark.sql("DROP VIEW IF EXISTS revenue0")
     # Pin the one-row result as a pure-JVM literal relation:
     # createDataFrame(list) spreads even a 1-row relation over
@@ -144,11 +210,23 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays in codegen: ~20 ms. F.lit carries exact doubles (no string
     # round trip), so value hashes are unchanged.
     [row] = rows
+    rt_cols = [
+        ("rt_csv_rows", "long"),
+        ("rt_csv_suppkey_sum", "long"),
+        ("rt_csv_total", "double"),
+        ("rt_json_rows", "long"),
+        ("rt_json_suppkey_sum", "long"),
+        ("rt_json_total", "double"),
+    ]
     return spark.range(0, 1, 1, 1).select(
         *[
             F.lit(row[f.name]).cast(f.dataType).alias(f.name)
             for f in result.schema.fields
-        ]
+        ],
+        *[
+            F.lit(v).cast(t).alias(n)
+            for v, (n, t) in zip(rt_vals, rt_cols)
+        ],
     )
 
 
