@@ -91,6 +91,24 @@ def _merge_word(syms: tuple, pair: tuple) -> tuple:
     return tuple(out)
 
 
+# learn_bpe(documents sf0.001, n_merges=24), PINNED. The fixed merge
+# table lets encoding be verified in isolation (a training change
+# cannot mask an encoding bug, and the DuckDB oracle needs no training
+# replay). Includes multi-char continuations ('p','ar'), end-of-word
+# merges ('s','can</w>') and chains ('co'+'lu' -> 'colu'+'m' ->
+# 'colum'+'n</w>') so the greedy rank order is genuinely exercised.
+# Shared by tests/test_bpe_differential.py and the driver-checked
+# bpe_* columns of text_token_fingerprints (queries/text.py).
+PINNED_MERGES: list[tuple[str, str]] = [
+    ("e", "r</w>"), ("o", "w</w>"), ("o", "r"), ("l", "u"),
+    ("i", "n"), ("a", "r"), ("p", "ar"), ("e", "r"),
+    ("a", "s"), ("t", "o"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
+    ("w", "indow</w>"), ("d", "er</w>"), ("or", "der</w>"), ("or", "t</w>"),
+]
+
+
 def learn_bpe(
     docs: DataFrame,
     text_col: str = "text",

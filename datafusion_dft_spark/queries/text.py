@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..operators import bpe as bp
 from ..operators import packing as pk
 from ..operators import retrieval as rt
 from ..operators import text as tx
@@ -50,6 +51,24 @@ _STOPLIST_SQL = "['the', 'a', 'of', 'to', 'and']"
 # 1 keeps idf small but nonzero, and tf/length-normalization variation
 # across documents is what the differential hash then certifies.
 _BM25_TERMS = ("hash", "join", "stream")
+
+# BPE-encode differential columns of text_token_fingerprints (r13
+# verdict task #5): a fixed deterministic sample (doc_id divisible by
+# _BPE_SAMPLE_MOD, non-blank text) encodes under the operator's PINNED
+# merge table (operators/bpe.py) on the Spark side while the oracle
+# replays the greedy lowest-rank-first loop as a DuckDB recursive CTE
+# with the merge list expressed as DATA (list_position = 1-based rank,
+# list_min over present ranks picks the best pair, first index on ties
+# — exactly encode_word's loop; neither engine shares encoding code).
+# Per-doc token counts fold into one md5('doc:n|...') hash so the
+# driver value hash certifies every sampled document's encoding. The
+# SAMPLE is the scale lever: the recursive CTE re-materializes each
+# word's symbol list per merge step, so bounding the sampled doc count
+# keeps the oracle near-linear at any SF.
+_BPE_SAMPLE_MOD = 17
+_BPE_MLIST = "[" + ",".join(
+    "'" + (a + " " + b).replace("'", "''") + "'" for a, b in bp.PINNED_MERGES
+) + "]"
 
 
 @query(
@@ -248,10 +267,55 @@ _PII_SEED_VALUES = ", ".join(
 @query(
     "text_token_fingerprints",
     oracle=f"""
-        WITH docs AS (
+        WITH RECURSIVE docs AS (
             SELECT doc_id, text, lang, source FROM documents
             UNION ALL
             SELECT * FROM (VALUES {_PII_SEED_VALUES}) v(doc_id, text, lang, source)
+        ), bpe_words AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word,
+                   unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS widx
+            FROM docs
+            WHERE doc_id % {_BPE_SAMPLE_MOD} = 0
+              AND text IS NOT NULL AND trim(text) <> ''
+        ), bpe_enc AS (
+            -- init: chars + end-of-word marker on the last char
+            SELECT doc_id, widx,
+                   list_append(
+                       list_transform(range(1, length(word)), i -> word[i]),
+                       word[length(word)] || '</w>') AS syms,
+                   0 AS it
+            FROM bpe_words WHERE word <> ''
+            UNION ALL
+            -- step: merge the FIRST occurrence of the best-ranked pair
+            SELECT doc_id, widx,
+                   list_concat(list_concat(
+                       syms[1:best_i-1],
+                       [syms[best_i] || syms[best_i+1]]),
+                       syms[best_i+2:]) AS syms,
+                   it + 1
+            FROM (
+                SELECT doc_id, widx, syms, it,
+                       list_position(ranks,
+                           list_min(list_filter(ranks, r -> r > 0))) AS best_i
+                FROM (
+                    SELECT doc_id, widx, syms, it,
+                           list_transform(range(1, len(syms)),
+                               i -> list_position({_BPE_MLIST},
+                                                  syms[i] || ' ' || syms[i+1])) AS ranks
+                    FROM bpe_enc)
+                WHERE len(list_filter(ranks, r -> r > 0)) > 0)
+        ), bpe_counts AS (
+            SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n
+            FROM (SELECT doc_id, widx, arg_max(syms, it) AS syms
+                  FROM bpe_enc GROUP BY 1, 2)
+            GROUP BY doc_id
+        ), bsum AS (
+            SELECT count(*) AS bpe_sample_docs,
+                   CAST(coalesce(sum(n), 0) AS BIGINT) AS bpe_sample_tokens,
+                   md5(coalesce(string_agg(doc_id || ':' || n, '|' ORDER BY doc_id),
+                                '')) AS bpe_tokens_hash
+            FROM bpe_counts
         ), vocab AS (
             SELECT gram, count(*) AS cnt
             FROM (
@@ -310,9 +374,13 @@ _PII_SEED_VALUES = ", ".join(
                any_value(c.total_chunk_words) AS total_chunk_words,
                any_value(vsum.vocab_top_grams) AS vocab_top_grams,
                any_value(vsum.vocab_top_total) AS vocab_top_total,
-               any_value(drift.quality_drift) AS quality_drift
+               any_value(drift.quality_drift) AS quality_drift,
+               any_value(bsum.bpe_sample_docs) AS bpe_sample_docs,
+               any_value(bsum.bpe_sample_tokens) AS bpe_sample_tokens,
+               any_value(bsum.bpe_tokens_hash) AS bpe_tokens_hash
         FROM docs
         CROSS JOIN vsum
+        CROSS JOIN bsum
         JOIN drift ON drift.dlang = docs.lang AND drift.dsource = docs.source
         JOIN (
             -- sliding-window chunking in closed form: the Spark side
@@ -352,7 +420,7 @@ _PII_SEED_VALUES = ", ".join(
         GROUP BY lang, source
     """,
     tags=("text", "tokens", "fingerprint", "pii", "packing", "vocabulary",
-          "chunking"),
+          "chunking", "bpe"),
     doc="Corpus statistics by lang/source: token counting (whitespace + "
     "lexer-regex), normalized-content md5 fingerprint distinct counts, "
     "the PII census + redaction change-detection (email/IPv4/phone regex "
@@ -374,7 +442,14 @@ _PII_SEED_VALUES = ", ".join(
     "(k = 1 + ceil(max(n-64,0)/48); word total = n + 16(k-1)), so the "
     "hash certifies the window-count and clamped-slice arithmetic; "
     "full chunk-text differential + losslessness in "
-    "tests/test_chunking.py.",
+    "tests/test_chunking.py. Since r14 also BPE-ENCODE columns "
+    "(bpe_sample_docs/bpe_sample_tokens/bpe_tokens_hash): a fixed "
+    "doc_id-stride sample encodes through operators/bpe.py::apply_bpe "
+    "under the PINNED merge table while the oracle replays the greedy "
+    "loop as a recursive CTE (merge list as data) — the per-doc counts "
+    "fold into one order-pinned md5, upgrading the tokenizer surface "
+    "from pytest-only (tests/test_bpe_differential.py) to "
+    "driver-checked.",
 )
 def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].select(
@@ -466,6 +541,39 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = group_drift(docs, ["lang", "source"], tx.quality_score("text")).select(
         "lang", "source", F.col("drift").alias("quality_drift")
     )
+    # BPE-encode differential at the corpus grain (like vocab): the
+    # deterministic sample encodes through the operator's real
+    # Arrow-batched stage under the PINNED merges; the per-doc counts
+    # fold into one order-pinned md5 so the driver hash certifies each
+    # sampled document's encoding against the oracle's recursive-CTE
+    # replay. ensure_min_parallelism: the sampled scan is one task on
+    # the single-row-group test parquet, and single-task Python stages
+    # take this container's per-vCPU degradation at full blast radius.
+    from ..session import ensure_min_parallelism
+
+    sampled = docs.filter(
+        (F.col("doc_id") % _BPE_SAMPLE_MOD == 0)
+        & F.col("text").isNotNull()
+        & (F.trim(F.col("text")) != "")
+    ).select("doc_id", "text")
+    enc = bp.apply_bpe(ensure_min_parallelism(sampled), bp.PINNED_MERGES)
+    bsum = enc.agg(
+        F.count(F.lit(1)).alias("bpe_sample_docs"),
+        F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).cast("long").alias(
+            "bpe_sample_tokens"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "n_bpe_tokens"))
+                    ),
+                    lambda s: F.concat_ws(":", s["doc_id"], s["n_bpe_tokens"]),
+                ),
+                "|",
+            )
+        ).alias("bpe_tokens_hash"),
+    )
     # explicit broadcast: both sides are post-aggregate plans whose size
     # Catalyst can't estimate (the seed union hides the parquet stats),
     # and the summary side is provably tiny (#lang × #source rows)
@@ -477,4 +585,5 @@ def text_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(chagg), ["lang", "source"])
         .join(F.broadcast(drift), ["lang", "source"])
         .crossJoin(F.broadcast(vsum))
+        .crossJoin(F.broadcast(bsum))
     )

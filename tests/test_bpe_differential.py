@@ -24,18 +24,9 @@ import pytest
 from datafusion_dft_spark.catalog import load_tables
 from datafusion_dft_spark.operators import bpe
 
-# learn_bpe(docs_sf0.001, n_merges=24), pinned. Includes multi-char
-# continuations ('p','ar'), end-of-word merges ('s','can</w>'), and
-# chains ('co'+'lu' -> 'colu'+'m' -> 'colum'+'n</w>') so the greedy
-# rank order is genuinely exercised, not just single-char pairs.
-PINNED_MERGES: list[tuple[str, str]] = [
-    ("e", "r</w>"), ("o", "w</w>"), ("o", "r"), ("l", "u"),
-    ("i", "n"), ("a", "r"), ("p", "ar"), ("e", "r"),
-    ("a", "s"), ("t", "o"), ("a", "t"), ("a", "n</w>"),
-    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
-    ("colu", "m"), ("colum", "n</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
-    ("w", "indow</w>"), ("d", "er</w>"), ("or", "der</w>"), ("or", "t</w>"),
-]
+# The pinned merge table lives with the operator (shared by the
+# driver-checked bpe_* columns of text_token_fingerprints).
+PINNED_MERGES = bpe.PINNED_MERGES
 
 
 def _oracle_sql(parquet_path: str) -> str:
