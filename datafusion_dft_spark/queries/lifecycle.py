@@ -189,9 +189,25 @@ def view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"COPY (SELECT supplier_no, total_revenue FROM revenue0)"
             f" TO '{json_path}' STORED AS NDJSON",
         )
+        rt_schema = spark.table("revenue0").select(
+            "supplier_no", "total_revenue"
+        ).schema
         rt_vals: list = []
         for back_path in (csv_path, json_path):
             back = read_any(spark, back_path)  # format sniffed from suffix
+            if not back.columns:
+                # An EMPTY export gives inference nothing to infer from
+                # (zero-column relation: NDJSON has no objects, CSV may
+                # have no header line), so the aggregate below would
+                # fail analysis on a legitimately empty corpus. Re-read
+                # under the writer's schema — the contract a 100 TB
+                # pipeline uses anyway (inference is an extra full scan,
+                # and an empty partition must not change the schema).
+                fmt = "json" if back_path.endswith(".ndjson") else "csv"
+                reader = spark.read.schema(rt_schema)
+                if fmt == "csv":
+                    reader = reader.option("header", "true")
+                back = reader.format(fmt).load(back_path)
             agg = back.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("supplier_no").cast("long").alias("s"),
