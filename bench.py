@@ -194,12 +194,38 @@ def control_canary_sec(spark, sf_dir: str, runs: int = 5) -> float:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    # Two untimed executions, not one: the first pays Catalyst
-    # analysis/codegen, the second finishes JIT-compiling the generated
-    # code paths — without it the PRE canary systematically read ~3x
-    # the POST canary on an otherwise quiet host (measured round 10).
-    df.toArrow()
-    df.toArrow()
+    # Untimed warm-up until CONVERGENCE, not a fixed count (r14; the
+    # r10 protocol used exactly two — the first paying Catalyst
+    # analysis/codegen, the second most of the JIT). Measured round 14:
+    # in a fresh process the first in-process canary reading keeps
+    # decaying for several more executions while C2 finishes tiering
+    # the Arrow-collection path (successive medians on a quiet host:
+    # 0.079, 0.064, 0.069, 0.059, 0.044 s — while the post canary of
+    # the same session read 0.048-0.072 s), so a fixed-2 warm-up
+    # inflated every PRE reading 2-4x and stamped quiet sessions
+    # "contended". The workload itself stays FROZEN — warm-up repeats
+    # it untimed, under the same clearCache+GC per-sample protocol as
+    # the timed loop, until the best-so-far reading stops improving
+    # (no new minimum for 3 consecutive executions — single samples
+    # bounce, so a consecutive-pair test exits while still hot; cap 30
+    # executions ≈ 10-20 s). An already-warm POST canary sets its
+    # minimum immediately and exits after ~4 executions, so the post
+    # path is unchanged in practice.
+    best = float("inf")
+    since_best = 0
+    for _ in range(30):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        df.toArrow()
+        cur = time.perf_counter() - t0
+        if cur < best:
+            best = cur
+            since_best = 0
+        else:
+            since_best += 1
+            if since_best >= 3:
+                break
     samples = []
     for _ in range(runs):
         spark.catalog.clearCache()
