@@ -161,9 +161,21 @@ def should_replace_detail(existing, new, force: bool = False) -> bool:
     cross-round absolute reference (BASELINE.md bench governance).
     Equal stamps replace: latest-wins keeps the record tracking the
     current code.
+
+    A record measured at a DIFFERENT scale factor never replaces,
+    regardless of stamps (r14, the proxy-merge sf guard applied here):
+    ``BENCH_DETAIL.json`` is the driver's sf0.1 record, and an ad-hoc
+    sf1 rehearsal run with an equal band class would otherwise clobber
+    it; cross-sf runs land in the sidecar instead.
     """
     if force or not isinstance(existing, dict):
         return True
+    if (
+        existing.get("sf") is not None
+        and new.get("sf") is not None
+        and existing.get("sf") != new.get("sf")
+    ):
+        return False
     old = _BAND_RANK.get(existing.get("band"))
     new_rank = _BAND_RANK.get(new.get("band"))
     if old is None:

@@ -213,6 +213,18 @@ def test_should_replace_detail_stamp_guard():
     assert should_replace_detail({"band": "???"}, con)
     # an UNSTAMPED incoming record never displaces a stamped one
     assert not should_replace_detail(inb, {})
+    # cross-sf runs never replace regardless of stamps (r14: an ad-hoc
+    # sf1 rehearsal must not clobber the driver's sf0.1 record), but
+    # force still overrides and a missing sf on either side is benign
+    sf01_shf = {"band": "shifted-band", "sf": 0.1}
+    sf1_inb = {"band": "in-band", "sf": 1.0}
+    assert not should_replace_detail(sf01_shf, sf1_inb)
+    assert not should_replace_detail(sf1_inb, sf01_shf)
+    assert should_replace_detail(sf01_shf, sf1_inb, force=True)
+    assert should_replace_detail(sf01_shf, {"band": "in-band"})
+    assert should_replace_detail(
+        sf01_shf, {"band": "shifted-band", "sf": 0.1}
+    )
 
 
 def test_sweep_artifact_shape_guard(tmp_path):
