@@ -71,7 +71,7 @@ NOTES = {
     "multimodal_features": "r7: mapInArrow (pandas conversion skipped both ways); measured boundary floor: an IDENTITY mapInArrow stage over just doc_id == the full byte-feature query, so the Python-stage launch round trip IS the entire cost. r9: the img_* columns are a REAL header decode (planted spec-valid PNG/JPEG parsed back from magic bytes in the same Arrow stage); measured split at sf0.1/50k docs, single-stage count() medians: identity boundary 0.519s, +byte features 0.458s, +features+decode 0.526s — the decode adds <=0.07s per 50k images (<=1.4us/image, vectorized PNG path + header-bounded JPEG walk), within run noise of the boundary floor, which remains the dominant cost. r10: the same single stage also carries the WAV/FLAC audio header decode (vectorized fixed-offset gathers) and the MP4 box walk (O(#boxes) per row) — linear in-stage work, no new Python boundary",
     "events_sessionization": "one user_id shuffle + two same-sort windows + agg; DuckDB pays the same sorts and the ratio oscillates around 1-2x with page-cache state — plan is minimal for gap sessionization",
     "dedup_embedding_cosine": "since r11 runs SIX formulations method-tagged in one query (bounded, unbounded 100 TB path, batch-vs-corpus incremental, SemDeDup semantic, cogrouped incremental SemDeDup, Lloyd-refined semantic) for differential coverage — the spark time is six full dedup passes vs one oracle join pair-set",
-    "window_rank_suite": "code untouched since r9 (git-verified); plan is one hash-partitioned window sort. r12 re-adjudication (BENCH_SIMHASH_ADJUDICATION.json): Spark 0.101s vs DuckDB 0.042s measured in the SAME MINUTE under shared load = 2.4x — the r11 5.0x flag compared load-inflated Spark samples against a quiet DuckDB oracle recorded at a different time. At the r10 quiet band the row read 0.060 vs 0.032 (1.9x, under the bar); the residual ~2x is the per-job floor on a 125-row output, not the plan",
+    "window_rank_suite": "code untouched since r9 (git-verified); plan is one hash-partitioned window sort. r14 FLOOR DECOMPOSITION (BENCH_WINDOW_RANK_ADJUDICATION.json, the asof pattern): the customer scan + the same hashpartition(c_nationkey) exchange + a trivial 25-row aggregate with ZERO window machinery measures 0.12-0.19s in-session — 53-100x DuckDB's equivalent agg and 3-5x DuckDB's ENTIRE suite — while all 8 analytic functions over 3 window definitions add only 0.01-0.10s (floor share 0.53-0.96 of the suite across two sessions). The >2x ratio is the fixed per-job floor on a 15k-row input / 125-row output, amortizing at scale, not the window plan. History: 1.9x at the r10 quiet band (under the bar); 2.4x in the r12 same-minute re-adjudication",
 }
 
 
@@ -182,6 +182,32 @@ def main() -> int:
     for name, spec in sorted(specs.items()):
         df = spec.build(spark, sf_dir)
         run = make_materializer(name, df)  # probe executes once (warm-up)
+        # r14: warm to JIT CONVERGENCE, not a single execution (the
+        # bench.control_canary_sec finding applied here): C2 keeps
+        # tiering a plan's generated code for tens of executions, so a
+        # fresh-process chunk read 2-3x the long-warm bench median on
+        # sub-100 ms plans (window_rank_suite 0.17-0.35 s here vs
+        # 0.06-0.08 s steady in bench.py, whose process is warm from 50
+        # prior queries) while large plans were unaffected. Repeat the
+        # run untimed under the timed loop's clearCache+GC protocol
+        # until the best-so-far stops improving for 2 consecutive
+        # executions (cap 10). The DuckDB side gets the same loop below
+        # — it has no tiered JIT, so it converges immediately and the
+        # ratio is not biased.
+        best = float("inf")
+        since_best = 0
+        for _ in range(10):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            run()
+            cur = time.perf_counter() - t0
+            if cur < best:
+                best, since_best = cur, 0
+            else:
+                since_best += 1
+                if since_best >= 2:
+                    break
         s_samples = []
         for _ in range(runs):
             spark.catalog.clearCache()
@@ -220,7 +246,24 @@ def main() -> int:
             timer = threading.Timer(budget, _interrupt)
             timer.start()
             try:
-                con.sql(spec.oracle).fetchall()
+                # Symmetric convergence warm-up (see the Spark side
+                # above): bounded by half the oracle budget so a
+                # deliberately expensive ground-truth oracle still
+                # reaches its timed samples inside the watchdog.
+                best_d = float("inf")
+                since_best_d = 0
+                for _ in range(10):
+                    t0 = time.perf_counter()
+                    con.sql(spec.oracle).fetchall()
+                    cur = time.perf_counter() - t0
+                    if cur < best_d:
+                        best_d, since_best_d = cur, 0
+                    else:
+                        since_best_d += 1
+                        if since_best_d >= 2:
+                            break
+                    if time.monotonic() > deadline - budget / 2:
+                        break
                 d_samples = []
                 for _ in range(runs):
                     if time.monotonic() > deadline:
@@ -271,6 +314,9 @@ def main() -> int:
             "spark_sec": round(s_med, 4),
             "duckdb_sec": None if d_med is None else round(d_med, 4),
             "band": band_info["band"],
+            # protocol marker: this row was measured under the r14
+            # converged (vs single-execution) warm-up on both sides
+            "warmup": "converged",
             **({"oracle_fail": d_fail} if d_fail else {}),
         }
     with open(DETAIL_PATH, "w") as f:
