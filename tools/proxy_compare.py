@@ -71,6 +71,8 @@ NOTES = {
     "multimodal_features": "r7: mapInArrow (pandas conversion skipped both ways); measured boundary floor: an IDENTITY mapInArrow stage over just doc_id == the full byte-feature query, so the Python-stage launch round trip IS the entire cost. r9: the img_* columns are a REAL header decode (planted spec-valid PNG/JPEG parsed back from magic bytes in the same Arrow stage); measured split at sf0.1/50k docs, single-stage count() medians: identity boundary 0.519s, +byte features 0.458s, +features+decode 0.526s — the decode adds <=0.07s per 50k images (<=1.4us/image, vectorized PNG path + header-bounded JPEG walk), within run noise of the boundary floor, which remains the dominant cost. r10: the same single stage also carries the WAV/FLAC audio header decode (vectorized fixed-offset gathers) and the MP4 box walk (O(#boxes) per row) — linear in-stage work, no new Python boundary",
     "events_sessionization": "one user_id shuffle + two same-sort windows + agg; DuckDB pays the same sorts and the ratio oscillates around 1-2x with page-cache state — plan is minimal for gap sessionization",
     "dedup_embedding_cosine": "since r11 runs SIX formulations method-tagged in one query (bounded, unbounded 100 TB path, batch-vs-corpus incremental, SemDeDup semantic, cogrouped incremental SemDeDup, Lloyd-refined semantic) for differential coverage — the spark time is six full dedup passes vs one oracle join pair-set",
+    "cross_join_regions": "deliberate two-variant suite (cartesian product + lateral-style correlated variant) over the 5x25-row dims — a 125-row output whose Spark cost is 2-3 stacked per-job floors (scan+broadcast+union jobs), the same fixed constant BENCH_WINDOW_RANK_ADJUDICATION.json prices at 0.12-0.19s with zero join machinery; DuckDB's ~1ms planner wins any sub-200-row race by definition",
+    "salted_aggregate_skew": "runs the SALTED two-stage aggregate (salt round trip: explode to (key,salt) partials, then merge) plus the skew-diagnostic variant — deliberately one more exchange than the plain agg the oracle states, because demonstrating the 100 TB skew pattern is the query's point; the extra stage is another fixed job floor on a ~10MB input",
     "window_rank_suite": "code untouched since r9 (git-verified); plan is one hash-partitioned window sort. r14 FLOOR DECOMPOSITION (BENCH_WINDOW_RANK_ADJUDICATION.json, the asof pattern): the customer scan + the same hashpartition(c_nationkey) exchange + a trivial 25-row aggregate with ZERO window machinery measures 0.12-0.19s in-session — 53-100x DuckDB's equivalent agg and 3-5x DuckDB's ENTIRE suite — while all 8 analytic functions over 3 window definitions add only 0.01-0.10s (floor share 0.53-0.96 of the suite across two sessions). The >2x ratio is the fixed per-job floor on a 15k-row input / 125-row output, amortizing at scale, not the window plan. History: 1.9x at the r10 quiet band (under the bar); 2.4x in the r12 same-minute re-adjudication",
 }
 
