@@ -444,6 +444,7 @@ def minhash_lsh_pairs(
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
     method: str = "md5",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from banded MinHash-LSH.
 
@@ -452,11 +453,21 @@ def minhash_lsh_pairs(
     buckets — the scalable path for corpora where the pairwise join is
     impossible. With method='md5' (default) every step is
     engine-portable and differentially verified against DuckDB.
+
+    ``sig`` — a precomputed ``(id_col, sig)`` signature relation
+    (``minhash_signatures`` output), consumed AS-IS: a caller sharing
+    one cached signature relation across formulations (full self-join
+    + increment split) passes it here so the shingle→md5→minhash
+    pipeline runs once per corpus per execution (guide §4); the
+    caller owns caching and parameter consistency.
     """
     from ..session import track_cache
 
     rows = num_perm // bands
-    sig = track_cache(minhash_signatures(df, id_col, text_col, k, num_perm, method=method).cache())
+    if sig is None:
+        sig = track_cache(
+            minhash_signatures(df, id_col, text_col, k, num_perm, method=method).cache()
+        )
     banded = sig.select(
         F.col(id_col), F.posexplode(_band_hash_array(rows, bands, method)).alias("band", "bandhash")
     )
@@ -505,6 +516,7 @@ def minhash_lsh_pairs_incremental(
     check_id_overlap: bool = True,
     broadcast: bool | None = None,
     corpus_sig: DataFrame | None = None,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between an incoming BATCH and an existing corpus.
 
@@ -556,25 +568,40 @@ def minhash_lsh_pairs_incremental(
     different (k, num_perm, method) silently change match semantics,
     which is why the streaming sink writes a params manifest beside
     them and verifies it on read (streaming/dedup.py).
+
+    ``new_sig`` — a PRECOMPUTED batch signature relation (requires
+    ``corpus_sig`` too). With both given, each side is consumed AS-IS
+    (no internal re-cache): the intended caller holds ONE cached
+    corpus-wide signature relation and passes stride-filtered views of
+    it, so the shingle→md5→minhash pipeline runs once per corpus per
+    execution instead of once per formulation — re-caching the views
+    here would just duplicate the parent cache (guide §4/§5). The
+    caller owns caching and parameter consistency.
     """
     from ..session import track_cache
 
     rows = num_perm // bands
-    # Each signature relation has three consumers (banding, rerank s1,
-    # rerank s2) — cache both, like the self-join variant, or the
-    # corpus shingle+signature pass re-executes per consumer and the
-    # "corpus scanned once" contract is fiction.
-    sig_new = track_cache(
-        minhash_signatures(new_df, id_col, text_col, k, num_perm, method=method).cache()
-    )
-    if corpus_sig is not None:
-        sig_corpus = track_cache(
-            corpus_sig.select(F.col(id_col), F.col("sig")).cache()
-        )
+    if new_sig is not None:
+        if corpus_sig is None:
+            raise ValueError("new_sig requires corpus_sig")
+        sig_new = new_sig.select(F.col(id_col), F.col("sig"))
+        sig_corpus = corpus_sig.select(F.col(id_col), F.col("sig"))
     else:
-        sig_corpus = track_cache(
-            minhash_signatures(corpus_df, id_col, text_col, k, num_perm, method=method).cache()
+        # Each signature relation has three consumers (banding, rerank
+        # s1, rerank s2) — cache both, like the self-join variant, or
+        # the corpus shingle+signature pass re-executes per consumer
+        # and the "corpus scanned once" contract is fiction.
+        sig_new = track_cache(
+            minhash_signatures(new_df, id_col, text_col, k, num_perm, method=method).cache()
         )
+        if corpus_sig is not None:
+            sig_corpus = track_cache(
+                corpus_sig.select(F.col(id_col), F.col("sig")).cache()
+            )
+        else:
+            sig_corpus = track_cache(
+                minhash_signatures(corpus_df, id_col, text_col, k, num_perm, method=method).cache()
+            )
     if check_id_overlap:
         overlap = sig_new.select(id_col).join(sig_corpus.select(id_col), id_col)
         if overlap.limit(1).count():

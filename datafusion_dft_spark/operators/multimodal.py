@@ -1105,7 +1105,16 @@ def extract_features(
                 ]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return binary_df.mapInArrow(run, schema=schema)
+    # guide §4: ship ONLY the consumed columns across the Arrow
+    # boundary. The binary table also carries `meta` (and any other
+    # payload columns) which this extractor never reads — mapInArrow is
+    # a black box to the optimizer, so without this projection every
+    # extra column is serialized into each Arrow batch and back out of
+    # the JVM for nothing.
+    needed = ["doc_id", "content"] + [
+        c for c in (image_col, audio_col, video_col) if c is not None
+    ]
+    return binary_df.select(*needed).mapInArrow(run, schema=schema)
 
 
 def extract_features_pandas(binary_df: DataFrame) -> DataFrame:

@@ -270,6 +270,40 @@ _DUP_PAIR_CACHE_CAP = 8
 _DUP_PAIR_CACHE_LOCK = __import__("threading").Lock()
 
 
+def sig_relation(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 24,
+    dim: int | None = None,
+    nrows: int | None = None,
+) -> DataFrame:
+    """``(vid, v, sigs)``: the right-sized, signature-annotated corpus.
+
+    The shared input of the unbounded self-join and the incremental
+    probe (``cosine_dup_pairs(sig_rel=...)`` /
+    ``cosine_dup_pairs_incremental(new_rel=/corpus_rel=...)``). A
+    caller running SEVERAL formulations over one corpus builds this
+    once, caches it, and passes it in — the signature pandas-UDF pass
+    (the dominant per-run CPU of candidate generation) then runs once
+    per corpus instead of once per formulation per consumer. Filters
+    on ``vid`` commute with the per-row signature computation, so
+    stride-splitting a cached relation equals signing the split
+    inputs (guide §4: one Python-boundary pass, many consumers).
+    """
+    dim = dim or _dim_of(corpus, vec_col)
+    if nrows is None:
+        nrows = corpus.count()
+    raw = corpus.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    ).filter(valid_vec("v", dim))
+    base = _right_size(raw, nrows)
+    return base.select(
+        "vid", "v", signatures(F.col("v"), dim, n_planes, n_tables).alias("sigs")
+    )
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -281,6 +315,7 @@ def cosine_dup_pairs(
     nrows: int | None = None,
     cache_key: tuple | None = None,
     strategy: str | None = None,
+    sig_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine >= threshold).
 
@@ -366,8 +401,18 @@ def cosine_dup_pairs(
                         except Exception:
                             pass  # session gone — nothing to free
         return bounded
-    sigs = signatures(F.col("v"), dim, n_planes, n_tables)
-    base = _right_size(raw, nrows)
+    # ``sig_rel``: a precomputed (vid, v, sigs) relation (sig_relation
+    # output, typically cached by a caller that shares it with the
+    # incremental formulation) — the signature pass then runs in the
+    # caller's relation instead of being re-derived here.
+    if sig_rel is not None:
+        rel = sig_rel
+        base = rel.select("vid", "v")
+    else:
+        base = _right_size(raw, nrows)
+        rel = base.select(
+            "vid", signatures(F.col("v"), dim, n_planes, n_tables).alias("sigs")
+        )
     # Candidate generation as ONE shuffle: group ids per (table, bucket)
     # and expand ordered pairs JVM-side with nested array transforms.
     # This replaced a cache + equi-self-join formulation (r5): the
@@ -383,7 +428,7 @@ def cosine_dup_pairs(
     # gives (one key pair = one partition) — so the fix for a
     # degenerate hot bucket is more planes (buckets shrink
     # exponentially), not a different join strategy.
-    banded = base.select("vid", F.posexplode(sigs).alias("table", "bucket"))
+    banded = rel.select("vid", F.posexplode("sigs").alias("table", "bucket"))
     buckets = (
         banded.groupBy("table", "bucket")
         .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
@@ -432,6 +477,8 @@ def cosine_dup_pairs_incremental(
     dim: int | None = None,
     check_id_overlap: bool = True,
     broadcast: bool | None = None,
+    new_rel: DataFrame | None = None,
+    corpus_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs between an incoming BATCH and a corpus.
 
@@ -460,26 +507,54 @@ def cosine_dup_pairs_incremental(
     ``broadcast=None`` also runs an eager batch count to pick the probe
     strategy, so fully lazy construction needs ``broadcast`` pinned
     explicitly too.
+
+    ``new_rel`` / ``corpus_rel`` — precomputed ``(vid, v, sigs)``
+    relations (:func:`sig_relation` output; e.g. stride-filtered views
+    of ONE cached corpus-wide relation shared with the unbounded
+    self-join). When given, the per-side projection/validity/signature
+    pipeline never runs here: the signature pandas-UDF pass happens in
+    the caller's relation (once), and the probe side's banding —
+    consumed twice (probe + build union) — re-reads the annotated rows
+    instead of re-executing the UDF (guide §4). Both must be provided
+    together, with ``broadcast`` pinned (the auto rule's counts would
+    re-trigger the caller's lineage); the caller owns plane-parameter
+    consistency.
     """
     from ..session import track_cache
 
-    dim = dim or _dim_of(new_df, vec_col)
-    sigs = signatures(F.col("v"), dim, n_planes, n_tables)
+    if (new_rel is None) != (corpus_rel is None):
+        raise ValueError("new_rel and corpus_rel must be provided together")
+    if new_rel is not None:
+        if broadcast is None:
+            raise ValueError("precomputed relations require a pinned broadcast strategy")
+        raw_new = new_rel.select("vid", "v")
+        raw_corpus = corpus_rel.select("vid", "v")
+        sig_new, sig_corpus = new_rel, corpus_rel
+    else:
+        dim = dim or _dim_of(new_df, vec_col)
+        sigs = signatures(F.col("v"), dim, n_planes, n_tables)
 
-    def prep(df):
-        # _right_size: a single-row-group parquet corpus would scan as
-        # ONE task and serialize the signature pandas-UDF pass through
-        # one worker — the same hygiene the unbounded self-join applies.
-        # Each relation has three consumers (banding, rerank v1, v2), so
-        # cache like the minhash variant.
-        raw = df.select(
-            F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
-        ).filter(valid_vec("v", dim))
-        raw = track_cache(raw.cache())
-        n = raw.count()
-        return _right_size(raw, n), n
+        def prep(df):
+            # _right_size: a single-row-group parquet corpus would scan as
+            # ONE task and serialize the signature pandas-UDF pass through
+            # one worker — the same hygiene the unbounded self-join applies.
+            # The SIGNATURE-annotated relation is what gets cached (not the
+            # bare vectors): the batch side's banding has two consumers
+            # (probe + build union) and the rerank rehydrates v from the
+            # same rows, so caching after the pandas-UDF pass runs it once
+            # per side instead of once per consumer (guide §4).
+            raw = df.select(
+                F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+            ).filter(valid_vec("v", dim))
+            n = raw.count()
+            rel = track_cache(
+                _right_size(raw, n).select("vid", "v", sigs.alias("sigs")).cache()
+            )
+            return rel, n
 
-    (raw_new, n_new), (raw_corpus, n_corpus) = prep(new_df), prep(corpus_df)
+        (sig_new, n_new), (sig_corpus, n_corpus) = prep(new_df), prep(corpus_df)
+        raw_new = sig_new.select("vid", "v")
+        raw_corpus = sig_corpus.select("vid", "v")
     if check_id_overlap:
         overlap = raw_new.select("vid").join(raw_corpus.select("vid"), "vid")
         if overlap.limit(1).count():
@@ -488,13 +563,13 @@ def cosine_dup_pairs_incremental(
                 "was this batch already merged into the corpus?"
             )
 
-    def banded(raw):
-        return raw.select("vid", F.posexplode(sigs).alias("table", "bucket"))
+    def banded(rel):
+        return rel.select("vid", F.posexplode("sigs").alias("table", "bucket"))
 
-    probe = banded(raw_new).select(F.col("vid").alias("id_a"), "table", "bucket")
+    probe = banded(sig_new).select(F.col("vid").alias("id_a"), "table", "bucket")
     build = (
-        banded(raw_corpus)
-        .unionByName(banded(raw_new))
+        banded(sig_corpus)
+        .unionByName(banded(sig_new))
         .select(F.col("vid").alias("id_b"), "table", "bucket")
     )
     # Same guard as the minhash increment: broadcast is the right plan

@@ -168,7 +168,14 @@ def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "values are additionally asserted in tests/test_approx.py.",
 )
 def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .lifecycle import approx_aggregates_raw
+    # r14 (guide §2): this previously joined in approx_aggregates_raw,
+    # whose `distinct` sub-aggregate recomputed countDistinct(l_orderkey)
+    # over a fifth full lineitem scan — but `base` already computes the
+    # identical value as n_orders, so the tolerance flags compare
+    # against it directly (one Expand-based aggregate pass instead of
+    # two; approx_aggregates_raw itself is unchanged for its other
+    # consumers). Same aggregates, same rounding, identical results.
+    from ..operators.percentiles import percentile_exact_refine
 
     li = load_tables(spark, sf_dir)["lineitem"]
     base = li.groupBy("l_returnflag").agg(
@@ -177,18 +184,38 @@ def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    approx = approx_aggregates_raw(spark, sf_dir).select(
-        "l_returnflag",
-        "exact_p50_qty",
-        (
-            F.abs(F.col("approx_orders") - F.col("exact_orders"))
-            <= F.greatest(0.05 * F.col("exact_orders"), F.lit(2.0))
-        ).alias("approx_orders_ok"),
-        (
-            F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 0.05 * F.col("exact_p50")
-        ).alias("approx_p50_ok"),
+    # exact_p50 / the sketch pair keep approx_aggregates_raw's split
+    # rationale verbatim: COUNT(DISTINCT) plans via Expand, typed-buffer
+    # aggregates sharing that Aggregate would degrade to a
+    # sort-aggregate over the expanded rows (see lifecycle.py).
+    pctl = percentile_exact_refine(
+        li, ["l_returnflag"], "l_extendedprice", 0.5, "exact_p50"
     )
-    return base.join(approx, "l_returnflag")
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50_qty"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    )
+    return (
+        base.join(pctl, "l_returnflag")
+        .join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders",
+            "n_parts",
+            "n_supps",
+            "n_rows",
+            "exact_p50_qty",
+            (
+                F.abs(F.col("approx_orders") - F.col("n_orders"))
+                <= F.greatest(0.05 * F.col("n_orders"), F.lit(2.0))
+            ).alias("approx_orders_ok"),
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= 0.05 * F.col("exact_p50")
+            ).alias("approx_p50_ok"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

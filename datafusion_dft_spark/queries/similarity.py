@@ -346,8 +346,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, threshold=0.95, dim=_DIM, nrows=nrows, cache_key=cache_key,
         strategy="bounded",
     )
+    # ONE cached (vid, v, sigs) relation feeds the unbounded self-join
+    # AND both sides of the incremental arm (r14, guide §4): the
+    # signature pandas-UDF pass previously ran once for the unbounded
+    # arm plus once per incremental side per banding consumer (~2.4x
+    # the corpus per execution); stride-filtering the shared relation
+    # commutes with the per-row signature math, so results are
+    # identical. The cache is built inside the query (recomputed every
+    # run — the bench clears it) and registered for release at server
+    # request boundaries. Caching the narrow annotated relation does
+    # NOT serialize the other arms the way persisting `aug` itself did
+    # (measured 2.4 s -> 6.3 s): bounded/semantic arms keep their own
+    # scan-rooted lineage and only the two LSH arms consume the cache.
+    from ..session import track_cache
+
+    sig_rel = track_cache(
+        sim.sig_relation(aug, dim=_DIM, nrows=nrows).cache()
+    )
     unbounded = sim.cosine_dup_pairs(
-        aug, threshold=0.95, dim=_DIM, nrows=nrows, strategy="unbounded"
+        aug, threshold=0.95, dim=_DIM, nrows=nrows, strategy="unbounded",
+        sig_rel=sig_rel,
     )
     # 'incremental' = the production daily-increment shape
     # (cosine_dup_pairs_incremental): an md5-stride ~25% batch probes
@@ -362,6 +380,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same vacuity the planting exists to prevent)
     stride = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
     is_batch = stride.isin("0", "1", "2", "c")
+    rel_stride = F.substring(F.md5(F.col("vid").cast("string")), 1, 1)
+    rel_is_batch = rel_stride.isin("0", "1", "2", "c")
     incremental = sim.cosine_dup_pairs_incremental(
         aug.filter(is_batch),
         aug.filter(~is_batch),
@@ -370,6 +390,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_id_overlap=False,  # the split partitions one relation
         broadcast=True,  # pinned daily-increment plan (skips the eager
         # auto-rule counts; the auto rule itself is gated in test_plans)
+        # stride-split views of the shared cached signature relation —
+        # the corpus is signed once per execution, not once per arm
+        new_rel=sig_rel.filter(rel_is_batch),
+        corpus_rel=sig_rel.filter(~rel_is_batch),
     )
     # one codebook shared by the full AND incremental semantic arms
     # (and by the oracle's sem_cents CTE) — appends never shift cells

@@ -17,8 +17,9 @@ Usage:
   python tools/opt_measure.py [--sf DIR] [--runs N] [--plans TAG] [--label LABEL] [query ...]
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` — PEP 563 stringized
+# hints break pandas_udf's type-hint inference for the warm-up UDF
+# (PySparkNotImplementedError: Unsupported signature '(s: pd.Series)').
 import argparse
 import json
 import os
