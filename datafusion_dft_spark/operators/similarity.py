@@ -1197,6 +1197,7 @@ def semantic_dup_pairs(
     nrows: int | None = None,
     dim: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster, then dedup
     within each cluster only.
@@ -1235,6 +1236,13 @@ def semantic_dup_pairs(
     ``centroids`` overrides the internal stride sample with an explicit
     codebook (the incremental variant passes the established corpus
     codebook so batch and corpus land in the SAME cells).
+    ``assigned`` — a precomputed ``(cid, cv, cluster_id)`` relation
+    (``_semantic_assign`` output over this corpus and codebook,
+    typically a cached relation a caller shares across the full and
+    incremental formulations): the projection/validity/assignment
+    pipeline is skipped here and only the cell shuffle + in-cell
+    verify run (guide §4 — one Arrow assignment pass, many
+    consumers). The caller owns corpus/codebook consistency.
     ``n_clusters=None`` auto-sizes K as ``ceil(nrows /
     _SEMANTIC_TARGET_CELL)`` (min 16) so mean cell size — and with it
     the O(cell^2) in-cell work — stays CONSTANT as the corpus grows:
@@ -1248,20 +1256,21 @@ def semantic_dup_pairs(
     if dim is None:
         dim = _dim_of(corpus, vec_col)
     empty_schema = "id1 long, id2 long, cosine double"
-    cd = corpus.select(
-        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
-    ).filter(valid_vec("cv", dim))
-    if centroids is None:
-        # nrows is only consumed here — an explicit codebook skips the
-        # corpus-scan count job entirely
-        if nrows is None:
-            nrows = corpus.count()
-        if n_clusters is None:
-            n_clusters = max(16, -(-nrows // _SEMANTIC_TARGET_CELL))
-        centroids = _stride_centroid_rows(cd, nrows, n_clusters)
-    if not centroids:
-        return spark.createDataFrame([], empty_schema)
-    assigned = _semantic_assign(cd, centroids, dim)
+    if assigned is None:
+        cd = corpus.select(
+            F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+        ).filter(valid_vec("cv", dim))
+        if centroids is None:
+            # nrows is only consumed here — an explicit codebook skips the
+            # corpus-scan count job entirely
+            if nrows is None:
+                nrows = corpus.count()
+            if n_clusters is None:
+                n_clusters = max(16, -(-nrows // _SEMANTIC_TARGET_CELL))
+            centroids = _stride_centroid_rows(cd, nrows, n_clusters)
+        if not centroids:
+            return spark.createDataFrame([], empty_schema)
+        assigned = _semantic_assign(cd, centroids, dim)
     thr = threshold
     cell_max = _SEMANTIC_CELL_MAX
 
@@ -1412,8 +1421,18 @@ def semantic_dup_pairs_incremental(
     dim: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     check_id_overlap: bool = True,
+    batch_assigned: DataFrame | None = None,
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-increment SemDeDup: batch-vs-(corpus + batch) pairs only.
+
+    ``batch_assigned`` / ``corpus_assigned`` — precomputed
+    ``(cid, cv, cluster_id)`` relations (``_semantic_assign`` output;
+    e.g. stride-filtered views of ONE cached corpus-wide assignment
+    shared with the full formulation — filtering commutes with the
+    per-row assignment). Both must be given together; the
+    projection/validity/assignment pipeline is then skipped and only
+    the cogrouped cell verify runs (guide §4).
 
     The production shape the other dedup families already carry
     (``minhash_lsh_pairs_incremental`` / ``cosine_dup_pairs_
@@ -1435,34 +1454,54 @@ def semantic_dup_pairs_incremental(
     the one verification job when the caller split one relation).
     """
     spark = corpus.sparkSession
+    if (batch_assigned is None) != (corpus_assigned is None):
+        raise ValueError("batch_assigned and corpus_assigned must be provided together")
     if dim is None:
         dim = _dim_of(corpus, vec_col)
     empty_schema = "id1 long, id2 long, cosine double"
-    bd = batch.select(
-        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
-    ).filter(valid_vec("cv", dim))
-    cd = corpus.select(
-        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
-    ).filter(valid_vec("cv", dim))
-    if check_id_overlap:
-        overlap = bd.select("cid").join(cd.select("cid"), "cid")
-        if overlap.limit(1).count():
-            raise ValueError(
-                "semantic_dup_pairs_incremental: batch and corpus share "
-                "ids — was this batch already merged into the corpus?"
-            )
-    if centroids is None:
-        # corpus_nrows is only consumed here — don't pay a corpus-scan
-        # count job when an explicit codebook makes it unused
-        if corpus_nrows is None:
-            corpus_nrows = corpus.count()
-        if n_clusters is None:
-            n_clusters = max(16, -(-corpus_nrows // _SEMANTIC_TARGET_CELL))
-        centroids = _stride_centroid_rows(cd, corpus_nrows, n_clusters)
-    if not centroids:
-        return spark.createDataFrame([], empty_schema)
-    b_assigned = _semantic_assign(bd, centroids, dim)
-    c_assigned = _semantic_assign(cd, centroids, dim)
+    if batch_assigned is not None:
+        b_assigned = batch_assigned
+        # Self-cogroup guard: the intended caller passes two FILTERS of
+        # ONE cached assignment, which share attribute ids — Spark
+        # 4.1's relation-dedup + cogroup column pruning then strips the
+        # right side's data columns down to the grouping key (observed:
+        # cpdf arrives as ['cluster_id'] only, KeyError 'cid' in the
+        # verify). A fresh-alias projection gives the right side
+        # distinct attribute ids, which restores correct pruning.
+        c_assigned = corpus_assigned.toDF(*corpus_assigned.columns)
+        if check_id_overlap:
+            overlap = b_assigned.select("cid").join(c_assigned.select("cid"), "cid")
+            if overlap.limit(1).count():
+                raise ValueError(
+                    "semantic_dup_pairs_incremental: batch and corpus share "
+                    "ids — was this batch already merged into the corpus?"
+                )
+    else:
+        bd = batch.select(
+            F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+        ).filter(valid_vec("cv", dim))
+        cd = corpus.select(
+            F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+        ).filter(valid_vec("cv", dim))
+        if check_id_overlap:
+            overlap = bd.select("cid").join(cd.select("cid"), "cid")
+            if overlap.limit(1).count():
+                raise ValueError(
+                    "semantic_dup_pairs_incremental: batch and corpus share "
+                    "ids — was this batch already merged into the corpus?"
+                )
+        if centroids is None:
+            # corpus_nrows is only consumed here — don't pay a corpus-scan
+            # count job when an explicit codebook makes it unused
+            if corpus_nrows is None:
+                corpus_nrows = corpus.count()
+            if n_clusters is None:
+                n_clusters = max(16, -(-corpus_nrows // _SEMANTIC_TARGET_CELL))
+            centroids = _stride_centroid_rows(cd, corpus_nrows, n_clusters)
+        if not centroids:
+            return spark.createDataFrame([], empty_schema)
+        b_assigned = _semantic_assign(bd, centroids, dim)
+        c_assigned = _semantic_assign(cd, centroids, dim)
     thr = threshold
     cell_max = _SEMANTIC_CELL_MAX
 

@@ -402,8 +402,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrows,
         16,
     )
+    # ONE cached (cid, cv, cluster_id) assignment feeds the full AND
+    # incremental semantic arms (r14, guide §4): both assign with the
+    # SAME codebook, so the incremental arm's per-side assignments are
+    # stride-filtered views of the corpus-wide one (filtering commutes
+    # with the per-row argmax). The vectors come from the already-
+    # cached sig_rel instead of a third parquet re-scan; the refined
+    # arm re-assigns (different codebook, by design) but also rides
+    # sig_rel for its vectors.
+    # empty corpus => no codebook: fall back to the operators' own
+    # graceful empty-result path instead of assigning against an
+    # empty centroid matrix
+    prepared = sig_rel.select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    assigned = (
+        track_cache(sim._semantic_assign(prepared, cents, _DIM).cache())
+        if cents
+        else None
+    )
+    asg_is_batch = F.substring(F.md5(F.col("cid").cast("string")), 1, 1).isin(
+        "0", "1", "2", "c"
+    )
     semantic = sim.semantic_dup_pairs(
-        aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents
+        aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents,
+        assigned=assigned,
     )
     sem_inc = sim.semantic_dup_pairs_incremental(
         aug.filter(is_batch),
@@ -412,6 +433,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_DIM,
         centroids=cents,
         check_id_overlap=False,  # the split partitions one relation
+        batch_assigned=assigned.filter(asg_is_batch) if assigned is not None else None,
+        corpus_assigned=assigned.filter(~asg_is_batch) if assigned is not None else None,
     )
     # 'semantic_refined' = the production centroid knob: ONE Lloyd
     # iteration over the shared stride codebook (refine_centroids —
@@ -432,7 +455,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in refined.collect()
     ]
     sem_ref = sim.semantic_dup_pairs(
-        aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents_ref
+        aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents_ref,
+        # refined-codebook assignment over the cached sig_rel vectors —
+        # a fresh argmax (the refinement is the point) but no fourth
+        # corpus scan/projection
+        assigned=(
+            sim._semantic_assign(prepared, cents_ref, _DIM) if cents_ref else None
+        ),
     )
     return bounded.select(
         F.lit("bounded").alias("method"), "id1", "id2", "cosine"
