@@ -124,14 +124,24 @@ def quality_stratified_sample(
     Unlike the content-hash samplers (membership decided per row at
     scan level), the threshold here is DATA-DEPENDENT: one exact
     percentile aggregate per stratum (#strata rows), broadcast back,
-    one filter — two scans of the score projection, zero data
-    shuffles beyond the tiny threshold aggregate. The exact percentile
-    runs on 4-dp-rounded scores whose interpolation midpoints both
-    engines compute identically (oracle-checked in ``sampling_suite``).
-    Ties at the threshold are INCLUDED (>=) so the subset is
-    deterministic under re-runs and engine swaps.
+    one filter — zero data shuffles beyond the tiny threshold
+    aggregate. The scored projection is CACHED (r14, guide §4): it is
+    consumed twice (threshold aggregate + filter) and the score
+    expression is a pile of per-row string work, so without the cache
+    every execution paid two full corpus scans each recomputing the
+    score; the cached relation is narrow (id, stratum, 4-dp score —
+    the text column never enters it), so at 100 TB it trades ~24
+    B/row of storage for a second full-text scan+score pass. The
+    exact percentile runs on 4-dp-rounded scores whose interpolation
+    midpoints both engines compute identically (oracle-checked in
+    ``sampling_suite``). Ties at the threshold are INCLUDED (>=) so
+    the subset is deterministic under re-runs and engine swaps.
     """
-    scored = df.select(F.col(id_col), F.col(stratum_col), score.alias("_q"))
+    from ..session import track_cache
+
+    scored = track_cache(
+        df.select(F.col(id_col), F.col(stratum_col), score.alias("_q")).cache()
+    )
     th = scored.groupBy(stratum_col).agg(
         F.expr(f"percentile(_q, {quantile})").alias("_t")
     )

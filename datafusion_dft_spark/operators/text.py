@@ -277,26 +277,42 @@ def bigram_logprob_scores(
     word salad built from common tokens; conditional bigram surprisal
     spikes on it — the next filter a production quality stack applies.
 
-    Shape at scale: one bigram explode → two aggregations (bigram
-    counts, context counts) + two model joins. Both model relations
-    are bounded by the observed bigram vocabulary — relations, never
+    Shape at scale: one bigram explode → ONE corpus-scale aggregation
+    (bigram counts, cached — it is vocabulary-bounded); the context
+    counts derive from it (c(w1 ·) = Σ over grams starting with w1 of
+    c(gram), counting context positions 1..n−1 exactly as a direct
+    group-by of the gram stream would), so the corpus is exploded once
+    for the models instead of three times (r14, guide §2: compute the
+    coarser aggregate from the finer one). Both model relations are
+    bounded by the observed bigram vocabulary — relations, never
     driver state — so each is BROADCAST when its vocabulary fits the
-    ``_MODEL_BROADCAST_MAX_ROWS`` budget (one approximate sizing pass
-    decides both sides; approx_count_distinct is a map-side-combining
-    sketch, and a ±5% estimate is plenty for a size guard), keeping
-    the corpus-scale gram stream un-shuffled; an over-budget model
+    ``_MODEL_BROADCAST_MAX_ROWS`` budget (sizes are EXACT counts over
+    the cached bigram relation — the old full-corpus
+    approx_count_distinct sizing pass is gone), keeping the
+    corpus-scale gram stream un-shuffled; an over-budget model
     degrades that join to the shuffled plan. Documents with fewer than
     2 words have no bigrams and drop out (inner-join semantics, same
     as the unigram scorer).
     """
+    from ..session import track_cache
+
     g = docs.select(
         F.col(id_col), F.explode(ngrams(text_col, 2)).alias("gram")
     ).withColumn("w1", F.substring_index("gram", " ", 1))
-    c2 = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = g.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    sizes = g.agg(
-        F.approx_count_distinct("gram").alias("n2"),
-        F.approx_count_distinct("w1").alias("n1"),
+    c2 = track_cache(
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("c2")).cache()
+    )
+    # c(w1 ·) from the bigram counts: every context position is one
+    # bigram occurrence, so summing c2 over grams sharing w1 counts
+    # positions 1..n−1 identically to a direct groupBy of the stream.
+    c1 = (
+        c2.select(F.substring_index("gram", " ", 1).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    sizes = c2.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.countDistinct(F.substring_index("gram", " ", 1)).alias("n1"),
     ).first()
     c2j = F.broadcast(c2) if sizes["n2"] <= _MODEL_BROADCAST_MAX_ROWS else c2
     c1j = F.broadcast(c1) if sizes["n1"] <= _MODEL_BROADCAST_MAX_ROWS else c1

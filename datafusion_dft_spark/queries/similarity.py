@@ -158,7 +158,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    n = emb.count()  # cached-table stats; shared by both index builds
+    # row count from the parquet footer (metadata-only, no Spark job)
+    # with a Spark-side count fallback for missing/remote/truncated
+    # files — the dedup_embedding_cosine pattern (r14: shaves the one
+    # eager build job both index builds shared)
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    except Exception:
+        n = emb.count()  # cached-table stats; shared by both index builds
     lsh = sim.lsh_topk(emb, queries, dim=_DIM, k=5, nrows=n).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
