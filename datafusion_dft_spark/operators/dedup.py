@@ -738,16 +738,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str, method: str = "md5") -> D
     (doc, word) hash aggregate + a collect_list re-gather, two full
     shuffles of the word stream — is unnecessary. Word hashing runs
     scan-level inside ``transform`` over the per-row split array
-    (JVM-side, md5 evaluated once per word via a nested transform),
-    and the 64 bit-sums per document run as one numpy broadcast in a
-    vectorized pandas UDF over that row-local array — evaluating them
-    as 64 aggregate expressions costs 64 codegen buffers x every word
-    row (measured ~5s at sf0.1 vs <1s vectorized). The fingerprint
-    stage is now embarrassingly parallel: it survives any scale the
-    scan survives, and the only shuffle left in ``simhash_pairs`` is
-    the banding groupBy. Bit b of the arithmetic-shifted signed hash
-    equals bit b of the unsigned value, so results are identical to
-    the pure-expression formulation.
+    (JVM-side, md5 evaluated once per word via a nested transform).
+
+    ZERO PYTHON since round 14 (guide §4): the 64 per-bit majority
+    counters run as SWAR lane folds in pure JVM expressions instead of
+    a vectorized pandas UDF — the UDF's cost at sf0.1 was almost
+    entirely the ArrowEvalPython stage constant (probe receipt in
+    OPT_MEASURE.json: the whole JVM hash pipeline costs 0.05-0.08 s
+    while the UDF-bearing fingerprint costs 0.39-0.55 s), and the lane
+    folds do the identical integer math per word. Each ``aggregate``
+    fold packs independent bit-counters into one long (8x 8-bit lanes
+    for docs <= 127 words; 16x 16-bit lanes <= 32767; an exact
+    64-counter array fold beyond — CASE-dispatched per row so only the
+    taken branch evaluates, and every lane width is chosen so the
+    signed-long accumulator can NEVER overflow under ANSI: the top
+    lane's count x its bit position stays under 2^63 at the branch's
+    word cap). Bit extraction happens inside ``aggregate``'s finish
+    lambda, binding the accumulator once — no re-evaluated folds. NOT
+    the same as the rejected r12 "64 aggregate expressions" shape:
+    that ran 64 grouped codegen buffers over an EXPLODED word stream
+    (measured ~5 s at sf0.1); these folds are row-local array ops on
+    the unexploded scan, 8 lane-adds per word on the common path. The
+    fingerprint stage is embarrassingly parallel: it survives any
+    scale the scan survives, and the only shuffle left in
+    ``simhash_pairs`` is the banding groupBy. Bit b of the
+    arithmetic-shifted signed hash equals bit b of the unsigned value,
+    so results are bit-identical to the UDF formulation (planted
+    boundary docs at 127/128 and 32767/32768 words pin all three
+    branches in tests/test_dedup.py).
 
     NULL-text rows drop (the prior explode-based formulation dropped
     them structurally; the filter preserves that contract).
@@ -790,39 +808,85 @@ def simhash(df: DataFrame, id_col: str, text_col: str, method: str = "md5") -> D
         hs = F.transform(words, lambda w: F.xxhash64(w))
     else:
         raise ValueError(f"unknown simhash method {method!r}")
-    @F.pandas_udf("long")
-    def sim_udf(hs: "pd.Series") -> "pd.Series":
-        # One flattened numpy pass per Arrow batch: a per-document loop
-        # re-enters Python len(batch) times and measured 7.3 s on a 50k
-        # corpus; flatten + segment-reduceat does the identical math at
-        # memory bandwidth (~10x). The bit matrix is UNPACKED BYTES
-        # (unpackbits on the big-endian word view, 64 B/word) with the
-        # segment sum accumulating straight to int64 via reduceat's
-        # dtype — the r11 formulation broadcast an int64 ±1 matrix
-        # (512 B/word, ~340 MB per 5k-doc batch) whose allocation
-        # churn under concurrent workers was exactly the bench's
-        # pathological fresh-mode samples (measured 1.08 s warm /
-        # 12.6 s churned vs 0.42 s flat for this kernel — see
-        # BENCH_SIMHASH_ADJUDICATION.json / SCALE.md round 12).
-        # Majority test: Σ(2·bit−1) > 0  ⇔  2·ones > n_words.
-        if len(hs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int64))
-        lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
-        h_flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs]).astype(np.uint64)
-        offsets = np.zeros(len(hs), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        # big-endian view => unpackbits yields bit63..bit0 per word
-        bits = np.unpackbits(h_flat.astype(">u8").view(np.uint8)).reshape(-1, SIMHASH_BITS)
-        ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)  # docs x 64
-        maj = (2 * ones) > lens[:, None]
-        w = np.uint64(1) << np.arange(SIMHASH_BITS - 1, -1, -1, dtype=np.uint64)
-        fps = (maj.astype(np.uint64) * w).sum(axis=1, dtype=np.uint64)
-        return pd.Series(fps.astype(np.int64))
-
     from ..session import ensure_min_parallelism
 
     src = ensure_min_parallelism(df.filter(F.col(text_col).isNotNull()))
-    return src.select(F.col(id_col), sim_udf(hs).alias("simhash"))
+    # word count from the SPLIT array, not the hash array: transform
+    # preserves length, and size(hs) would inline a SECOND full
+    # md5+conv evaluation of the word pipeline into the projection
+    # (caught in plans/r14/dedup_simhash_after.txt during A/B).
+    base = src.select(F.col(id_col), hs.alias("__hs"), F.size(words).alias("__n"))
+    return base.select(
+        F.col(id_col), F.expr(_simhash_fp_sql("__hs", "__n")).alias("simhash")
+    )
+
+
+def _simhash_fp_sql(hs_col: str, n_col: str) -> str:
+    """SQL expression: 64-bit SimHash majority fingerprint over a
+    row-local array of word hashes — pure JVM, no Python stage.
+
+    Majority bit b is ``2*ones_b > n`` where ``ones_b`` counts words
+    with bit b set. Counters are packed SWAR-style into long lanes and
+    accumulated with one ``aggregate`` fold per lane group; the finish
+    lambda extracts and assembles the group's majority bits, binding
+    the accumulator exactly once (referencing a fold result N times
+    from outside would risk N evaluations — HOFs are codegen-fallback
+    and Catalyst subexpression elimination does not reach into them).
+
+    ANSI overflow proof per branch (counts are per-lane word counts,
+    bounded by the branch's word cap):
+    - 8-bit lanes, n <= 127: acc <= 127 x 0x0101...01 = 0x7F7F...7F < 2^63
+    - 16-bit lanes, n <= 32767: acc <= 32767 x 0x0001000100010001
+      = 0x7FFF7FFF7FFF7FFF < 2^63
+    - exact: 64 separate long counters, each <= n.
+    CASE evaluates only the taken branch per row, so short documents
+    never pay the wider folds and gigantic ones stay exact.
+    """
+    lane8 = 0x0101010101010101
+    lane16 = 0x0001000100010001
+    # fast: groups g in 0..7 x byte lanes j in 0..7 -> bit b = g + 8j
+    fast_parts = []
+    for g in range(8):
+        terms = " | ".join(
+            f"shiftleft(cast(2 * (shiftrightunsigned(a, {8 * j}) & 255) "
+            f"> {n_col} as long), {g + 8 * j})"
+            for j in range(8)
+        )
+        fast_parts.append(
+            f"aggregate({hs_col}, 0L, "
+            f"(a, h) -> a + (shiftrightunsigned(h, {g}) & {lane8}L), "
+            f"a -> ({terms}))"
+        )
+    fast = " | ".join(fast_parts)
+    # mid: groups g in 0..15 x 16-bit lanes j in 0..3 -> bit b = g + 16j
+    mid_parts = []
+    for g in range(16):
+        terms = " | ".join(
+            f"shiftleft(cast(2 * (shiftrightunsigned(a, {16 * j}) & 65535) "
+            f"> {n_col} as long), {g + 16 * j})"
+            for j in range(4)
+        )
+        mid_parts.append(
+            f"aggregate({hs_col}, 0L, "
+            f"(a, h) -> a + (shiftrightunsigned(h, {g}) & {lane16}L), "
+            f"a -> ({terms}))"
+        )
+    mid = " | ".join(mid_parts)
+    # exact: one fold over an array of 64 long counters (rare branch)
+    exact_terms = " | ".join(
+        f"shiftleft(cast(2 * element_at(a, {b + 1}) > {n_col} as long), {b})"
+        for b in range(64)
+    )
+    exact = (
+        f"aggregate({hs_col}, array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> transform(acc, (x, b) -> x + (shiftrightunsigned(h, b) & 1)), "
+        f"a -> ({exact_terms}))"
+    )
+    return (
+        f"CASE WHEN {n_col} <= 127 THEN ({fast}) "
+        f"WHEN {n_col} <= 32767 THEN ({mid}) "
+        f"ELSE ({exact}) END"
+    )
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

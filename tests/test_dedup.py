@@ -158,6 +158,56 @@ def test_simhash_bucket_verify_matches_brute_force_all_paths(spark):
     assert got == want
 
 
+def test_simhash_jvm_lane_folds_match_reference_all_branches(spark):
+    """r14: the fingerprint's pandas UDF became pure JVM SWAR lane
+    folds (guide §4 — the UDF's sf0.1 cost was the Python-stage
+    constant). The math must be bit-identical; planted docs pin every
+    CASE branch and both lane-cap boundaries:
+
+    - <= 127 words  -> 8-bit lanes (incl. the 127 boundary)
+    - <= 32767 words -> 16-bit lanes (128 lower edge, 32767 boundary)
+    - > 32767 words -> exact 64-counter array fold (32768)
+    plus the empty-string ([""], n=1) and single-word edges.
+
+    Reference = independent pure-Python md5 majority implementation
+    (not the retired UDF), so a shared bug can't self-certify.
+    """
+    import hashlib
+    import random
+
+    from datafusion_dft_spark.operators.dedup import simhash
+
+    def ref_fp(text: str) -> int:
+        ws = text.split(" ")
+        hs = []
+        for w in ws:
+            hx = hashlib.md5(w.encode()).hexdigest()
+            hs.append((int(hx[:8], 16) << 32) | int(hx[8:16], 16))
+        fp = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(ws):
+                fp |= 1 << b
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = [
+        (1, " ".join(rng.choice(vocab) for _ in range(100))),
+        (2, " ".join(rng.choice(vocab) for _ in range(127))),
+        (3, " ".join(rng.choice(vocab) for _ in range(128))),
+        (4, " ".join(rng.choice(vocab) for _ in range(5000))),
+        (5, " ".join(rng.choice(vocab) for _ in range(32767))),
+        (6, " ".join(rng.choice(vocab) for _ in range(32768))),
+        (7, ""),
+        (8, "solo"),
+    ]
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash(planted, "doc_id", "text").collect()}
+    want = {i: ref_fp(t) for i, t in rows}
+    assert got == want
+
+
 def test_simhash_pairs_duplicate_ids_never_self_pair(spark):
     """A duplicated doc_id (two rows, one id) must not emit (a, a)."""
     rows = [

@@ -508,7 +508,13 @@ def test_simhash_fingerprint_zero_shuffle(spark, sf_dir):
     banding groupBy, plus the narrow-scan repartition that only exists
     because the local test parquet is one row group), and exactly one
     aggregate pair (the bucket collect) — the r11 plan had three
-    exchanges and two aggregate pairs (word counts + buckets)."""
+    exchanges and two aggregate pairs (word counts + buckets).
+
+    r14: the fingerprint is pure JVM expressions (SWAR lane folds) —
+    the only Python stage left in the whole plan is the bucket-local
+    verify (MapInPandas); no ArrowEvalPython/BatchEvalPython node may
+    appear (guide §4: the UDF's cost at sf0.1 was the Python-stage
+    constant, receipts in OPT_MEASURE.json)."""
     plan = ex.formatted_plan(_build("dedup_simhash", spark, sf_dir))
     n_exchanges = plan.count(") Exchange")
     assert n_exchanges <= 2, plan
@@ -516,6 +522,5 @@ def test_simhash_fingerprint_zero_shuffle(spark, sf_dir):
     # ObjectHashAggregate collect_list pair of the banding stage
     assert plan.count(") HashAggregate") == 0, plan
     assert plan.count(") ObjectHashAggregate") == 2, plan
-    # the fingerprint UDF runs BEFORE the only groupBy: ArrowEvalPython
-    # must appear deeper in the tree than the banding Exchange
-    assert "ArrowEvalPython" in plan and "Generate" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert plan.count(") MapInPandas") == 1 and "Generate" in plan, plan
