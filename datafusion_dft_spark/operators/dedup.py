@@ -36,7 +36,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 NUM_PERM = 64
@@ -148,10 +148,26 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     )
 
 
+def _hex_digest(col: str) -> Column:
+    """Lowercase hex of a 16-byte digest column — equals ``md5(x)``
+    when the column is ``unhex(md5(x))`` (md5 prints lowercase hex;
+    hex() prints uppercase; unhex/hex round-trip is lossless)."""
+    return F.lower(F.hex(F.col(col)))
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(content_hash, keep_id, n_copies): one representative per distinct text."""
-    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
-        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    """(content_hash, keep_id, n_copies): one representative per distinct text.
+
+    The aggregation keys on the 16-byte BINARY digest and re-hexes
+    after the exchange (guide §2.3, narrower types): the shuffle
+    carries half the key bytes of the hex-string formulation while
+    ``content_hash`` stays the identical md5 hex string (NULL text →
+    NULL digest → NULL content_hash, unchanged).
+    """
+    return (
+        df.groupBy(F.unhex(F.md5(F.col(text_col))).alias("_h"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(_hex_digest("_h").alias("content_hash"), "keep_id", "n_copies")
     )
 
 
@@ -189,15 +205,22 @@ def paragraph_duplicates(
         )
         .select(
             F.col(id_col),
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("_w"), F.col("_blk") * block_words + 1, block_words),
-                    " ",
+            # 16-byte binary digest through the exchange, hex after
+            # (guide §2.3 — see exact_duplicates)
+            F.unhex(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("_w"), F.col("_blk") * block_words + 1, block_words
+                        ),
+                        " ",
+                    )
                 )
-            ).alias("content_hash"),
+            ).alias("_h"),
         )
-        .groupBy("content_hash")
+        .groupBy("_h")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(_hex_digest("_h").alias("content_hash"), "keep_id", "n_copies")
     )
 
 
@@ -229,10 +252,16 @@ def span_duplicates(
     g = df.select(
         F.col(id_col), F.explode(ngrams(text_col, span_words)).alias("_span")
     )
+    # 16-byte binary digest through the exchange, hex after the final
+    # aggregate (guide §2.3): the span grain's exchange carries one row
+    # per distinct span per mapper — halving the key bytes halves the
+    # dominant shuffle payload at corpus scale; content_hash is the
+    # identical md5 hex string by the unhex/hex round-trip.
     return (
-        g.groupBy(F.md5("_span").alias("content_hash"))
+        g.groupBy(F.unhex(F.md5("_span")).alias("_h"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") >= 2)
+        .select(_hex_digest("_h").alias("content_hash"), "keep_id", "n_copies")
     )
 
 

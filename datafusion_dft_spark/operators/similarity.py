@@ -1554,3 +1554,83 @@ def semantic_dup_pairs_incremental(
         .cogroup(c_assigned.groupBy("cluster_id"))
         .applyInPandas(verify_cell, empty_schema)
     )
+
+
+def semantic_dup_pairs_multi(
+    assignments: list[tuple[int, DataFrame]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """ONE in-cell verify pass over multiple codebooks' assignments.
+
+    ``assignments`` — ``(tag, assigned)`` pairs where each ``assigned``
+    is a ``(cid, cv, cluster_id)`` relation (``_semantic_assign``
+    output). The tagged union shuffles by ``(cb, cluster_id)`` so each
+    codebook's cells verify independently inside a SINGLE
+    ``applyInPandas`` stage; output is ``(cb, id1, id2, cosine)``.
+
+    Equivalence to per-codebook ``semantic_dup_pairs`` calls: grouping
+    the union by ``(cb, cluster_id)`` hands the verify function exactly
+    the rows one codebook's ``cluster_id`` group would contain (tags
+    are disjoint by construction), and the verify math is the same
+    ``_blockwise_dup_pairs`` over the same cid-sorted cell matrix — so
+    ``filter(cb = t)`` of this output IS ``semantic_dup_pairs`` for
+    codebook ``t``, row for row. The r14 round ran three separate
+    Python verify stages (full, cogrouped incremental, refined) whose
+    in-cell work overlapped: the full arm's pair set is a superset of
+    the incremental arm's (a same-cell pair with one endpoint in the
+    batch is found by both formulations, with the identical rounded
+    cosine), so the daily-increment restriction is a FILTER of the full
+    verify, not a second pass (guide §4 — one Python boundary, many
+    consumers).
+
+    Same loud cell guard as ``semantic_dup_pairs`` (per tagged cell).
+    """
+    tagged = [
+        a.select(
+            F.lit(int(tag)).alias("cb"), "cid", "cv", "cluster_id"
+        )
+        for tag, a in assignments
+    ]
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    thr = threshold
+    cell_max = _SEMANTIC_CELL_MAX
+    out_schema = "cb int, id1 long, id2 long, cosine double"
+
+    # no type hints: the (key, pdf) two-arg form is inferred from arity
+    # (stringized hints under `from __future__ import annotations` make
+    # the hint-based inference warn before falling back)
+    def dedup_cell(key, pdf):
+        cb = int(key[0])
+        n_g = len(pdf)
+        if n_g > cell_max:
+            raise ValueError(
+                f"SemDeDup cell holds {n_g} rows (> {cell_max}); raise "
+                "n_clusters (cells scale as n/K) or "
+                "SPARK_GRAFT_SEMANTIC_CELL_MAX"
+            )
+        empty = pd.DataFrame(
+            {
+                "cb": np.array([], np.int32),
+                "id1": np.array([], np.int64),
+                "id2": np.array([], np.int64),
+                "cosine": np.array([], np.float64),
+            }
+        )
+        if n_g < 2:
+            return empty
+        order = np.argsort(pdf["cid"].to_numpy())
+        ids = pdf["cid"].to_numpy()[order]
+        mat = np.stack(pdf["cv"].to_numpy()[order]).astype(np.float64)
+        i1, i2, c = _blockwise_dup_pairs(
+            ids, mat, np.linalg.norm(mat, axis=1), thr
+        )
+        if not len(i1):
+            return empty
+        return pd.DataFrame(
+            {"cb": np.full(len(i1), cb, np.int32), "id1": i1, "id2": i2,
+             "cosine": c}
+        )
+
+    return union.groupBy("cb", "cluster_id").applyInPandas(dedup_cell, out_schema)

@@ -44,24 +44,35 @@ def snapshot_diff(
     the flags (null-safe fingerprint comparison — NULL↔NULL content is
     unchanged, NULL↔text is changed) rather than masquerade as an
     add/remove (r11 ADVICE)."""
+    # 16-byte BINARY digests cross the join exchange; the hex strings
+    # are derived after (guide §2.3, narrower types): unhex(md5(x)) is
+    # injective on md5 output, so the null-safe changed/unchanged
+    # classification is identical, and lower(hex(...)) reproduces the
+    # md5 hex string exactly (NULL content → NULL digest → NULL fp,
+    # classified by the presence flags as before).
     a = old.select(
         F.col(key),
         F.lit(True).alias("_in_old"),
-        F.md5(F.col(content).cast("string")).alias("old_fp"),
+        F.unhex(F.md5(F.col(content).cast("string"))).alias("_old_h"),
     )
     b = new.select(
         F.col(key),
         F.lit(True).alias("_in_new"),
-        F.md5(F.col(content).cast("string")).alias("new_fp"),
+        F.unhex(F.md5(F.col(content).cast("string"))).alias("_new_h"),
     )
     joined = a.join(b, key, "full_outer")
     status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))
-        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
+        .when(~F.col("_old_h").eqNullSafe(F.col("_new_h")), F.lit("changed"))
     )
     return (
         joined.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(key, "status", "old_fp", "new_fp")
+        .select(
+            key,
+            "status",
+            F.lower(F.hex("_old_h")).alias("old_fp"),
+            F.lower(F.hex("_new_h")).alias("new_fp"),
+        )
     )

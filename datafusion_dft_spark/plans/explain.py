@@ -70,3 +70,25 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges (lower = fewer full-data shuffles)."""
     return len(re.findall(r"\bExchange\b|\bAQEShuffleRead\b", simple_plan(df)))
+
+
+_PY_EVAL_NODES = (
+    "ArrowEvalPython|BatchEvalPython|MapInArrow|PythonMapInArrow|MapInPandas|"
+    "FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|AggregateInPandas"
+)
+
+
+def python_eval_node_ids(df: DataFrame) -> set[int]:
+    """Distinct operator ids of Python-eval nodes in the formatted plan.
+
+    The formatted explain re-prints a cached/reused subtree at EVERY
+    consumer (an InMemoryRelation's child plan appears once per
+    InMemoryTableScan), so the raw PRINT count of Python nodes
+    overstates execution; operator ids are assigned per physical
+    instance, so counting DISTINCT ids counts distinct Python stages
+    (r14 VERDICT item 6)."""
+    plan = formatted_plan(df)
+    return {
+        int(m.group(2))
+        for m in re.finditer(rf"({_PY_EVAL_NODES})\s*\((\d+)\)", plan)
+    }

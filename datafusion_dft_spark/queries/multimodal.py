@@ -70,6 +70,16 @@ from ..registry import query
     "recomputes the planted dimension formulas independently, so a "
     "planting/parsing disagreement on either side fails the row. The "
     "parser itself is pinned to real-world fixture bytes in "
+    "tests/test_multimodal.py. Since r15 the query-path extraction runs "
+    "as PURE JVM EXPRESSIONS (extract_features_sql — fixed-offset reads "
+    "for PNG/FLAC/canonical-WAV, bounded aggregate-fold walks for the "
+    "JPEG marker / RIFF chunk / MP4 box traversals, the dedup_simhash "
+    "SWAR pattern): zero Python-eval nodes in the plan, removing the "
+    "mapInArrow stage-launch round trip that was the operator's "
+    "measured dominant cost (9.7x DuckDB, the last standing PROXY "
+    "weak). The Arrow-batched extract_features operator remains the "
+    "real-codec slot and is differentially pinned against the SQL "
+    "formulation over planted, fixture and adversarial corpora in "
     "tests/test_multimodal.py. The aud_* columns are the same pattern "
     "for AUDIO: spec-valid RIFF/WAVE PCM headers (even ids — true "
     "little-endian chunk layout, declared data size encoding the sample "
@@ -98,7 +108,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "video",
     )
-    feats = mm.extract_features(
+    feats = mm.extract_features_sql(
         binary, image_col="image", audio_col="audio", video_col="video"
     )
     # Frame path: mapInPandas chunking -> per-doc frame count -> histogram.

@@ -303,21 +303,27 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SemDeDup recipe (Abbas et al. 2023) — md5-stride k-means cells, "
     "near-dup search WITHIN each cell only (pairs straddling a cell "
     "boundary missed by design, O(n^2/K) at scale), zero-shuffle "
-    "literal-centroid argmax assignment + one applyInPandas in-cell "
-    "verify; the oracle replays the identical clustering and restricts "
+    "literal-centroid argmax assignment + vectorized in-cell verify; "
+    "the oracle replays the identical clustering and restricts "
     "the exhaustive pair join to same-cell pairs; "
-    "'semantic_incremental' = the daily-increment SemDeDup (cogrouped "
-    "applyInPandas: batch and corpus assign into the SHARED codebook "
-    "with zero-shuffle Arrow stages, one cell-shuffle hands each cell's "
-    "batch/corpus rows to a single vectorized verify — batch-touching "
-    "pairs only). The batch stride includes the 'c' bucket so the "
+    "'semantic_incremental' = the daily-increment SemDeDup — "
+    "batch-touching pairs only: since r15 derived as the md5-stride "
+    "restriction of the full arm's verify output (provably equal to "
+    "the cogrouped batch-vs-corpus formulation, which remains the "
+    "operator surface in semantic_dup_pairs_incremental with pytest "
+    "equivalence coverage: a same-cell pair qualifies iff >=1 endpoint "
+    "is in the batch, with the identical rounded cosine). The batch "
+    "stride includes the 'c' bucket so the "
     "planted near-dup sources land in the batch and BOTH incremental "
     "arms are non-vacuous at test SF; 'semantic_refined' (round 11) = "
     "the SemDeDup search over a ONE-Lloyd-iteration refined codebook "
     "(refine_centroids, the production centroid knob) — the oracle "
     "replays the refinement exactly (per-cell rounded means, rounded "
     "argmax reassignment), upgrading Lloyd refinement from "
-    "property-tested recall to differentially-checked. The "
+    "property-tested recall to differentially-checked. Since r15 all "
+    "three semantic arms ride ONE tagged applyInPandas cell-verify "
+    "(semantic_dup_pairs_multi over codebooks A and B, guide §4: one "
+    "Python boundary, many consumers — applyInPandas stages 3 -> 1). The "
     "natural corpus has no qualifying pairs at test SF, which made the "
     "oracle vacuously pass on 0 == 0 rows; both engines therefore seed "
     "five deterministic near-duplicates (vec_id<5 perturbed by +0.05 on "
@@ -413,67 +419,133 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrows,
         16,
     )
-    # ONE cached (cid, cv, cluster_id) assignment feeds the full AND
-    # incremental semantic arms (r14, guide §4): both assign with the
-    # SAME codebook, so the incremental arm's per-side assignments are
-    # stride-filtered views of the corpus-wide one (filtering commutes
-    # with the per-row argmax). The vectors come from the already-
-    # cached sig_rel instead of a third parquet re-scan; the refined
-    # arm re-assigns (different codebook, by design) but also rides
-    # sig_rel for its vectors.
+    # ONE (cid, cv, cluster_id) assignment feeds the semantic arms:
+    # they all assign with the SAME codebook, and the vectors come from
+    # the already-cached sig_rel instead of a third parquet re-scan
+    # (r14, guide §4). Since r15 the assignment has a SINGLE consumer
+    # (the tagged union feeding the shared cell verify), so it is NOT
+    # cached — a cache with one consumer is pure materialization
+    # overhead; the degenerate fallback path below caches it because
+    # there it feeds three separate arms.
     # empty corpus => no codebook: fall back to the operators' own
     # graceful empty-result path instead of assigning against an
     # empty centroid matrix
     prepared = sig_rel.select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
-    assigned = (
-        track_cache(sim._semantic_assign(prepared, cents, _DIM).cache())
-        if cents
-        else None
-    )
-    asg_is_batch = F.substring(F.md5(F.col("cid").cast("string")), 1, 1).isin(
-        "0", "1", "2", "c"
-    )
-    semantic = sim.semantic_dup_pairs(
-        aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents,
-        assigned=assigned,
-    )
-    sem_inc = sim.semantic_dup_pairs_incremental(
-        aug.filter(is_batch),
-        aug.filter(~is_batch),
-        threshold=0.95,
-        dim=_DIM,
-        centroids=cents,
-        check_id_overlap=False,  # the split partitions one relation
-        batch_assigned=assigned.filter(asg_is_batch) if assigned is not None else None,
-        corpus_assigned=assigned.filter(~asg_is_batch) if assigned is not None else None,
-    )
+    assigned = sim._semantic_assign(prepared, cents, _DIM) if cents else None
     # 'semantic_refined' = the production centroid knob: ONE Lloyd
     # iteration over the shared stride codebook (refine_centroids —
     # rounded argmax + rounded means, so the oracle's sem_ref_cents /
     # sem_ref_asgn CTEs replay it exactly), then the same SemDeDup
     # in-cell search. The collect is <= n_centroids rows by
     # construction (the codebook lives with the index, not the data).
-    cents_df = spark.createDataFrame(
-        cents, "centroid_id long, centv array<double>"
-    )
-    refined = sim.refine_centroids(
-        aug.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
-        cents_df,
-        iters=1,
-    )
-    cents_ref = [
-        (int(r.centroid_id), [float(x) for x in r.centv])
-        for r in refined.collect()
-    ]
-    sem_ref = sim.semantic_dup_pairs(
-        aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents_ref,
-        # refined-codebook assignment over the cached sig_rel vectors —
-        # a fresh argmax (the refinement is the point) but no fourth
-        # corpus scan/projection
-        assigned=(
-            sim._semantic_assign(prepared, cents_ref, _DIM) if cents_ref else None
-        ),
-    )
+    if cents:
+        cents_df = spark.createDataFrame(
+            cents, "centroid_id long, centv array<double>"
+        )
+        refined = sim.refine_centroids(
+            aug.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+            cents_df,
+            iters=1,
+        )
+        cents_ref = [
+            (int(r.centroid_id), [float(x) for x in r.centv])
+            for r in refined.collect()
+        ]
+    else:
+        cents_ref = []
+    if assigned is not None and cents_ref:
+        # ONE in-cell verify pass for all three semantic arms (r15,
+        # guide §4): the r14 shape ran THREE Python verify stages —
+        # full (applyInPandas), incremental (cogrouped applyInPandas
+        # over the same codebook-A cells: its batch-touching pair set
+        # is a subset of the full arm's, computed from the same
+        # vectors), and refined (applyInPandas over codebook-B cells).
+        # semantic_dup_pairs_multi verifies codebook A and codebook B
+        # cells in a single tagged stage, and ONE JVM explode fans each
+        # verified pair out to its method rows: cb 0 -> 'semantic'
+        # (+ 'semantic_incremental' when the md5 stride of id1 or id2
+        # is in the batch — exactly the oracle's restriction, and
+        # provably the cogrouped formulation's output: a same-cell pair
+        # qualifies iff >= 1 endpoint is in the batch); cb 1 ->
+        # 'semantic_refined'. A single consumer of the verify subtree
+        # means NO cache and no materialization barrier (a first cut
+        # cached the pair output for three filter consumers and
+        # measured ~0.1 s SLOWER than the three-stage r14 shape — the
+        # barrier cost more than the removed stages; the explode keeps
+        # the one-pass win without it).
+        assigned_ref = sim._semantic_assign(prepared, cents_ref, _DIM)
+        cell_pairs = sim.semantic_dup_pairs_multi(
+            [(0, assigned), (1, assigned_ref)], threshold=0.95
+        )
+        pair_is_batch = F.substring(
+            F.md5(F.col("id1").cast("string")), 1, 1
+        ).isin("0", "1", "2", "c") | F.substring(
+            F.md5(F.col("id2").cast("string")), 1, 1
+        ).isin("0", "1", "2", "c")
+        sem_rows = cell_pairs.select(
+            F.explode(
+                F.when(F.col("cb") == 1, F.array(F.lit("semantic_refined")))
+                .when(
+                    pair_is_batch,
+                    F.array(
+                        F.lit("semantic"), F.lit("semantic_incremental")
+                    ),
+                )
+                .otherwise(F.array(F.lit("semantic")))
+            ).alias("method"),
+            "id1",
+            "id2",
+            "cosine",
+        )
+        return (
+            bounded.select(F.lit("bounded").alias("method"), "id1", "id2", "cosine")
+            .unionByName(
+                unbounded.select(
+                    F.lit("unbounded").alias("method"), "id1", "id2", "cosine"
+                )
+            )
+            .unionByName(
+                incremental.select(
+                    F.lit("incremental").alias("method"), "id1", "id2", "cosine"
+                )
+            )
+            .unionByName(sem_rows)
+        )
+    else:
+        # degenerate corpora (no codebook): the operators' own graceful
+        # empty paths; here the assignment has three consumers, so the
+        # r14 cache stays
+        if assigned is not None:
+            assigned = track_cache(assigned.cache())
+        asg_is_batch = F.substring(F.md5(F.col("cid").cast("string")), 1, 1).isin(
+            "0", "1", "2", "c"
+        )
+        semantic = sim.semantic_dup_pairs(
+            aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents,
+            assigned=assigned,
+        )
+        sem_inc = sim.semantic_dup_pairs_incremental(
+            aug.filter(is_batch),
+            aug.filter(~is_batch),
+            threshold=0.95,
+            dim=_DIM,
+            centroids=cents,
+            check_id_overlap=False,  # the split partitions one relation
+            batch_assigned=(
+                assigned.filter(asg_is_batch) if assigned is not None else None
+            ),
+            corpus_assigned=(
+                assigned.filter(~asg_is_batch) if assigned is not None else None
+            ),
+        )
+        sem_ref = sim.semantic_dup_pairs(
+            aug, threshold=0.95, dim=_DIM, nrows=nrows, centroids=cents_ref,
+            assigned=(
+                sim._semantic_assign(prepared, cents_ref, _DIM)
+                if cents_ref
+                else None
+            ),
+        )
     return bounded.select(
         F.lit("bounded").alias("method"), "id1", "id2", "cosine"
     ).unionByName(

@@ -208,6 +208,54 @@ def test_simhash_jvm_lane_folds_match_reference_all_branches(spark):
     assert got == want
 
 
+def test_simhash_jvm_lane_folds_match_reference_xxhash64(spark):
+    """r15 (ADVICE): the xxhash64 method feeds the SAME _simhash_fp_sql
+    folds but had no bit-identical coverage of the lane math — pin all
+    three CASE branches against a Spark-computed xxhash64 reference
+    (the per-word hashes come from the engine itself, the majority
+    fold from an independent pure-Python loop)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dft_spark.operators.dedup import simhash
+
+    rng = random.Random(43)
+    vocab = [f"x{i}" for i in range(500)]
+    rows = [
+        (1, " ".join(rng.choice(vocab) for _ in range(100))),
+        (2, " ".join(rng.choice(vocab) for _ in range(127))),
+        (3, " ".join(rng.choice(vocab) for _ in range(128))),
+        (4, " ".join(rng.choice(vocab) for _ in range(32767))),
+        (5, " ".join(rng.choice(vocab) for _ in range(32768))),
+        (6, ""),
+        (7, "solo"),
+    ]
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash(planted, "doc_id", "text", method="xxhash64").collect()
+    }
+    # Spark-computed per-word xxhash64 reference (engine-native hash,
+    # independent majority fold)
+    words = {w for _, t in rows for w in t.split(" ")}
+    wdf = spark.createDataFrame([(w,) for w in sorted(words)], "w string")
+    hmap = {
+        r.w: r.h for r in wdf.select("w", F.xxhash64("w").alias("h")).collect()
+    }
+
+    def ref_fp(text: str) -> int:
+        hs = [hmap[w] & ((1 << 64) - 1) for w in text.split(" ")]
+        fp = 0
+        for b in range(64):
+            if 2 * sum((h >> b) & 1 for h in hs) > len(hs):
+                fp |= 1 << b
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    want = {i: ref_fp(t) for i, t in rows}
+    assert got == want
+
+
 def test_simhash_pairs_duplicate_ids_never_self_pair(spark):
     """A duplicated doc_id (two rows, one id) must not emit (a, a)."""
     rows = [

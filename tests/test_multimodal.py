@@ -721,3 +721,102 @@ def test_decode_video_headers_moov_straddles_prefix(spark):
     df = spark.createDataFrame([(1, b)], "doc_id long, video binary")
     r = mm.decode_video_headers(df).collect()[0]
     assert r.vid_tracks == 3 and r.vid_duration == 42
+
+
+# --- pure-JVM extraction (r15): differential vs the Arrow path --------------
+
+
+def _sql_vs_arrow_corpora(spark):
+    """One binary table mixing planted bytes, real fixture bytes, and
+    adversarial corpora — every parser branch in one relation."""
+    import random
+
+    fixtures = [
+        _real_png(640, 480, color_type=0),
+        _real_png(3, 2, color_type=6),
+        _real_png(1, 1, color_type=2),
+        _real_jpeg(640, 480, 3),
+        _real_jpeg(320, 200, 1, sof_marker=0xC2),
+        _real_jpeg(
+            16, 16, 3,
+            leading_segments=((0xE1, bytes(300)), (0xDB, bytes(65)),
+                              (0xFE, b"comment")),
+        ),
+        _real_wav(44100, 2, 16, 9),
+        _real_wav(8000, 1, 8, 3, pre_chunks=((b"LIST", bytes(11)),)),
+        _real_wav(22050, 1, 16, 5, with_data=False),
+        _real_flac(22050, 1, 16, 9),
+        _real_flac(44100, 2, 24, 123456, last_block=False, extra_padding=True),
+        _real_mp4(1000, 42, tracks=2),
+        _real_mp4(90000, (1 << 33) + 5, v=1, moov_at_end=True, mdat_bytes=64),
+        _real_mp4(600, 0xFFFFFFFF, tracks=3),  # v0 unknown-duration sentinel
+    ]
+    rng = random.Random(1537)
+    adversarial = [b"", b"\x00", bytes(range(256))]
+    for b in fixtures:
+        # truncations at structure-relevant prefixes + random cuts
+        for cut in {1, 3, 7, 11, 19, 25, 41, len(b) // 2, max(0, len(b) - 1)}:
+            adversarial.append(b[:cut])
+        # seeded single-byte mutations
+        for _ in range(6):
+            i = rng.randrange(len(b))
+            adversarial.append(b[:i] + bytes([rng.randrange(256)]) + b[i + 1:])
+    rows = [(i, v, v, v, v) for i, v in enumerate(fixtures + adversarial)]
+    return spark.createDataFrame(
+        rows, "doc_id long, content binary, image binary, audio binary, video binary"
+    )
+
+
+def test_extract_features_sql_matches_arrow_path(spark, sf_dir):
+    """The pure-JVM expression extraction (r15 — zero Python stage)
+    must reproduce the Arrow-batched path byte-for-byte: planted
+    pipeline bytes, real fixture bytes built from the public specs,
+    truncations, and seeded mutations. This is the gate that lets the
+    driver query run extract_features_sql while extract_features stays
+    the real-codec slot."""
+    from datafusion_dft_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    planted = mm.plant_video(
+        mm.plant_audio(
+            mm.plant_images(
+                mm.to_binary_table(docs.limit(120), "doc_id", "text"),
+                "doc_id", "image",
+            ),
+            "doc_id", "audio",
+        ),
+        "doc_id", "video",
+    )
+    mixed = _sql_vs_arrow_corpora(spark)
+    for b in (planted, mixed):
+        via_arrow = {
+            tuple(r)
+            for r in mm.extract_features(
+                b, image_col="image", audio_col="audio", video_col="video"
+            ).collect()
+        }
+        via_sql = {
+            tuple(r)
+            for r in mm.extract_features_sql(
+                b, image_col="image", audio_col="audio", video_col="video"
+            ).collect()
+        }
+        assert via_arrow == via_sql
+    assert mixed.count() > 100  # the adversarial corpus is non-trivial
+
+
+def test_extract_features_sql_partial_modalities(spark):
+    """Column subsets choose the same schemas as the Arrow path (the
+    modality kwargs gate which parser structs materialize)."""
+    df = spark.createDataFrame(
+        [(1, b"abc", _real_png(4, 5, color_type=2))],
+        "doc_id long, content binary, image binary",
+    )
+    a = mm.extract_features(df, image_col="image")
+    s = mm.extract_features_sql(df, image_col="image")
+    assert [f.name for f in a.schema] == [f.name for f in s.schema]
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in s.collect()]
+    a2 = mm.extract_features(df)
+    s2 = mm.extract_features_sql(df)
+    assert [f.name for f in a2.schema] == [f.name for f in s2.schema]
+    assert [tuple(r) for r in a2.collect()] == [tuple(r) for r in s2.collect()]

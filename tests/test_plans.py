@@ -524,3 +524,54 @@ def test_simhash_fingerprint_zero_shuffle(spark, sf_dir):
     assert plan.count(") ObjectHashAggregate") == 2, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert plan.count(") MapInPandas") == 1 and "Generate" in plan, plan
+
+
+def test_multimodal_features_zero_python_stages(spark, sf_dir):
+    """r15 (VERDICT item 3, guide §4.1): the whole multimodal_features
+    plan runs in the JVM — feature extraction and all three header
+    decodes are expression parsers (extract_features_sql), the frames
+    branch is a built-in explode+aggregate, the histogram join
+    broadcasts. Zero Python-eval nodes of ANY kind: the mapInArrow
+    stage-launch round trip was the operator's measured dominant cost
+    (9.7x DuckDB, the last standing PROXY weak since r7)."""
+    df = _build("multimodal_features", spark, sf_dir)
+    ids = ex.python_eval_node_ids(df)
+    assert ids == set(), (ids, ex.formatted_plan(df))
+
+
+def test_pipeline_clean_corpus_single_python_stage(spark, sf_dir):
+    """r15 (VERDICT item 6): the 21 Python-node PRINTS in the r14 plan
+    are one operator re-printed under a cached relation's consumers —
+    gate on DISTINCT operator ids (per-instance), not prints, and pin
+    that every print sits beneath an InMemoryRelation (cache child
+    plans re-print per InMemoryTableScan but execute once, at cache
+    population)."""
+    df = _build("pipeline_clean_corpus", spark, sf_dir)
+    ids = ex.python_eval_node_ids(df)
+    assert len(ids) == 1, (ids, ex.formatted_plan(df))
+    plan = ex.formatted_plan(df)
+    lines = plan.splitlines()
+    hits = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln and "+-" in ln]
+    assert hits, plan
+    for i in hits:
+        ctx = "\n".join(lines[max(0, i - 4): i])
+        assert "InMemoryRelation" in ctx, (lines[i], ctx)
+
+
+def test_embedding_dedup_semantic_single_verify_stage(spark, sf_dir):
+    """r15 (VERDICT item 4, guide §4): the three SemDeDup verify stages
+    (full applyInPandas, cogrouped incremental, refined applyInPandas)
+    collapse to ONE tagged applyInPandas over both codebooks' cells;
+    the incremental arm is a filter of the full arm's verify output.
+    Gate: exactly one FlatMapGroupsInPandas instance, zero cogrouped
+    stages, in the whole six-arm driver query plan."""
+    df = _build("dedup_embedding_cosine", spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    import re as _re
+
+    fmg_ids = {
+        int(m.group(1))
+        for m in _re.finditer(r"FlatMapGroupsInPandas\s*\((\d+)\)", plan)
+    }
+    assert len(fmg_ids) == 1, (fmg_ids, plan)
+    assert "FlatMapCoGroupsInPandas" not in plan, plan

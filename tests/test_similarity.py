@@ -605,3 +605,49 @@ def test_threshold_applies_to_rounded_cosine(spark):
         ).collect()
     }
     assert got_u == got
+
+
+def test_semantic_dup_pairs_multi_matches_per_codebook(spark, emb):
+    """r15 (VERDICT item 4): ONE tagged cell-verify over multiple
+    codebooks must equal per-codebook semantic_dup_pairs runs exactly —
+    tag filters ARE the per-codebook outputs. Together with
+    test_semantic_incremental_equals_full_restricted (cogrouped
+    increment == full restricted to batch-touching pairs) this pins the
+    driver query's 3-arms-from-one-verify design."""
+    base = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    n = aug.count()
+    cd = aug.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    cents_a = sim._stride_centroid_rows(cd, n, 16)
+    cents_df = spark.createDataFrame(cents_a, "centroid_id long, centv array<double>")
+    refined = sim.refine_centroids(cd, cents_df, iters=1)
+    cents_b = [
+        (int(r.centroid_id), [float(x) for x in r.centv]) for r in refined.collect()
+    ]
+    asg_a = sim._semantic_assign(cd, cents_a, 64)
+    asg_b = sim._semantic_assign(cd, cents_b, 64)
+    multi = sim.semantic_dup_pairs_multi([(0, asg_a), (1, asg_b)], threshold=0.9)
+    rows = multi.collect()
+    got_a = {(r.id1, r.id2, r.cosine) for r in rows if r.cb == 0}
+    got_b = {(r.id1, r.id2, r.cosine) for r in rows if r.cb == 1}
+    want_a = {
+        tuple(r)
+        for r in sim.semantic_dup_pairs(
+            aug, threshold=0.9, dim=64, nrows=n, centroids=cents_a
+        ).collect()
+    }
+    want_b = {
+        tuple(r)
+        for r in sim.semantic_dup_pairs(
+            aug, threshold=0.9, dim=64, nrows=n, centroids=cents_b
+        ).collect()
+    }
+    assert got_a == want_a and got_a  # non-vacuous
+    assert got_b == want_b and got_b

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-14 optimization measurement harness.
+"""Round-14/15 optimization measurement harness.
 
 Per query (names as args; all bench queries otherwise):
 
@@ -8,7 +8,8 @@ Per query (names as args; all bench queries otherwise):
 - the guide §1.4 noop-sink time (computes every column, discards the
   result) so the computation is isolated from result delivery, and
 - the ``explain("formatted")`` physical plan, written to
-  ``plans/r14/<query>_<tag>.txt`` when ``--plans TAG`` is given.
+  ``plans/<dir>/<query>_<tag>.txt`` when ``--plans TAG`` is given
+  (--plans-dir, default r15).
 
 Prints one JSON line per query to stdout; merges into
 ``OPT_MEASURE.json`` keyed by query so before/after pairs accumulate.
@@ -40,7 +41,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--plans", default=None, help="write plans/r14/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="write plans/<dir>/<q>_<TAG>.txt")
+    ap.add_argument("--plans-dir", default="r15")
     ap.add_argument("--label", default=None, help="label for OPT_MEASURE.json entries")
     ap.add_argument("--no-noop", action="store_true")
     ap.add_argument("queries", nargs="*")
@@ -52,7 +54,7 @@ def main() -> int:
     from datafusion_dft_spark.registry import all_queries
     from datafusion_dft_spark.session import get_spark, tune_runtime_conf, default_parallelism
 
-    spark = get_spark(app_name="opt-measure-r14")
+    spark = get_spark(app_name="opt-measure")
     tune_runtime_conf(spark, args.sf)
     specs = {n: s for n, s in all_queries().items() if s.bench}
     names = args.queries or list(specs)
@@ -79,7 +81,7 @@ def main() -> int:
 
     pre = control_canary_sec(spark, args.sf)
     out = {}
-    plans_dir = os.path.join(REPO, "plans", "r14")
+    plans_dir = os.path.join(REPO, "plans", args.plans_dir)
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
     for name in names:
@@ -121,7 +123,7 @@ def main() -> int:
             plan = formatted_plan(df)
             with open(os.path.join(plans_dir, f"{name}_{args.plans}.txt"), "w") as f:
                 f.write(plan)
-            rec["plan"] = f"plans/r14/{name}_{args.plans}.txt"
+            rec["plan"] = f"plans/{args.plans_dir}/{name}_{args.plans}.txt"
         out[name] = rec
         print(json.dumps({name: rec}, separators=(",", ":")), flush=True)
         spark.sparkContext.setJobDescription(None)
