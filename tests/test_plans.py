@@ -546,6 +546,13 @@ def test_pipeline_clean_corpus_single_python_stage(spark, sf_dir):
     that every print sits beneath an InMemoryRelation (cache child
     plans re-print per InMemoryTableScan but execute once, at cache
     population)."""
+    # deterministic cache state: another test's live cached relation
+    # can substitute into ONE consumer's subtree (CacheManager matches
+    # canonicalized fragments), splitting the single operator into two
+    # instance ids — observed in a full-suite run; the bench clears the
+    # cache before every sample, so the clean-cache plan is the one the
+    # gate should pin
+    spark.catalog.clearCache()
     df = _build("pipeline_clean_corpus", spark, sf_dir)
     ids = ex.python_eval_node_ids(df)
     assert len(ids) == 1, (ids, ex.formatted_plan(df))
@@ -565,6 +572,7 @@ def test_embedding_dedup_semantic_single_verify_stage(spark, sf_dir):
     the incremental arm is a filter of the full arm's verify output.
     Gate: exactly one FlatMapGroupsInPandas instance, zero cogrouped
     stages, in the whole six-arm driver query plan."""
+    spark.catalog.clearCache()  # deterministic cache state (see above)
     df = _build("dedup_embedding_cosine", spark, sf_dir)
     plan = ex.formatted_plan(df)
     import re as _re
