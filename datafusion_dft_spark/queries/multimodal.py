@@ -70,17 +70,21 @@ from ..registry import query
     "recomputes the planted dimension formulas independently, so a "
     "planting/parsing disagreement on either side fails the row. The "
     "parser itself is pinned to real-world fixture bytes in "
-    "tests/test_multimodal.py. Since r15 the query-path extraction runs "
-    "as PURE JVM EXPRESSIONS (extract_features_sql — fixed-offset reads "
-    "for PNG/FLAC/canonical-WAV, bounded aggregate-fold walks for the "
-    "JPEG marker / RIFF chunk / MP4 box traversals, the dedup_simhash "
-    "SWAR pattern): zero Python-eval nodes in the plan, removing the "
-    "mapInArrow stage-launch round trip that was the operator's "
-    "measured dominant cost (9.7x DuckDB, the last standing PROXY "
-    "weak). The Arrow-batched extract_features operator remains the "
-    "real-codec slot and is differentially pinned against the SQL "
-    "formulation over planted, fixture and adversarial corpora in "
-    "tests/test_multimodal.py. The aud_* columns are the same pattern "
+    "tests/test_multimodal.py. Since r15 the extraction formulation is "
+    "a measured COST-MODEL choice: small corpora (parquet-footer row "
+    "count <= SPARK_GRAFT_MM_SQL_MAX_ROWS, default 20k — where the "
+    "mapInArrow stage-launch round trip dominates, the 9.7x-DuckDB "
+    "PROXY flag standing since r7) run PURE JVM EXPRESSIONS "
+    "(extract_features_sql — fixed-offset reads for PNG/FLAC/canonical-"
+    "WAV, bounded aggregate-fold walks for the JPEG marker / RIFF "
+    "chunk / MP4 box traversals, the dedup_simhash SWAR pattern, zero "
+    "Python-eval nodes in the plan); large corpora keep the "
+    "Arrow-batched extract_features (vectorized numpy kernels, ~10x "
+    "cheaper per row than interpreted folds — guide 4.2), which is "
+    "also the real-codec slot. Both formulations are oracle-equal and "
+    "differentially pinned against each other over planted, fixture "
+    "and adversarial corpora in tests/test_multimodal.py. "
+    "The aud_* columns are the same pattern "
     "for AUDIO: spec-valid RIFF/WAVE PCM headers (even ids — true "
     "little-endian chunk layout, declared data size encoding the sample "
     "count) and FLAC fLaC+STREAMINFO blocks (odd ids — bit-packed "
@@ -108,7 +112,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "video",
     )
-    feats = mm.extract_features_sql(
+    # Formulation choice is a measured COST MODEL (r15), not a constant:
+    # the pure-JVM expression extraction (extract_features_sql) removes
+    # the mapInArrow stage-launch round trip — worth -43% at 5k docs,
+    # where that constant dominates — but its interpreted fold walks
+    # cost ~100 us CPU/row vs the Arrow path's ~10 us/row vectorized
+    # numpy kernels (guide §4.2: batch native kernels beat JVM
+    # expression chains on bulk per-row work). Alternating 9-pair A/B:
+    # 5k docs SQL 0.23 s vs Arrow 0.39 s; 50k docs SQL 0.77 s vs Arrow
+    # 0.58 s — crossover ~15-25k rows. Pick per corpus size from the
+    # parquet footer (metadata-only, the ann_pruned_topk pattern;
+    # missing/remote footer -> the scale-safe Arrow path). Both
+    # formulations are oracle-equal and differentially pinned against
+    # each other in tests/test_multimodal.py.
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        nrows = pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+    except Exception:
+        nrows = None
+    sql_max = int(os.environ.get("SPARK_GRAFT_MM_SQL_MAX_ROWS", "20000"))
+    extractor = (
+        mm.extract_features_sql
+        if nrows is not None and nrows <= sql_max
+        else mm.extract_features
+    )
+    feats = extractor(
         binary, image_col="image", audio_col="audio", video_col="video"
     )
     # Frame path: mapInPandas chunking -> per-doc frame count -> histogram.
